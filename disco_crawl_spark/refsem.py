@@ -406,7 +406,10 @@ def repair_raw(body: bytes) -> str:
     with backslash-escapes — then ``unicode_escape``-decoded. This lossy
     round-trip (including the literal ``b'``/``'`` framing) is part of the
     reference's observable output and is reproduced exactly."""
-    return bytes(str(body), "utf-8").decode("unicode_escape")
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        return bytes(str(body), "utf-8").decode("unicode_escape")
 
 
 def extract_text(body: bytes) -> str:
@@ -418,8 +421,13 @@ def extract_text(body: bytes) -> str:
     raw = repair_raw(body)
     # process_bs4 re-reads the stored utf-8 bytes and unicode_escape-decodes
     # them again (process_bs4.py:29-33), then re-encodes to utf-8 for bs4.
+    # (unicode_escape on arbitrary text emits invalid-escape warnings by
+    # design — that IS the reference quirk being reproduced.)
+    import warnings
     try:
-        stage2 = bytes(raw.encode("utf-8").decode("unicode_escape"), "utf-8")
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            stage2 = bytes(raw.encode("utf-8").decode("unicode_escape"), "utf-8")
     except Exception:
         return ""
     html = stage2.decode("utf-8", errors="replace")
