@@ -1,0 +1,531 @@
+"""The PySpark crawl engine — the reference's whole distributed loop as
+DataFrame jobs over snapshot-versioned tables.
+
+Design (SURVEY.md §1.3/§3.1 'Spark rewrite'):
+
+- **frontier / url_seen / collected / crawl_log are DataFrames** backed by
+  icelite snapshot tables (tables.py). One crawl round commits one snapshot
+  set — that IS the checkpoint (resumable mid-crawl, north_star).
+- **domains is tiny** (thousands of hosts vs 10^10 URLs): lifecycle
+  decisions (steward pick, start gauntlet, budgets, cursors) run driver-side
+  via the same ``lifecycle`` functions the oracle simulator uses. All
+  per-URL work — fetch join, parse, link explode, seen anti-join,
+  generation build — is distributed.
+- **fetch is a join**: the sandbox has no network, so fetching URL u is
+  ``schedule ⋈ pages ON fetch_url = url`` (left join; a miss is a 404).
+  On a real cluster the join becomes an async-HTTP mapInPandas stage; the
+  surrounding plan is unchanged.
+- **politeness is computed, not slept**: per-host budgets (robots.py)
+  bound each host's rows per round via the schedule's pos-range — the
+  window-rank equivalent; govCMS-style groups are serialized by the
+  steward's group lock.
+- **two shuffles per round** on the hot path: the fetch join (by url) and
+  the generation-build distinct/anti-join (by host,link). Everything else
+  is broadcast (bounds, robots) or narrow (parse UDF, explode).
+
+Scale notes (100 TB / 10^10-URL design; local runs verify correctness):
+frontier and url_seen bucket by host so schedule construction and the
+seen anti-join co-partition; hot politeness groups are already serialized
+by the group lock, and AQE skew-join splitting covers hot-host fetch joins;
+the url_seen anti-join is the authority while a per-partition Bloom filter
+(operators/bloom.py) screens the bulk cheaply.
+
+Reference-faithful quirks reproduced (see refsim module docstring for the
+full list): seen-at-schedule-time, blacklist-then-cap, cap-exit-not-
+finished with crawl-log resume, un-blacklisted kickstarts.
+
+Run ``python -m disco_crawl_spark.engine --selftest`` for an end-to-end
+engine-vs-oracle equivalence check.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql.types import (
+    ArrayType, IntegerType, LongType, StringType, StructField, StructType,
+)
+
+from . import functions as cf, lifecycle, refsem, robots as robots_mod, udfs
+from .refsim import SimConfig
+from .tables import Catalog
+
+FRONTIER_SCHEMA = StructType([
+    StructField("host", StringType()), StructField("session", IntegerType()),
+    StructField("gen", IntegerType()), StructField("pos", IntegerType()),
+    StructField("link", StringType()),
+])
+SEEN_SCHEMA = StructType([
+    StructField("host", StringType()), StructField("session", IntegerType()),
+    StructField("host_group", StringType()),
+    StructField("url_key", StringType()),
+])
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        pages: DataFrame,
+        robots_corpus: dict,
+        host_attrs: dict,
+        warehouse: str,
+        config: "SimConfig | None" = None,
+        seeds: "list | None" = None,
+    ):
+        self.spark = spark
+        self.cfg = config or SimConfig()
+        self.robots = robots_mod.RobotsCache(robots_corpus)
+        self.attrs = host_attrs
+        self.cat = Catalog(warehouse)
+        self.t_frontier = self.cat.table("frontier")
+        self.t_seen = self.cat.table("url_seen")
+        self.t_collected = self.cat.table("collected")
+        self.t_log = self.cat.table("crawl_log")
+        self.t_metrics = self.cat.table("metrics")
+        self.robots_allow = udfs.make_robots_allow(spark, robots_corpus)
+        # commit deltas are small per-round files; a handful per commit
+        # avoids the small-file problem at any scale
+        self._commit_files = 4
+        # pages partitioned by the join key once, reused every round
+        self.pages = pages.repartition(F.col("url")).persist()
+        self.dom: dict = {}          # host -> driver state dict
+        self.events: list = []       # (round, host, event)
+        self.round_no = 0
+        # In-memory views of the state tables: every committed delta is also
+        # kept as a persisted DataFrame and unioned here, so rounds never
+        # re-read parquet. The parquet snapshots are the durable checkpoint;
+        # ``resume`` rebuilds these views from disk.
+        self._mem: dict = {"frontier": None, "url_seen": None,
+                           "collected": None, "crawl_log": None}
+        if seeds:
+            for s in seeds:
+                self._seen_host(s, 0)
+
+    # ------------------------------------------------------------------
+    # driver-side domain state
+    # ------------------------------------------------------------------
+    def _seen_host(self, host: str, round_no: int):
+        if host not in self.dom:
+            self.dom[host] = {
+                "state": "seen",
+                "group": lifecycle.politeness_group(host, self.attrs.get(host)),
+                "first_seen_round": round_no,
+                "scheme": None, "budget": 0, "gen": 0, "gen_size": 0,
+                "cursor": 0, "crawled": 0, "session": 0, "ever_crawled": False,
+            }
+
+    def _event(self, round_no: int, host: str, msg: str):
+        self.events.append((round_no, host, msg))
+
+    def _active_hosts(self) -> list:
+        return sorted(h for h, d in self.dom.items() if d["state"] == "active")
+
+    # ------------------------------------------------------------------
+    # state-table plumbing: commit a delta to parquet AND to the in-memory
+    # accumulated view
+    # ------------------------------------------------------------------
+    def _table(self, name: str):
+        return {"frontier": self.t_frontier, "url_seen": self.t_seen,
+                "collected": self.t_collected, "crawl_log": self.t_log}[name]
+
+    def _append(self, name: str, delta: DataFrame):
+        # localCheckpoint truncates lineage: without it every round's delta
+        # plan nests the whole previous union and planning cost grows
+        # exponentially with rounds. The parquet append below is the durable
+        # copy; the checkpoint blocks are the fast in-run view.
+        delta = delta.coalesce(self._commit_files).localCheckpoint(eager=True)
+        # materialize the pre-append view FIRST: after a resume the view must
+        # be seeded from the committed parquet history, not from this delta
+        # alone (reading after the append would double-count the delta)
+        cur = self._view(name)
+        self._table(name).append(delta, self.round_no)
+        self._mem[name] = delta if cur is None else cur.unionByName(delta)
+        return delta
+
+    def _view(self, name: str) -> "DataFrame | None":
+        if self._mem[name] is None:
+            self._mem[name] = self._table(name).read(self.spark)
+        return self._mem[name]
+
+    def _release(self):
+        # drop in-run views; checkpoint blocks are reclaimed by the context
+        # cleaner once unreferenced, later reads come from parquet snapshots
+        self._mem = {k: None for k in self._mem}
+
+    # ------------------------------------------------------------------
+    # generation preparation (worker.py:685-693): normalize + robots filter,
+    # dense positions in raw order
+    # ------------------------------------------------------------------
+    def _prepare(self, raw: DataFrame) -> DataFrame:
+        """raw: (host, session, gen, ord, link_raw) → frontier rows."""
+        allowed = raw.filter(self.robots_allow(F.col("host"), F.col("link_raw")))
+        w = Window.partitionBy("host", "session", "gen").orderBy("ord")
+        return (
+            allowed
+            .withColumn("link", udfs.normalize_href(F.col("link_raw")))
+            .withColumn("pos", F.row_number().over(w) - 1)
+            .select("host", "session", "gen", "pos", "link")
+        )
+
+    def _commit_frontier(self, prepared: DataFrame) -> dict:
+        """Append new generation rows; return per-host row counts."""
+        delta = self._append("frontier", prepared)
+        return {r["host"]: r["count"]
+                for r in delta.groupBy("host").count().collect()}
+
+    # ------------------------------------------------------------------
+    # domain starts (steward + start gauntlet)
+    # ------------------------------------------------------------------
+    def _start_domains(self):
+        states = {h: d["state"] for h, d in self.dom.items()}
+        groups = {h: d["group"] for h, d in self.dom.items()}
+        active_groups = {self.dom[h]["group"] for h in self._active_hosts()}
+        picks = lifecycle.pick_domains(states, groups, active_groups,
+                                       self.round_no, self.cfg.steward_batch)
+        fresh, resumed = [], []
+        for host in picks:
+            d = lifecycle.start_decision(host, self.attrs.get(host), self.robots)
+            st = self.dom[host]
+            if d.action == "dual-skip":
+                self._seen_host("www." + host, self.round_no)
+                self._event(self.round_no, host, "dual-domain")
+                self._event(self.round_no, host, "finished")
+                st["state"] = "finished"
+                continue
+            if d.action == "broken":
+                self._event(self.round_no, host, "broken")
+                st["state"] = "finished"
+                continue
+            self._event(self.round_no, host, "started")
+            st.update(state="active", scheme=d.scheme, budget=d.budget,
+                      gen=1, cursor=0, crawled=0, gen_size=0,
+                      session=st["session"] + 1)
+            (resumed if st["ever_crawled"] else fresh).append(host)
+
+        new_frontier = []
+        if fresh:
+            rows = [(h, self.dom[h]["session"], 1, 0,
+                     f"{self.dom[h]['scheme']}://{h}/") for h in fresh]
+            df = self.spark.createDataFrame(
+                rows, "host string, session int, gen int, ord int, link_raw string")
+            new_frontier.append(self._prepare(df))
+        if resumed:
+            new_frontier.append(self._resume_kickstart(resumed))
+        if new_frontier:
+            prepared = new_frontier[0]
+            for extra in new_frontier[1:]:
+                prepared = prepared.unionByName(extra)
+            counts = self._commit_frontier(prepared)
+            for h in fresh + resumed:
+                self.dom[h]["gen_size"] = counts.get(h, 0)
+
+    def _resume_kickstart(self, hosts: list) -> DataFrame:
+        """Resume from the crawl log (worker.py:244-280): blacklist-seed with
+        every previously fetched URL's key; kickstart = their internal links
+        minus fetched, sorted, capped. Kickstart links are NOT seen-inserted
+        (reference-faithful)."""
+        logs = self._view("crawl_log").filter(F.col("host").isin(hosts))
+        sess = self.spark.createDataFrame(
+            [(h, self.dom[h]["session"]) for h in hosts],
+            "host string, session int")
+        crawled = (logs.select("host", "url").distinct()
+                   .withColumn("url_key", udfs.url_seen_key(F.col("url"))))
+        seen_rows = (crawled.join(F.broadcast(sess), "host")
+                     .withColumn("host_group", cf.host_group(F.col("host")))
+                     .select("host", "session", "host_group", "url_key"))
+        self._append("url_seen", seen_rows)
+        kick = (logs.select("host", F.explode("links").alias("link_raw"))
+                .distinct()
+                .withColumn("url_key", udfs.url_seen_key(F.col("link_raw")))
+                .join(crawled.select("host", "url_key"),
+                      ["host", "url_key"], "left_anti"))
+        w = Window.partitionBy("host").orderBy("link_raw")
+        kick = (kick.withColumn("ord", F.row_number().over(w))
+                .filter(F.col("ord") <= self.cfg.max_pages)
+                .join(F.broadcast(sess), "host")
+                .withColumn("gen", F.lit(1))
+                .select("host", "session", "gen", "ord", "link_raw"))
+        return self._prepare(kick)
+
+    # ------------------------------------------------------------------
+    # one crawl round
+    # ------------------------------------------------------------------
+    def step(self):
+        rnd = self.round_no
+        self._start_domains()
+
+        # -- schedule: per-host pos range [cursor, cursor+budget) ------
+        bounds_rows = []
+        for h in self._active_hosts():
+            d = self.dom[h]
+            if d["cursor"] < d["gen_size"]:
+                bounds_rows.append((h, d["session"], d["gen"], d["cursor"],
+                                    min(d["cursor"] + d["budget"],
+                                        d["gen_size"]), d["scheme"]))
+        results = None
+        schedule = None
+        if bounds_rows:
+            bounds = self.spark.createDataFrame(
+                bounds_rows,
+                "host string, session int, gen int, lo int, hi int, scheme string")
+            frontier = self._view("frontier")
+            schedule = (
+                frontier.join(F.broadcast(bounds), ["host", "session", "gen"])
+                .filter((F.col("pos") >= F.col("lo")) & (F.col("pos") < F.col("hi")))
+                .withColumn("seq", F.col("pos") - F.col("lo"))
+                .withColumn("fetch_url", udfs.domainize(
+                    F.col("host"), F.col("link"), F.col("scheme")))
+            )
+            # -- fetch join + parse (the two hot stages) ---------------
+            fetched = schedule.join(
+                self.pages.select(F.col("url").alias("fetch_url"), "html"),
+                "fetch_url", "left")
+            parsed = fetched.withColumn(
+                "p", udfs.parse_page(F.col("html"), F.col("fetch_url"),
+                                     F.col("host"), F.col("scheme")))
+            ct = F.when(F.col("html").isNotNull(),
+                        F.lit("text/html; charset=utf-8"))
+            results = (
+                parsed.select(
+                    F.lit(rnd).alias("round"), "host", "session", "gen",
+                    "seq", F.col("fetch_url").alias("url"), "link",
+                    F.when(F.col("html").isNotNull(), F.lit(200))
+                     .otherwise(F.lit(404)).alias("status"),
+                    udfs.sha256_url(F.col("fetch_url")).alias("url_sha256"),
+                    cf.host_group(F.col("host")).alias("host_group"),
+                    cf.jurisdiction(F.col("host")).alias("jurisdiction"),
+                    cf.mime_type(ct).alias("mime_type"),
+                    cf.mime_group(ct).alias("mime_group"),
+                    F.col("p.links").alias("links"),
+                    F.col("p.external_links").alias("external_links"),
+                    F.col("p.discovered").alias("discovered"),
+                    F.col("p.title").alias("title"),
+                    F.col("p.keywords").alias("keywords"),
+                    F.col("p.content_hash").alias("content_hash"),
+                    F.col("p.content_size").alias("content_size"),
+                    F.col("p.text").alias("text"),
+                )
+            )
+            results = self._append("crawl_log", results)
+            self._append("collected",
+                         results.select("host", "session", "gen",
+                                        F.explode("links").alias("link")))
+            for (d,) in (results.select(F.explode("discovered").alias("d"))
+                         .distinct().collect()):
+                self._seen_host(d, rnd)
+
+        # -- driver cursor/crawl accounting ----------------------------
+        ended = []
+        for h, s, g, lo, hi, _ in bounds_rows:
+            d = self.dom[h]
+            n = hi - lo
+            d["cursor"] += n
+            d["crawled"] += n
+            if n:
+                d["ever_crawled"] = True
+        for h in self._active_hosts():
+            d = self.dom[h]
+            if d["cursor"] >= d["gen_size"]:
+                ended.append(h)
+
+        # -- generation end --------------------------------------------
+        capped = [h for h in ended if self.dom[h]["crawled"] >= self.cfg.max_pages]
+        build = [h for h in ended if h not in capped]
+        for h in capped:
+            self.dom[h]["state"] = "seen"  # cap exit: NOT finished
+        if build:
+            self._build_generations(build, schedule)
+
+        # -- snapshot the driver state (the round checkpoint) ----------
+        self.t_log.commit_state(rnd, self._state_dict())
+        self.round_no += 1
+
+    def _build_generations(self, hosts: list, schedule: "DataFrame | None"):
+        """SURVEY.md §8.3 frontier-update rule, one distributed pass for all
+        generation-ending hosts."""
+        sess = self.spark.createDataFrame(
+            [(h, self.dom[h]["session"], self.dom[h]["gen"],
+              self.dom[h]["scheme"]) for h in hosts],
+            "host string, session int, gen int, scheme string")
+        collected = self._view("collected")
+        if collected is None:
+            cand = self.spark.createDataFrame([], "host string, link string, scheme string")
+        else:
+            cand = (collected.join(F.broadcast(sess), ["host", "session", "gen"])
+                    .select("host", "link", "scheme").distinct())
+        # minus the generation's LAST chunk (this round's schedule)
+        if schedule is not None:
+            last_chunk = (schedule.filter(F.col("host").isin(hosts))
+                          .select("host", "link").distinct())
+            cand = cand.join(last_chunk, ["host", "link"], "left_anti")
+        cand = (cand
+                .withColumn("url_key", udfs.url_seen_key(F.col("link")))
+                .withColumn("host_group", cf.host_group(F.col("host"))))
+        # authoritative anti-join against this session's seen keys
+        seen = self._view("url_seen")
+        if seen is not None:
+            cur_seen = (seen.join(F.broadcast(sess.select("host", "session")),
+                                  ["host", "session"])
+                        .select("host", "url_key").distinct())
+            cand = cand.join(cur_seen, ["host", "url_key"], "left_anti")
+        # within-batch key dedup: first raw link per key wins (the oracle
+        # marks keys sequentially in sorted order)
+        wk = Window.partitionBy("host", "url_key").orderBy("link")
+        cand = (cand.withColumn("rn", F.row_number().over(wk))
+                .filter(F.col("rn") == 1).drop("rn").persist())
+        # every survivor is seen-inserted, even ones the cap then drops
+        new_seen = (cand.join(F.broadcast(sess.select("host", "session")), "host")
+                    .select("host", "session", "host_group", "url_key"))
+        self._append("url_seen", new_seen)
+        nxt = cand.withColumn("link_raw", udfs.domainize(
+            F.col("host"), F.col("link"), F.col("scheme")))
+        if schedule is not None:
+            nxt = nxt.join(
+                last_chunk.select("host", F.col("link").alias("link_raw")),
+                ["host", "link_raw"], "left_anti")
+        w = Window.partitionBy("host").orderBy("link")
+        nxt = (nxt.withColumn("ord", F.row_number().over(w))
+               .filter(F.col("ord") <= self.cfg.max_pages)
+               .join(F.broadcast(sess.select("host", "session",
+                                             (F.col("gen") + 1).alias("gen"))),
+                     ["host"])
+               .select("host", "session", "gen", "ord", "link_raw"))
+        raw_counts = {r["host"]: r["count"]
+                      for r in nxt.groupBy("host").count().collect()}
+        prepared = self._prepare(nxt)
+        counts = self._commit_frontier(prepared) if raw_counts else {}
+        cand.unpersist()
+        for h in hosts:
+            d = self.dom[h]
+            if raw_counts.get(h, 0) == 0:
+                self._event(self.round_no, h, "finished")
+                d["state"] = "finished"
+            else:
+                d.update(gen=d["gen"] + 1, cursor=0,
+                         gen_size=counts.get(h, 0))
+
+    # ------------------------------------------------------------------
+    # run / resume / results
+    # ------------------------------------------------------------------
+    def _state_dict(self) -> dict:
+        return {"round": self.round_no, "dom": self.dom,
+                "events": [list(e) for e in self.events]}
+
+    def run(self, max_rounds: "int | None" = None) -> dict:
+        max_rounds = max_rounds or self.cfg.max_rounds
+        while self.round_no < max_rounds:
+            states = {h: d["state"] for h, d in self.dom.items()}
+            groups = {h: d["group"] for h, d in self.dom.items()}
+            active = [h for h, s in states.items() if s == "active"]
+            startable = lifecycle.pick_domains(
+                states, groups, {groups[h] for h in active},
+                self.round_no, self.cfg.steward_batch)
+            if not active and not startable:
+                break
+            self.step()
+        # drop cached deltas; later reads come from the committed snapshots
+        self._release()
+        return {"rounds": self.round_no,
+                "states": {h: d["state"] for h, d in self.dom.items()}}
+
+    @classmethod
+    def resume(cls, spark, pages, robots_corpus, host_attrs, warehouse,
+               config=None) -> "CrawlEngine":
+        """Rebuild an engine from the latest committed round checkpoint."""
+        eng = cls(spark, pages, robots_corpus, host_attrs, warehouse,
+                  config=config)
+        snap = eng.t_log.current_snapshot()
+        if snap and snap.get("state"):
+            st = snap["state"]
+            eng.round_no = st["round"] + 1 if "round" in st else 0
+            eng.dom = st["dom"]
+            eng.events = [tuple(e) for e in st.get("events", [])]
+        return eng
+
+    def crawl_order(self) -> list:
+        df = self._view("crawl_log")
+        if df is None:
+            return []
+        rows = (df.select("round", "host", "seq", "url")
+                .orderBy("round", "host", "seq").collect())
+        return [(r["round"], r["host"], r["seq"], r["url"]) for r in rows]
+
+    def url_seen_set(self) -> set:
+        df = self._view("url_seen")
+        if df is None:
+            return set()
+        return {(r["host_group"], r["url_key"])
+                for r in df.select("host_group", "url_key").distinct().collect()}
+
+    def texts(self) -> dict:
+        df = self._view("crawl_log")
+        if df is None:
+            return {}
+        rows = (df.filter(F.col("text").isNotNull())
+                .select("url", "text").distinct().collect())
+        return {r["url"]: r["text"] for r in rows}
+
+
+# ---------------------------------------------------------------------------
+# self-test: engine vs oracle end-to-end
+# ---------------------------------------------------------------------------
+
+
+def selftest(tmpdir: "str | None" = None, **corpus_kwargs) -> bool:
+    import shutil
+    import tempfile
+
+    from . import corpus as corpus_mod, refsim
+    from .session import build_session
+
+    c = corpus_mod.generate(**corpus_kwargs)
+    sim = refsim.Simulator(c).run()
+
+    spark = build_session("disco-selftest")
+    wh = tmpdir or tempfile.mkdtemp(prefix="disco_wh_")
+    try:
+        pages = spark.createDataFrame(
+            [(r["url"], r["warc_ts"], bytearray(r["html"]), r["text"], r["lang"])
+             for r in c.page_rows()],
+            "url string, warc_ts timestamp, html binary, text string, lang string")
+        eng = CrawlEngine(spark, pages, c.robots, c.hosts, wh, seeds=c.seeds)
+        eng.run()
+        ok = True
+        order_s, order_e = sim.order, eng.crawl_order()
+        if order_s != order_e:
+            ok = False
+            print(f"ORDER MISMATCH: sim={len(order_s)} eng={len(order_e)}")
+            for a, b in zip(order_s, order_e):
+                if a != b:
+                    print("  first diff:", a, "vs", b)
+                    break
+        seen_s = {(g, k) for g, ks in sim.url_seen.items() for k in ks}
+        if seen_s != eng.url_seen_set():
+            ok = False
+            print(f"SEEN MISMATCH: sim={len(seen_s)} eng={len(eng.url_seen_set())}")
+        texts_e = eng.texts()
+        bad_text = [u for u, t in sim.texts.items()
+                    if texts_e.get(u, "").encode() != t.encode()]
+        if bad_text:
+            ok = False
+            print(f"TEXT MISMATCH on {len(bad_text)} urls, e.g. {bad_text[:3]}")
+        ev_s, ev_e = set(sim.events), set(eng.events)
+        if ev_s != ev_e:
+            ok = False
+            print("EVENT MISMATCH:", ev_s ^ ev_e)
+        print("SELFTEST", "PASS" if ok else "FAIL",
+              f"({len(order_s)} fetches, {eng.round_no} rounds)")
+        return ok
+    finally:
+        if tmpdir is None:
+            shutil.rmtree(wh, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    import sys
+    if "--selftest" in sys.argv:
+        sys.exit(0 if selftest() else 1)

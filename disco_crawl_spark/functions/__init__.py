@@ -1,0 +1,115 @@
+"""JVM-side column expressions for reference scalar functions.
+
+Everything here compiles to Catalyst expressions (whole-stage codegen, no
+Python). Where a reference function needs byte-exact urllib/os.path fidelity
+it lives in udfs.py instead; these are the functions whose semantics are
+expressible with built-ins (SURVEY.md §2.7 'Spark mapping' column).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import or_
+
+from pyspark.sql import Column, functions as F
+
+from ..refsem import STATE_BLACKLIST, _THIRD_LEVEL
+
+# ---------------------------------------------------------------------------
+# Crawl scope (steward.py:25-36)
+# ---------------------------------------------------------------------------
+
+
+def should_be_crawled(host: Column) -> Column:
+    """gov.au scope filter minus state/data blacklist — pure Catalyst."""
+    in_scope = host.endswith("gov.au")
+    blacklisted = reduce(or_, [host.endswith(b) for b in STATE_BLACKLIST])
+    return in_scope & ~blacklisted
+
+
+def suspicious_host(host: Column) -> Column:
+    """Discovered-domain guard (worker.py:405-407)."""
+    return host.contains(":") | host.contains("@")
+
+
+# ---------------------------------------------------------------------------
+# Jurisdiction classifier (parser.py:279-293)
+# ---------------------------------------------------------------------------
+
+
+def jurisdiction(host: Column) -> Column:
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    third = F.element_at(parts, n - 2)  # parts[-3]
+    expr = F.when((n >= 3) & third.isin(*_THIRD_LEVEL), F.upper(third))
+    expr = expr.when(host.endswith(".gov.nf"), F.lit("Norfolk Island"))
+    expr = expr.when(host.endswith("gov.cx"), F.lit("Christmas Island"))
+    expr = expr.when(host.endswith(".shire.cc"), F.lit("Cocos Keeling Islands"))
+    return expr.otherwise(F.lit("Commonwealth"))
+
+
+# ---------------------------------------------------------------------------
+# MIME split (parser.py:295-317)
+# ---------------------------------------------------------------------------
+
+
+def mime_type(content_type: Column) -> Column:
+    """MIMEType — emitted only when ';' present (reference quirk)."""
+    has_semi = content_type.contains(";")
+    first = F.lower(F.trim(F.element_at(F.split(content_type, ";"), 1)))
+    return F.when(has_semi, first)
+
+
+def mime_encoding(content_type: Column) -> Column:
+    parts = F.split(content_type, ";")
+    return F.when(
+        content_type.contains(";") & (F.size(parts) > 1),
+        F.lower(F.trim(F.element_at(parts, 2))),
+    )
+
+
+def mime_group(content_type: Column) -> Column:
+    mt = mime_type(content_type)
+    return F.when(mt.contains("/"), F.element_at(F.split(mt, "/"), 1))
+
+
+def mime_format(content_type: Column) -> Column:
+    mt = mime_type(content_type)
+    parts = F.split(mt, "/")
+    return F.when(mt.contains("/") & (F.size(parts) > 1),
+                  F.element_at(parts, 2))
+
+
+# ---------------------------------------------------------------------------
+# Misc (worker.py / parser.py expressions)
+# ---------------------------------------------------------------------------
+
+
+def host_group(host: Column) -> Column:
+    """www-collapsed lowercase host (seen-set scope, SURVEY.md §8.2)."""
+    h = F.lower(F.trim(host))
+    return F.when(h.startswith("www."), F.substring(h, 5, 2 ** 24)).otherwise(h)
+
+
+def is_html(content_type: Column) -> Column:
+    """Body-fetch gate (worker.py:496-497)."""
+    return content_type.startswith("text/")
+
+
+def url_too_long(url: Column) -> Column:
+    """Internal-link cap (worker.py:394-397)."""
+    return F.length(url) >= 1024
+
+
+def filename_guess(url: Column) -> Column:
+    """Ext-length 2..8 heuristic (parser.py:231-255), as a regexp: last path
+    segment of a non-trailing-slash URL with a dotted extension."""
+    stripped = F.regexp_replace(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    stripped = F.regexp_replace(stripped, r"^www\.", "")
+    last = F.element_at(F.split(stripped, "/"), -1)
+    ok = (
+        stripped.contains("/")
+        & ~stripped.endswith("/")
+        & last.rlike(r"^.+\.[^.]{2,8}$")
+    )
+    return F.when(ok, last)

@@ -32,17 +32,12 @@ Faithfully reproduced reference quirks (documented, deliberate):
 
 from __future__ import annotations
 
-import hashlib
 from dataclasses import dataclass, field
 
-from . import refsem, robots as robots_mod
+from . import lifecycle, refsem, robots as robots_mod
 from .corpus import Corpus
 
-
-def steward_rank(host: str, round_no: int) -> str:
-    """Deterministic replacement for steward.py:112 random.shuffle: seeded
-    hash order, new permutation each round."""
-    return hashlib.md5(f"{host}|{round_no}".encode()).hexdigest()
+steward_rank = lifecycle.steward_rank  # shared deterministic order
 
 
 @dataclass
@@ -95,10 +90,7 @@ class Simulator:
 
     # -- helpers ------------------------------------------------------
     def _group(self, host: str) -> str:
-        attrs = self.c.hosts.get(host)
-        if attrs is not None and attrs.is_govcms:
-            return "govcms"
-        return refsem.host_group(host)
+        return lifecycle.politeness_group(host, self.c.hosts.get(host))
 
     def _seen(self, host: str, round_no: int):
         if host not in self.domains:
@@ -115,28 +107,20 @@ class Simulator:
 
     # -- domain lifecycle (worker.py:550-680) -------------------------
     def _start_domain(self, host: str, round_no: int) -> "DomainCrawl | None":
-        attrs = self.c.hosts.get(host)
-        scheme = "https" if (attrs is None or attrs.https) else "http"
-        if attrs is not None and attrs.dual and not host.startswith("www."):
+        d = lifecycle.start_decision(host, self.c.hosts.get(host), self.robots)
+        if d.action == "dual-skip":
             # dual-domain: skip bare name, SEEN the www variant
             self._seen("www." + host, round_no)
             self._event(round_no, host, "dual-domain")
             self._event(round_no, host, "finished")
             self.domains[host] = "finished"
             return None
-        if attrs is not None and attrs.robots_broken:
-            self._event(round_no, host, "broken")
-            self.domains[host] = "finished"
-            return None
-        rp = self.robots.get(host)
-        if attrs is None or not attrs.index_ok:
-            # unknown host / dead index page -> broken (worker.py:644-652)
+        if d.action == "broken":
             self._event(round_no, host, "broken")
             self.domains[host] = "finished"
             return None
         self._event(round_no, host, "started")
-        dc = DomainCrawl(host=host, scheme=scheme, rp=rp,
-                         budget=robots_mod.page_budget(rp))
+        dc = DomainCrawl(host=host, scheme=d.scheme, rp=d.rp, budget=d.budget)
         # resume from crawl log (worker.py:244-280,668-680)
         crawled = self.crawled_urls.get(host, [])
         kick: list = []
@@ -153,7 +137,7 @@ class Simulator:
             for k in bl:
                 self._mark_key(host, k, dc)
         if not kick:
-            kick = [f"{scheme}://{host}/"]
+            kick = [f"{d.scheme}://{host}/"]
         self._prepare_generation(dc, kick)
         return dc
 
@@ -242,23 +226,8 @@ class Simulator:
     # -- steward (steward.py:92-182) ----------------------------------
     def _steward(self, round_no: int) -> list:
         locked_groups = {self.groups[h] for h in self.active}
-        eligible = [
-            h for h, st in self.domains.items()
-            if st == "seen"
-            and refsem.should_be_crawled(h)
-            and self.groups[h] not in locked_groups
-        ]
-        eligible.sort(key=lambda h: steward_rank(h, round_no))
-        picked, used_groups = [], set(locked_groups)
-        for h in eligible:
-            g = self.groups[h]
-            if g in used_groups:
-                continue
-            used_groups.add(g)
-            picked.append(h)
-            if len(picked) >= self.cfg.steward_batch:
-                break
-        return picked
+        return lifecycle.pick_domains(self.domains, self.groups, locked_groups,
+                                      round_no, self.cfg.steward_batch)
 
     # -- main loop ----------------------------------------------------
     def run(self, seeds: "list | None" = None) -> SimResult:

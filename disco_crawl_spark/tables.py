@@ -1,0 +1,171 @@
+"""Snapshot-versioned parquet tables — "icelite", an Iceberg-shaped shim.
+
+SURVEY.md §7 step 0: no Iceberg runtime jar is available in this sandbox, so
+this module provides the subset of Iceberg semantics the engine needs, with
+the same API shape, over plain parquet + JSON manifests:
+
+- **snapshot-per-commit**: every append/overwrite writes new parquet data
+  dirs and commits a new immutable snapshot listing its data dirs; readers
+  see only committed snapshots (atomic via temp-file + rename of the
+  manifest);
+- **cheap appends**: an append snapshot = parent's data dirs + new dirs (no
+  rewrite), exactly like Iceberg manifests;
+- **time travel / resume**: any snapshot id can be read back; the crawl
+  engine commits one snapshot per round, which IS the checkpoint
+  (north_star: resumable mid-crawl);
+- **per-partition lineage**: commit metadata records per-file row counts
+  read from parquet footers (no extra Spark job), plus arbitrary
+  engine-supplied state (round number, domain cursors).
+
+At production scale this maps 1:1 onto Iceberg: append→fast-append commit,
+overwrite→REPLACE, meta→snapshot summary, read(snapshot)→time travel. Swap
+``Catalog`` for an Iceberg catalog and the engine code does not change.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+import pyarrow.dataset as pads
+import pyarrow.parquet as papq
+
+
+class Table:
+    def __init__(self, root: str, name: str):
+        self.name = name
+        self.path = os.path.join(root, name)
+        os.makedirs(os.path.join(self.path, "data"), exist_ok=True)
+
+    # -- manifest handling -------------------------------------------
+    @property
+    def _meta_path(self) -> str:
+        return os.path.join(self.path, "_meta.json")
+
+    def _load_meta(self) -> dict:
+        if not os.path.exists(self._meta_path):
+            return {"current": None, "snapshots": []}
+        with open(self._meta_path) as f:
+            return json.load(f)
+
+    def _commit(self, meta: dict):
+        tmp = self._meta_path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(meta, f, indent=1)
+        os.replace(tmp, self._meta_path)  # atomic on POSIX
+
+    # -- inspection ---------------------------------------------------
+    def history(self) -> list:
+        return self._load_meta()["snapshots"]
+
+    def current_snapshot(self) -> "dict | None":
+        m = self._load_meta()
+        for s in m["snapshots"]:
+            if s["id"] == m["current"]:
+                return s
+        return None
+
+    def snapshot(self, snapshot_id: int) -> "dict | None":
+        for s in self._load_meta()["snapshots"]:
+            if s["id"] == snapshot_id:
+                return s
+        return None
+
+    # -- writes -------------------------------------------------------
+    def _write_data(self, df, round_no: int) -> "tuple[str, list]":
+        rel = f"data/r{round_no:05d}-{uuid.uuid4().hex[:8]}"
+        out = os.path.join(self.path, rel)
+        df.write.mode("overwrite").parquet(out)
+        # per-file lineage from parquet footers — no extra Spark job
+        files = []
+        try:
+            ds = pads.dataset(out, format="parquet")
+            for f in ds.files:
+                md = papq.ParquetFile(f).metadata
+                files.append({"file": os.path.relpath(f, self.path),
+                              "rows": md.num_rows})
+        except Exception:
+            pass
+        return rel, files
+
+    def _new_snapshot(self, data_dirs: list, round_no: int, op: str,
+                      files: list, state: "dict | None") -> int:
+        meta = self._load_meta()
+        sid = (meta["snapshots"][-1]["id"] + 1) if meta["snapshots"] else 0
+        snap = {
+            "id": sid,
+            "parent": meta["current"],
+            "round": round_no,
+            "op": op,
+            "data": data_dirs,
+            "files": files,
+            "rows": sum(f["rows"] for f in files) if files else None,
+            "state": state or {},
+        }
+        meta["snapshots"].append(snap)
+        meta["current"] = sid
+        self._commit(meta)
+        return sid
+
+    def append(self, df, round_no: int = 0, state: "dict | None" = None) -> int:
+        cur = self.current_snapshot()
+        prev_dirs = cur["data"] if cur else []
+        prev_files = cur["files"] if cur else []
+        rel, files = self._write_data(df, round_no)
+        return self._new_snapshot(prev_dirs + [rel], round_no, "append",
+                                  prev_files + files, state)
+
+    def overwrite(self, df, round_no: int = 0, state: "dict | None" = None) -> int:
+        rel, files = self._write_data(df, round_no)
+        return self._new_snapshot([rel], round_no, "overwrite", files, state)
+
+    def commit_state(self, round_no: int, state: dict) -> int:
+        """Metadata-only snapshot (no data change) — used for driver-side
+        domain-state checkpoints."""
+        cur = self.current_snapshot()
+        return self._new_snapshot(cur["data"] if cur else [], round_no,
+                                  "state", cur["files"] if cur else [], state)
+
+    # -- reads --------------------------------------------------------
+    def read(self, spark, snapshot_id: "int | None" = None):
+        """DataFrame of the table at a snapshot (default: current).
+        Returns None when the table has no data yet."""
+        snap = (self.snapshot(snapshot_id) if snapshot_id is not None
+                else self.current_snapshot())
+        if not snap or not snap["data"]:
+            return None
+        dirs = [os.path.join(self.path, d) for d in snap["data"]]
+        return spark.read.parquet(*dirs)
+
+    def expire_before(self, keep_snapshot_id: int):
+        """GC data dirs unreachable from snapshots >= keep_snapshot_id
+        (Iceberg expire_snapshots equivalent)."""
+        meta = self._load_meta()
+        keep = {d for s in meta["snapshots"] if s["id"] >= keep_snapshot_id
+                for d in s["data"]}
+        meta["snapshots"] = [s for s in meta["snapshots"]
+                             if s["id"] >= keep_snapshot_id]
+        self._commit(meta)
+        data_root = os.path.join(self.path, "data")
+        for d in os.listdir(data_root):
+            if f"data/{d}" not in keep:
+                shutil.rmtree(os.path.join(data_root, d), ignore_errors=True)
+
+
+class Catalog:
+    """A warehouse directory of icelite tables."""
+
+    def __init__(self, warehouse: str):
+        self.warehouse = warehouse
+        os.makedirs(warehouse, exist_ok=True)
+
+    def table(self, name: str) -> Table:
+        return Table(self.warehouse, name)
+
+    def tables(self) -> list:
+        return sorted(
+            d for d in os.listdir(self.warehouse)
+            if os.path.isdir(os.path.join(self.warehouse, d))
+        )

@@ -1,0 +1,88 @@
+"""End-to-end equivalence of the Spark crawl engine against the oracle
+simulator — the north_rule checks: identical crawl ordering, identical
+URL-seen set, byte-identical extracted text — plus checkpoint/resume."""
+
+import pytest
+
+from disco_crawl_spark import corpus as corpus_mod, refsim
+from disco_crawl_spark.engine import CrawlEngine
+
+
+# small corpus keeps the e2e suite fast while covering dual/robots/govcms/
+# hot-host/cap paths; hot_multiplier=5 keeps the hot host's generation in
+# flight across the resume kill point (regression: resumed views must be
+# seeded from parquet history, not the first post-resume delta)
+CORPUS_KW = dict(n_agencies=4, n_govcms=2, n_state=2, n_sections=2,
+                 pages_per_section=3, hot_multiplier=5)
+
+
+@pytest.fixture(scope="module")
+def c():
+    return corpus_mod.generate(**CORPUS_KW)
+
+
+@pytest.fixture(scope="module")
+def sim(c):
+    return refsim.Simulator(c).run()
+
+
+def _pages_df(spark, c):
+    return spark.createDataFrame(
+        [(r["url"], r["warc_ts"], bytearray(r["html"]), r["text"], r["lang"])
+         for r in c.page_rows()],
+        "url string, warc_ts timestamp, html binary, text string, lang string")
+
+
+@pytest.fixture()
+def engine(spark, c, tmp_warehouse):
+    return CrawlEngine(spark, _pages_df(spark, c), c.robots, c.hosts,
+                       tmp_warehouse, seeds=c.seeds)
+
+
+def test_engine_matches_oracle(engine, sim, c):
+    engine.run()
+    # 1. identical (round, host, seq, url) crawl ordering
+    assert engine.crawl_order() == sim.order
+    # 2. identical cumulative URL-seen key set
+    sim_seen = {(g, k) for g, ks in sim.url_seen.items() for k in ks}
+    assert engine.url_seen_set() == sim_seen
+    # 3. byte-identical extracted text per url
+    texts = engine.texts()
+    assert set(texts) == set(sim.texts)
+    for u, t in sim.texts.items():
+        assert texts[u].encode() == t.encode(), u
+    # 4. identical domain lifecycle events
+    assert set(engine.events) == set(sim.events)
+    # 5. text also matches the corpus golden column byte-for-byte
+    for u, t in texts.items():
+        assert t.encode() == c.pages[u]["text"].encode(), u
+
+
+def test_engine_resume_equals_uninterrupted(spark, c, sim, tmp_warehouse):
+    # run 3 rounds, drop the engine, resume from the snapshot, finish;
+    # final state must equal the oracle's
+    eng = CrawlEngine(spark, _pages_df(spark, c), c.robots, c.hosts,
+                      tmp_warehouse, seeds=c.seeds)
+    for _ in range(3):
+        eng.step()
+    del eng
+    eng2 = CrawlEngine.resume(spark, _pages_df(spark, c), c.robots, c.hosts,
+                              tmp_warehouse)
+    assert eng2.round_no == 3
+    eng2.run()
+    assert eng2.crawl_order() == sim.order
+    sim_seen = {(g, k) for g, ks in sim.url_seen.items() for k in ks}
+    assert eng2.url_seen_set() == sim_seen
+    assert set(eng2.events) == set(sim.events)
+
+
+def test_engine_cap_resume_matches_oracle(spark, c, tmp_warehouse):
+    # low per-domain cap exercises cap-exit + crawl-log resume on both sides
+    cfg = refsim.SimConfig(max_pages=15)
+    sim = refsim.Simulator(c, cfg).run()
+    eng = CrawlEngine(spark, _pages_df(spark, c), c.robots, c.hosts,
+                      tmp_warehouse, config=cfg, seeds=c.seeds)
+    eng.run()
+    assert eng.crawl_order() == sim.order
+    sim_seen = {(g, k) for g, ks in sim.url_seen.items() for k in ks}
+    assert eng.url_seen_set() == sim_seen
