@@ -74,21 +74,29 @@ class CrawlEngine:
         warehouse: str,
         config: "SimConfig | None" = None,
         seeds: "list | None" = None,
+        use_bloom: bool = False,
     ):
         self.spark = spark
         self.cfg = config or SimConfig()
+        # Bloom pre-pass over the seen set (north_star): candidates the
+        # filter proves new skip the exact anti-join; the anti-join stays
+        # the authority for 'maybe seen' rows, so results are identical
+        # with the flag on or off (asserted by tests). Worth it when the
+        # seen set dwarfs per-round candidates (the 10^10 regime); pure
+        # overhead at toy scale, hence opt-in.
+        self.use_bloom = use_bloom
         self.robots = robots_mod.RobotsCache(robots_corpus)
         self.attrs = host_attrs
         self.cat = Catalog(warehouse)
         self.t_frontier = self.cat.table("frontier")
         self.t_seen = self.cat.table("url_seen")
-        self.t_collected = self.cat.table("collected")
         self.t_log = self.cat.table("crawl_log")
         self.t_metrics = self.cat.table("metrics")
         self.robots_allow = udfs.make_robots_allow(spark, robots_corpus)
-        # commit deltas are small per-round files; a handful per commit
-        # avoids the small-file problem at any scale
-        self._commit_files = 4
+        # per-round deltas are small: one file per commit minimizes
+        # committer overhead locally and avoids the small-file problem at
+        # scale (raise for clusters where a delta exceeds a few hundred MB)
+        self._commit_files = int(os.environ.get("DISCO_COMMIT_FILES", "1"))
         # pages partitioned by the join key once, reused every round
         self.pages = pages.repartition(F.col("url")).persist()
         self.dom: dict = {}          # host -> driver state dict
@@ -99,7 +107,7 @@ class CrawlEngine:
         # re-read parquet. The parquet snapshots are the durable checkpoint;
         # ``resume`` rebuilds these views from disk.
         self._mem: dict = {"frontier": None, "url_seen": None,
-                           "collected": None, "crawl_log": None}
+                           "crawl_log": None}
         if seeds:
             for s in seeds:
                 self._seen_host(s, 0)
@@ -129,21 +137,25 @@ class CrawlEngine:
     # ------------------------------------------------------------------
     def _table(self, name: str):
         return {"frontier": self.t_frontier, "url_seen": self.t_seen,
-                "collected": self.t_collected, "crawl_log": self.t_log}[name]
+                "crawl_log": self.t_log}[name]
 
     def _append(self, name: str, delta: DataFrame):
-        # localCheckpoint truncates lineage: without it every round's delta
-        # plan nests the whole previous union and planning cost grows
-        # exponentially with rounds. The parquet append below is the durable
-        # copy; the checkpoint blocks are the fast in-run view.
-        delta = delta.coalesce(self._commit_files).localCheckpoint(eager=True)
-        # materialize the pre-append view FIRST: after a resume the view must
-        # be seeded from the committed parquet history, not from this delta
-        # alone (reading after the append would double-count the delta)
+        # Commit the delta to parquet (ONE Spark action), then use the
+        # written files as the in-run view. Reading back the files both
+        # truncates lineage (without this, every round's plan nests the
+        # whole previous union and planning cost grows exponentially) and
+        # keeps each append at a single job (per-action dispatch overhead
+        # dominates round latency at small delta sizes).
+        # Materialize the pre-append view FIRST: after a resume the view
+        # must be seeded from the committed parquet history, not from this
+        # delta alone (reading after the append would double-count it).
         cur = self._view(name)
-        self._table(name).append(delta, self.round_no)
-        self._mem[name] = delta if cur is None else cur.unionByName(delta)
-        return delta
+        _, data_dir = self._table(name).append(
+            delta.coalesce(self._commit_files), self.round_no)
+        delta_view = self.spark.read.parquet(data_dir)
+        self._mem[name] = (delta_view if cur is None
+                           else cur.unionByName(delta_view))
+        return delta_view
 
     def _view(self, name: str) -> "DataFrame | None":
         if self._mem[name] is None:
@@ -310,9 +322,6 @@ class CrawlEngine:
                 )
             )
             results = self._append("crawl_log", results)
-            self._append("collected",
-                         results.select("host", "session", "gen",
-                                        F.explode("links").alias("link")))
             for (d,) in (results.select(F.explode("discovered").alias("d"))
                          .distinct().collect()):
                 self._seen_host(d, rnd)
@@ -350,12 +359,17 @@ class CrawlEngine:
             [(h, self.dom[h]["session"], self.dom[h]["gen"],
               self.dom[h]["scheme"]) for h in hosts],
             "host string, session int, gen int, scheme string")
-        collected = self._view("collected")
-        if collected is None:
-            cand = self.spark.createDataFrame([], "host string, link string, scheme string")
+        # collected links are derived from the crawl log (the log stores
+        # each page's raw internal links, exactly like the reference's ES
+        # docs) — no separate table, no extra per-round write
+        log = self._view("crawl_log")
+        if log is None:
+            cand = self.spark.createDataFrame(
+                [], "host string, link string, scheme string")
         else:
-            cand = (collected.join(F.broadcast(sess), ["host", "session", "gen"])
-                    .select("host", "link", "scheme").distinct())
+            cand = (log.join(F.broadcast(sess), ["host", "session", "gen"])
+                    .select("host", F.explode("links").alias("link"), "scheme")
+                    .distinct())
         # minus the generation's LAST chunk (this round's schedule)
         if schedule is not None:
             last_chunk = (schedule.filter(F.col("host").isin(hosts))
@@ -364,13 +378,23 @@ class CrawlEngine:
         cand = (cand
                 .withColumn("url_key", udfs.url_seen_key(F.col("link")))
                 .withColumn("host_group", cf.host_group(F.col("host"))))
-        # authoritative anti-join against this session's seen keys
+        # authoritative anti-join against this session's seen keys, with an
+        # optional Bloom pre-pass that lets provably-new candidates skip it
         seen = self._view("url_seen")
         if seen is not None:
             cur_seen = (seen.join(F.broadcast(sess.select("host", "session")),
                                   ["host", "session"])
                         .select("host", "url_key").distinct())
-            cand = cand.join(cur_seen, ["host", "url_key"], "left_anti")
+            if self.use_bloom:
+                from .operators import bloom as bloom_mod
+                sidecar = bloom_mod.build_sidecar(
+                    cur_seen, "url_key", "host", num_buckets=16)
+                definitely_new, maybe = bloom_mod.screen(
+                    cand, sidecar, "url_key", "host", num_buckets=16)
+                cand = definitely_new.unionByName(
+                    maybe.join(cur_seen, ["host", "url_key"], "left_anti"))
+            else:
+                cand = cand.join(cur_seen, ["host", "url_key"], "left_anti")
         # within-batch key dedup: first raw link per key wins (the oracle
         # marks keys sequentially in sorted order)
         wk = Window.partitionBy("host", "url_key").orderBy("link")
@@ -393,11 +417,20 @@ class CrawlEngine:
                                              (F.col("gen") + 1).alias("gen"))),
                      ["host"])
                .select("host", "session", "gen", "ord", "link_raw"))
-        raw_counts = {r["host"]: r["count"]
-                      for r in nxt.groupBy("host").count().collect()}
-        prepared = self._prepare(nxt)
-        counts = self._commit_frontier(prepared) if raw_counts else {}
+        nxt = nxt.persist()
+        prepared_delta = self._append("frontier", self._prepare(nxt))
+        # one collect for both counts: raw next-gen size (finish decision —
+        # an all-robots-filtered gen still stays active one round, like the
+        # reference) and prepared size (the schedule cursor bound)
+        stats = (nxt.groupBy("host").agg(F.count(F.lit(1)).alias("raw_n"))
+                 .join(prepared_delta.groupBy("host")
+                       .agg(F.count(F.lit(1)).alias("prep_n")),
+                       "host", "full_outer")
+                 .collect())
+        raw_counts = {r["host"]: (r["raw_n"] or 0) for r in stats}
+        counts = {r["host"]: (r["prep_n"] or 0) for r in stats}
         cand.unpersist()
+        nxt.unpersist()
         for h in hosts:
             d = self.dom[h]
             if raw_counts.get(h, 0) == 0:

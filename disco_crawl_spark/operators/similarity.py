@@ -1,0 +1,109 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the round brief:
+
+- **brute-force cosine top-k** — the correctness baseline: JVM-side dot
+  product via ``aggregate(zip_with(...))`` (no Python), one narrow pass +
+  a top-k. At scale this is a full scan but embarrassingly parallel;
+  ``F.slice``-free expression keeps it inside whole-stage codegen.
+- **LSH-bucketed ANN** — the scale path: random-hyperplane signatures
+  (seeded, deterministic) bucket vectors so queries probe one bucket
+  (+ optional multi-probe neighbors). Build once, reuse across queries;
+  bucket assignment is a single vectorized numpy matmul per Arrow batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+
+def _dot(col, vec: list) -> "F.Column":
+    q = F.array(*[F.lit(float(x)) for x in vec])
+    return F.aggregate(
+        F.zip_with(col, q, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(col) -> "F.Column":
+    return F.sqrt(F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_topk(df: DataFrame, emb_col: str, id_col: str, query: list,
+                k: int = 10) -> DataFrame:
+    """Brute-force cosine top-k against one query vector. Entirely built-in
+    expressions (codegen); returns (id, cosine) best-first."""
+    qn = float(np.sqrt(np.dot(query, query)))
+    cos = _dot(F.col(emb_col), query) / (_norm(F.col(emb_col)) * F.lit(qn))
+    return (df.select(F.col(id_col), F.round(cos, 6).alias("cosine"))
+            .orderBy(F.col("cosine").desc(), F.col(id_col))
+            .limit(k))
+
+
+def make_hyperplane_udf(dim: int, planes: int = 16, seed: int = 42):
+    rng = np.random.RandomState(seed)
+    H = rng.normal(size=(planes, dim)).astype(np.float64)
+
+    @pandas_udf(LongType())
+    def bucket(emb: pd.Series) -> pd.Series:
+        M = np.array([np.asarray(e, dtype=np.float64) for e in emb])
+        if M.ndim != 2 or M.shape[0] == 0:
+            return pd.Series([], dtype="int64")
+        signs = (M @ H.T) > 0
+        vals = np.zeros(len(emb), dtype=np.int64)
+        for i in range(planes):
+            vals |= signs[:, i].astype(np.int64) << i
+        return pd.Series(vals)
+
+    return bucket, H
+
+
+def lsh_index(df: DataFrame, emb_col: str, dim: int, planes: int = 16,
+              seed: int = 42) -> "tuple[DataFrame, np.ndarray]":
+    """Attach a hyperplane-LSH bucket column. At scale, write this out
+    partitioned by bucket so queries prune partitions."""
+    bucket_udf, H = make_hyperplane_udf(dim, planes, seed)
+    return df.withColumn("bucket", bucket_udf(F.col(emb_col))), H
+
+
+def lsh_query(indexed: DataFrame, H: np.ndarray, emb_col: str, id_col: str,
+              query: list, k: int = 10, probes: int = 1) -> DataFrame:
+    """ANN: probe the query's bucket (plus ``probes-1`` nearest sign-flip
+    buckets), brute-force cosine within. Recall/latency dial = planes,
+    probes."""
+    q = np.asarray(query, dtype=np.float64)
+    margins = H @ q
+    base = 0
+    for i in range(len(margins)):
+        if margins[i] > 0:
+            base |= 1 << i
+    buckets = [base]
+    # multi-probe: flip the lowest-|margin| planes
+    order = np.argsort(np.abs(margins))
+    for j in range(min(probes - 1, len(order))):
+        buckets.append(base ^ (1 << int(order[j])))
+    cand = indexed.filter(F.col("bucket").isin(buckets))
+    return cosine_topk(cand, emb_col, id_col, query, k)
+
+
+def pairwise_cosine_topk(df: DataFrame, emb_col: str, id_col: str,
+                         k: int = 5, id_cap: "int | None" = None) -> DataFrame:
+    """Per-row top-k neighbors (small-n all-pairs; the LSH path scales).
+    Built-ins only, oracle-checkable. Returns (a, b, cosine)."""
+    base = df if id_cap is None else df.filter(F.col(id_col) < id_cap)
+    a = base.select(F.col(id_col).alias("a"), F.col(emb_col).alias("ea"))
+    b = base.select(F.col(id_col).alias("b"), F.col(emb_col).alias("eb"))
+    dot = F.aggregate(F.zip_with("ea", "eb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    cos = dot / (_norm(F.col("ea")) * _norm(F.col("eb")))
+    pairs = (a.join(b, F.col("a") != F.col("b"))
+             .withColumn("cosine", F.round(cos, 6)))
+    from pyspark.sql import Window
+    w = Window.partitionBy("a").orderBy(F.col("cosine").desc(), F.col("b"))
+    return (pairs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k).select("a", "b", "cosine"))

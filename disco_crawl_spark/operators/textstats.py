@@ -1,0 +1,186 @@
+"""Text analysis operators: token counting, quality scoring, language id,
+document fingerprinting, readability.
+
+Token/quality operators are pure Catalyst expressions (codegen, pushdown-
+friendly); language-id and fingerprinting are vectorized pandas UDFs with
+deterministic seeded hashing.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (ArrayType, DoubleType, IntegerType, LongType,
+                               StringType, StructField, StructType)
+
+from .. import refsem
+
+STOPWORDS_EN = (
+    "the a an and or of to in is are was were be been it this that for on "
+    "with as at by from".split()
+)
+
+
+def token_count(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Whitespace token count + distinct count + char length — built-ins
+    only."""
+    toks = F.split(F.col(text_col), " ")
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.length(F.col(text_col)).alias("n_chars"),
+    )
+
+
+def bpe_ish_token_count(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Sub-word-ish token count: split on word boundaries AND length-4
+    chunks of long words — a cheap, deterministic BPE proxy (regexp only)."""
+    pieces = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(r"[a-z]{1,4}|[0-9]+|[^a-z0-9\s]"), 0)
+    return df.select(F.col(id_col), F.size(pieces).alias("n_bpe_tokens"))
+
+
+def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Heuristic quality features + composite score, all built-ins: length,
+    mean word length, punctuation ratio, stopword ratio, uppercase ratio.
+    Mirrors common crawl-corpus quality filters (C4-style)."""
+    t = F.col(text_col)
+    toks = F.split(t, " ")
+    n_tok = F.size(toks)
+    n_chars = F.length(t)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    n_stop = F.size(F.array_intersect(F.array_distinct(
+        F.split(F.lower(t), " ")), stop_arr))
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[.,;:!?]", ""))
+    n_upper = n_chars - F.length(F.regexp_replace(t, r"[A-Z]", ""))
+    # empty/degenerate docs: define every ratio as 0 (ANSI-safe try_divide)
+    mean_wl = F.round(
+        F.coalesce(F.try_divide(n_chars - n_tok + 1, n_tok), F.lit(0.0)), 6)
+    punct_ratio = F.round(
+        F.coalesce(F.try_divide(n_punct, n_chars), F.lit(0.0)), 6)
+    stop_ratio = F.round(
+        F.coalesce(F.try_divide(
+            n_stop, F.size(F.array_distinct(F.split(F.lower(t), " ")))),
+            F.lit(0.0)), 6)
+    upper_ratio = F.round(
+        F.coalesce(F.try_divide(n_upper, n_chars), F.lit(0.0)), 6)
+    score = F.round(
+        F.when(n_tok >= 10, 1.0).otherwise(0.0)
+        + F.when((mean_wl >= 3) & (mean_wl <= 10), 1.0).otherwise(0.0)
+        + F.when(punct_ratio <= 0.1, 1.0).otherwise(0.0)
+        + stop_ratio, 6)
+    return df.select(
+        F.col(id_col), n_tok.alias("n_tokens"), mean_wl.alias("mean_word_len"),
+        punct_ratio.alias("punct_ratio"), stop_ratio.alias("stopword_ratio"),
+        upper_ratio.alias("upper_ratio"), score.alias("quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# language id (character n-gram heuristic)
+# ---------------------------------------------------------------------------
+
+_LANG_PROFILES = {
+    "en": ["the", "and", "ing", "ion", "to ", " of", "is ", "ed "],
+    "es": ["de ", "la ", "os ", "el ", "ión", " qu", "es ", "ar "],
+    "fr": ["le ", "de ", "es ", "ent", " qu", "la ", "une", "ais"],
+    "de": ["der", "die", "und", "ein", "sch", "ich", "en ", "cht"],
+}
+
+
+@pandas_udf(StringType())
+def lang_id(text: pd.Series) -> pd.Series:
+    """Trigram-profile language guess; 'und' when nothing matches. Pure
+    function of the text — deterministic."""
+    out = []
+    for t in text:
+        s = (t or "").lower()
+        best, best_score = "und", 0
+        for lang, grams in _LANG_PROFILES.items():
+            score = sum(s.count(g) for g in grams)
+            if score > best_score:
+                best, best_score = lang, score
+        out.append(best)
+    return pd.Series(out)
+
+
+def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return df.select(F.col(id_col), lang_id(F.col(text_col)).alias("lang_guess"))
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting (winnowing over rolling hashes)
+# ---------------------------------------------------------------------------
+
+
+def make_fingerprint_udf(k: int = 5, window: int = 4):
+    @pandas_udf(ArrayType(LongType()))
+    def fingerprint(text: pd.Series) -> pd.Series:
+        """Winnowing (Schleimer et al. 2003): md5-based k-gram hashes, min
+        per sliding window, deduped, sorted — a compact, deterministic
+        document sketch for copy detection."""
+        out = []
+        for t in text:
+            toks = (t or "").lower().split()
+            grams = [" ".join(toks[i:i + k])
+                     for i in range(max(0, len(toks) - k + 1))]
+            hs = [int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "big",
+                                 signed=False) >> 1
+                  for g in grams]
+            if not hs:
+                out.append([])
+                continue
+            picks = set()
+            for i in range(max(1, len(hs) - window + 1)):
+                picks.add(min(hs[i:i + window]))
+            out.append(sorted(picks))
+        return pd.Series(out)
+
+    return fingerprint
+
+
+def fingerprints(df: DataFrame, text_col: str, id_col: str,
+                 k: int = 5, window: int = 4) -> DataFrame:
+    fp = make_fingerprint_udf(k, window)
+    return df.select(F.col(id_col), fp(F.col(text_col)).alias("fingerprint"))
+
+
+def fingerprint_overlap_pairs(df: DataFrame, text_col: str, id_col: str,
+                              min_shared: int = 2) -> DataFrame:
+    """Copy-detection join: explode fingerprints, self-join on hash, count
+    shared hashes per pair — the scalable (inverted-index) form."""
+    fps = fingerprints(df, text_col, id_col)
+    ex = fps.select(F.col(id_col), F.explode("fingerprint").alias("h"))
+    a = ex.select(F.col(id_col).alias("a"), "h")
+    b = ex.select(F.col(id_col).alias("b"), "h")
+    return (a.join(b, "h").filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b").agg(F.count(F.lit(1)).alias("shared"))
+            .filter(F.col("shared") >= min_shared))
+
+
+# ---------------------------------------------------------------------------
+# readability (the postprocessor's 7-score stage, over any text table)
+# ---------------------------------------------------------------------------
+
+READABILITY_SCHEMA = StructType([
+    StructField(name, IntegerType()) for name in
+    ("ARI", "ColemanLiau", "DaleChall", "Flesch", "FleschKincaid",
+     "LinsearWrite", "SMOG")
+])
+
+
+@pandas_udf(READABILITY_SCHEMA)
+def readability_struct(text: pd.Series) -> pd.DataFrame:
+    rows = [refsem.readability_scores(t or "") for t in text]
+    return pd.DataFrame(rows)
+
+
+def readability(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """process_readability.py:45-52 as one vectorized pass → struct of the
+    seven min_age scores."""
+    return df.select(F.col(id_col),
+                     readability_struct(F.col(text_col)).alias("readability"))

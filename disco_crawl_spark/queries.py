@@ -1,0 +1,626 @@
+"""Driver-contract query registry: every operator class from SURVEY.md §2
+re-expressed over the driver's testdata tables, each with a DuckDB oracle
+where ANSI-SQL can express it (rows-only otherwise; those are verified
+against pure-Python oracles in pytest instead).
+
+Naming convention: every computed column is aliased identically in the
+Spark plan and the oracle SQL — the driver sorts columns by name before
+value-hashing. Doubles are rounded (2-6 dp depending on magnitude) on BOTH
+sides so accumulation-order float noise cannot flip the hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from . import functions as cf
+from .operators import dedup, similarity, textstats
+
+QUERY_VEC = [1.0 if i % 3 == 0 else (0.5 if i % 3 == 1 else -0.25)
+             for i in range(64)]
+_QVEC_SQL = "[" + ", ".join(str(x) for x in QUERY_VEC) + "]::DOUBLE[]"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+REGISTRY: dict = {}
+
+
+def q(name: str, sql: "str | None"):
+    def deco(fn):
+        REGISTRY[name] = (fn, sql)
+        return fn
+    return deco
+
+
+# ===========================================================================
+# §2.2 projections / filters / predicates
+# ===========================================================================
+
+
+@q("scope_filter", """
+SELECT doc_id, source, n_chars FROM documents
+WHERE lang = 'en' AND n_chars >= 200
+""")
+def scope_filter(spark, sf):
+    # gov.au-scope analog: predicate + projection, pushdown-friendly
+    d = _t(spark, sf, "documents")
+    return (d.filter((F.col("lang") == "en") & (F.col("n_chars") >= 200))
+            .select("doc_id", "source", "n_chars"))
+
+
+@q("jurisdiction_case", """
+SELECT n_name,
+       CASE WHEN r_name IN ('ASIA', 'AFRICA') THEN 'EAST'
+            WHEN r_name = 'EUROPE' THEN 'EU'
+            ELSE 'OTHER' END AS zone
+FROM nation JOIN region ON n_regionkey = r_regionkey
+""")
+def jurisdiction_case(spark, sf):
+    # the when/otherwise classifier chain (parser.py:279-293 shape)
+    n, r = _t(spark, sf, "nation"), _t(spark, sf, "region")
+    j = n.join(r, n.n_regionkey == r.r_regionkey)
+    zone = (F.when(F.col("r_name").isin("ASIA", "AFRICA"), "EAST")
+            .when(F.col("r_name") == "EUROPE", "EU").otherwise("OTHER"))
+    return j.select("n_name", zone.alias("zone"))
+
+
+@q("suspicious_filter", """
+SELECT event_id, props FROM events
+WHERE props NOT LIKE '%@%' AND props LIKE '%k%' AND user_id % 7 <> 0
+""")
+def suspicious_filter(spark, sf):
+    e = _t(spark, sf, "events")
+    return (e.filter(~F.col("props").contains("@") & F.col("props").contains("k")
+                     & (F.col("user_id") % 7 != 0))
+            .select("event_id", "props"))
+
+
+# ===========================================================================
+# §2.3 joins (incl. the anti-join heart of the crawler)
+# ===========================================================================
+
+
+@q("seen_anti_join", """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE NOT EXISTS (
+  SELECT 1 FROM customer
+  WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
+""")
+def seen_anti_join(spark, sf):
+    # the URL-seen anti-join shape (worker.py:739-746): candidates minus the
+    # seen set; broadcast-able dimension side
+    o, c = _t(spark, sf, "orders"), _t(spark, sf, "customer")
+    seen = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return (o.join(F.broadcast(seen), o.o_custkey == seen.c_custkey,
+                   "left_anti")
+            .select("o_orderkey", "o_totalprice"))
+
+
+@q("lock_semi_join", """
+SELECT o_orderkey, o_orderpriority FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM customer
+  WHERE c_custkey = o_custkey AND c_acctbal > 5000)
+""")
+def lock_semi_join(spark, sf):
+    o, c = _t(spark, sf, "orders"), _t(spark, sf, "customer")
+    rich = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return (o.join(F.broadcast(rich), o.o_custkey == rich.c_custkey,
+                   "left_semi")
+            .select("o_orderkey", "o_orderpriority"))
+
+
+@q("fetch_left_join", """
+SELECT e.event_id, e.user_id, c.c_name
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.event_type = 'click'
+""")
+def fetch_left_join(spark, sf):
+    # the fetch join shape: schedule LEFT JOIN pages (miss = 404)
+    e, c = _t(spark, sf, "events"), _t(spark, sf, "customer")
+    return (e.filter(F.col("event_type") == "click")
+            .join(c, e.user_id == c.c_custkey, "left")
+            .select("event_id", "user_id", "c_name"))
+
+
+@q("discovery_distinct_antijoin", """
+SELECT DISTINCT l_partkey FROM lineitem
+WHERE l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_size >= 10)
+""")
+def discovery_distinct_antijoin(spark, sf):
+    # new-domain discovery: distinct referenced keys minus the known set
+    l, p = _t(spark, sf, "lineitem"), _t(spark, sf, "part")
+    known = p.filter(F.col("p_size") >= 10).select(
+        F.col("p_partkey").alias("l_partkey"))
+    return (l.select("l_partkey").distinct()
+            .join(F.broadcast(known), "l_partkey", "left_anti"))
+
+
+# ===========================================================================
+# §2.4 aggregations
+# ===========================================================================
+
+
+@q("agg_counts", """
+SELECT event_type,
+       count(*) AS n,
+       round(sum(value), 2) AS sum_value,
+       round(avg(value), 4) AS avg_value,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+""")
+def agg_counts(spark, sf):
+    e = _t(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.countDistinct("user_id").alias("n_users"))
+
+
+@q("tpch_q1", """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""")
+def tpch_q1(spark, sf):
+    l = _t(spark, sf, "lineitem")
+    return (l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                  .alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+@q("tpch_q3_topk", """
+SELECT o_orderkey, round(revenue, 2) AS revenue FROM (
+  SELECT o_orderkey, sum(l_extendedprice * (1 - l_discount)) AS revenue
+  FROM customer, orders, lineitem
+  WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+    AND l_orderkey = o_orderkey
+  GROUP BY o_orderkey)
+ORDER BY round(revenue, 2) DESC, o_orderkey LIMIT 10
+""")
+def tpch_q3_topk(spark, sf):
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o, l = _t(spark, sf, "orders"), _t(spark, sf, "lineitem")
+    return (c.join(o, c.c_custkey == o.o_custkey)
+            .join(l, l.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderkey")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+            .limit(10))
+
+
+@q("tpch_q5_join_chain", """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+GROUP BY n_name
+""")
+def tpch_q5_join_chain(spark, sf):
+    c, o, l = (_t(spark, sf, "customer"), _t(spark, sf, "orders"),
+               _t(spark, sf, "lineitem"))
+    s, n, r = (_t(spark, sf, "supplier"), _t(spark, sf, "nation"),
+               _t(spark, sf, "region"))
+    return (c.join(o, c.c_custkey == o.o_custkey)
+            .join(l, l.l_orderkey == o.o_orderkey)
+            .join(s, (l.l_suppkey == s.s_suppkey)
+                  & (c.c_nationkey == s.s_nationkey))
+            .join(n, s.s_nationkey == n.n_nationkey)
+            .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+                  n.n_regionkey == F.col("r_regionkey"))
+            .groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue")))
+
+
+# ===========================================================================
+# §2.5 windows / sorts / limits / top-k
+# ===========================================================================
+
+
+@q("window_budget_rank", """
+SELECT event_id, user_id, rn FROM (
+  SELECT event_id, user_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events)
+WHERE rn <= 3
+""")
+def window_budget_rank(spark, sf):
+    # the per-host politeness budget window (SURVEY §2.5): row_number ≤ k
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (e.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("event_id", "user_id", "rn"))
+
+
+@q("steward_hash_order", """
+SELECT user_id FROM (
+  SELECT DISTINCT user_id FROM events)
+ORDER BY md5(user_id::VARCHAR || '|7') LIMIT 20
+""")
+def steward_hash_order(spark, sf):
+    # the steward's seeded-hash shuffle replacement (SURVEY §8.4)
+    e = _t(spark, sf, "events")
+    return (e.select("user_id").distinct()
+            .orderBy(F.md5(F.concat(F.col("user_id").cast("string"),
+                                    F.lit("|7"))))
+            .limit(20))
+
+
+@q("sessionize_lag", """
+SELECT user_id, n_sessions FROM (
+  SELECT user_id,
+         sum(new_session) AS n_sessions
+  FROM (
+    SELECT user_id,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > INTERVAL 30 MINUTE OR
+                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events)
+  GROUP BY user_id)
+""")
+def sessionize_lag(spark, sf):
+    # stateful-stream semantics in batch form: 30-min-gap sessionization
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    # TIMESTAMP_NTZ needs an explicit epoch conversion (no direct long cast)
+    gap = (F.col("ts").cast("timestamp").cast("long")
+           - prev.cast("timestamp").cast("long"))
+    new_s = F.when(prev.isNull() | (gap > 1800), 1).otherwise(0)
+    return (e.withColumn("new_session", new_s)
+            .groupBy("user_id")
+            .agg(F.sum("new_session").alias("n_sessions")))
+
+
+# ===========================================================================
+# §2.6 set operations
+# ===========================================================================
+
+
+@q("union_dedup", """
+SELECT user_id, event_type FROM (
+  SELECT user_id, event_type FROM events WHERE value > 150
+  UNION
+  SELECT user_id, event_type FROM events WHERE event_type = 'signup')
+""")
+def union_dedup(spark, sf):
+    e = _t(spark, sf, "events")
+    a = e.filter(F.col("value") > 150).select("user_id", "event_type")
+    b = (e.filter(F.col("event_type") == "signup")
+         .select("user_id", "event_type"))
+    return a.unionByName(b).distinct()
+
+
+# ===========================================================================
+# §2.7 scalar functions
+# ===========================================================================
+
+
+@q("url_seen_key_md5", """
+SELECT doc_id, md5(text) AS url_key FROM documents
+""")
+def url_seen_key_md5(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", F.md5(F.col("text")).alias("url_key"))
+
+
+@q("es_doc_id_sha256", """
+SELECT doc_id, sha256(text) AS doc_sha FROM documents
+""")
+def es_doc_id_sha256(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", F.sha2(F.col("text"), 256).alias("doc_sha"))
+
+
+@q("mime_split", """
+SELECT doc_id,
+       lower(trim(split_part(ct, ';', 1))) AS mime_type,
+       lower(trim(split_part(ct, ';', 2))) AS encoding,
+       split_part(lower(trim(split_part(ct, ';', 1))), '/', 1) AS mime_group,
+       split_part(lower(trim(split_part(ct, ';', 1))), '/', 2) AS mime_format
+FROM (SELECT doc_id, 'text/' || source || '; charset=UTF-8' AS ct
+      FROM documents)
+""")
+def mime_split(spark, sf):
+    # Content-Type split semantics (parser.py:295-317) over constructed
+    # headers
+    d = _t(spark, sf, "documents")
+    ct = F.concat(F.lit("text/"), F.col("source"), F.lit("; charset=UTF-8"))
+    d = d.select("doc_id", ct.alias("ct"))
+    return d.select(
+        "doc_id",
+        cf.mime_type(F.col("ct")).alias("mime_type"),
+        cf.mime_encoding(F.col("ct")).alias("encoding"),
+        cf.mime_group(F.col("ct")).alias("mime_group"),
+        cf.mime_format(F.col("ct")).alias("mime_format"))
+
+
+@q("host_group_collapse", """
+SELECT doc_id,
+       CASE WHEN lower(trim(h)) LIKE 'www.%'
+            THEN substr(lower(trim(h)), 5)
+            ELSE lower(trim(h)) END AS host_group
+FROM (SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'www.' || source || '.gov.au'
+                  ELSE source || '.gov.au' END AS h
+      FROM documents)
+""")
+def host_group_collapse(spark, sf):
+    d = _t(spark, sf, "documents")
+    h = (F.when(F.col("doc_id") % 2 == 0,
+                F.concat(F.lit("www."), F.col("source"), F.lit(".gov.au")))
+         .otherwise(F.concat(F.col("source"), F.lit(".gov.au"))))
+    return d.select("doc_id", cf.host_group(h).alias("host_group"))
+
+
+@q("json_extract", """
+SELECT event_id, json_extract_string(props, '$.k') AS k_val FROM events
+""")
+def json_extract(spark, sf):
+    e = _t(spark, sf, "events")
+    return e.select("event_id",
+                    F.get_json_object("props", "$.k").alias("k_val"))
+
+
+@q("date_trunc_agg", """
+SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY strftime(ts, '%Y-%m-%d')
+""")
+def date_trunc_agg(spark, sf):
+    e = _t(spark, sf, "events")
+    return (e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_value")))
+
+
+@q("filename_guess", """
+SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'report' || doc_id || '.pdf'
+                    ELSE NULL END AS filename
+FROM documents
+""")
+def filename_guess(spark, sf):
+    # ext-length-2..8 heuristic (parser.py:231-255) over constructed urls
+    d = _t(spark, sf, "documents")
+    url = (F.when(F.col("doc_id") % 3 == 0,
+                  F.concat(F.lit("https://x.gov.au/files/report"),
+                           F.col("doc_id"), F.lit(".pdf")))
+           .otherwise(F.concat(F.lit("https://x.gov.au/dir"),
+                               F.col("doc_id"), F.lit("/"))))
+    return d.select("doc_id", cf.filename_guess(url).alias("filename"))
+
+
+# ===========================================================================
+# dedup operators (training-data pipeline)
+# ===========================================================================
+
+
+@q("dedup_exact", """
+SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS dup_count
+FROM documents GROUP BY md5(text)
+""")
+def dedup_exact(spark, sf):
+    d = _t(spark, sf, "documents")
+    return dedup.exact_dedup(d, "text", "doc_id")
+
+
+@q("dedup_token_jaccard", """
+WITH toks AS (
+  SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS tk
+  FROM documents WHERE doc_id < 200)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       round(len(list_intersect(a.tk, b.tk))::DOUBLE /
+             len(list_distinct(list_concat(a.tk, b.tk))), 6) AS jaccard
+FROM toks a, toks b
+WHERE a.doc_id < b.doc_id
+  AND round(len(list_intersect(a.tk, b.tk))::DOUBLE /
+            len(list_distinct(list_concat(a.tk, b.tk))), 6) >= 0.5
+""")
+def dedup_token_jaccard(spark, sf):
+    d = _t(spark, sf, "documents")
+    return dedup.token_jaccard_pairs(d, "text", "doc_id", threshold=0.5,
+                                     id_cap=200)
+
+
+@q("dedup_minhash_lsh", None)  # LSH banding not ANSI-SQL-expressible
+def dedup_minhash_lsh(spark, sf):
+    d = _t(spark, sf, "documents")
+    return dedup.minhash_dedup_pairs(d, "text", "doc_id", threshold=0.5,
+                                     num_hashes=32, bands=8)
+
+
+@q("dedup_simhash", None)
+def dedup_simhash(spark, sf):
+    d = _t(spark, sf, "documents")
+    return dedup.simhash_near_dup_pairs(d, "text", "doc_id", max_distance=10)
+
+
+# ===========================================================================
+# similarity search
+# ===========================================================================
+
+
+@q("ann_cosine_topk", f"""
+WITH scored AS (
+  SELECT vec_id,
+         round(list_dot_product(embedding::DOUBLE[], {_QVEC_SQL}) /
+               (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_dot_product({_QVEC_SQL}, {_QVEC_SQL}))), 6)
+           AS cosine
+  FROM embeddings)
+SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 20
+""")
+def ann_cosine_topk(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    e = e.withColumn("embedding",
+                     F.transform("embedding", lambda x: x.cast("double")))
+    return similarity.cosine_topk(e, "embedding", "vec_id", QUERY_VEC, k=20)
+
+
+@q("ann_lsh_bucketed", None)  # hyperplane LSH: rows-only (numpy UDF)
+def ann_lsh_bucketed(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    e = e.withColumn("embedding",
+                     F.transform("embedding", lambda x: x.cast("double")))
+    indexed, H = similarity.lsh_index(e, "embedding", dim=64, planes=8)
+    return similarity.lsh_query(indexed, H, "embedding", "vec_id",
+                                QUERY_VEC, k=20, probes=4)
+
+
+@q("similarity_pairs_topk", f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+           WHERE vec_id < 100),
+pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         round(list_dot_product(a.emb, b.emb) /
+               (sqrt(list_dot_product(a.emb, a.emb))
+                * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cosine
+  FROM e a, e b WHERE a.vec_id <> b.vec_id)
+SELECT a, b, cosine FROM (
+  SELECT a, b, cosine,
+         row_number() OVER (PARTITION BY a ORDER BY cosine DESC, b) AS rn
+  FROM pairs)
+WHERE rn <= 3
+""")
+def similarity_pairs_topk(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    e = e.withColumn("embedding",
+                     F.transform("embedding", lambda x: x.cast("double")))
+    return similarity.pairwise_cosine_topk(e, "embedding", "vec_id", k=3,
+                                           id_cap=100)
+
+
+# ===========================================================================
+# text analysis
+# ===========================================================================
+
+
+@q("token_count", """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+       length(text) AS n_chars
+FROM documents
+""")
+def token_count(spark, sf):
+    d = _t(spark, sf, "documents")
+    return textstats.token_count(d, "text", "doc_id")
+
+
+@q("bpe_token_count", r"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text),
+           '[a-z]{1,4}|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens
+FROM documents
+""")
+def bpe_token_count(spark, sf):
+    d = _t(spark, sf, "documents")
+    return textstats.bpe_ish_token_count(d, "text", "doc_id")
+
+
+@q("quality_score", """
+WITH s AS (
+  SELECT doc_id, text,
+         len(string_split(text, ' ')) AS n_tok,
+         length(text) AS n_chars,
+         len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+             ['the','a','an','and','or','of','to','in','is','are','was',
+              'were','be','been','it','this','that','for','on','with','as',
+              'at','by','from'])) AS n_stop,
+         length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+           AS n_punct,
+         length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))
+           AS n_upper,
+         len(list_distinct(string_split(lower(text), ' '))) AS n_dtok
+  FROM documents)
+SELECT doc_id, n_tok AS n_tokens,
+       round(coalesce((n_chars - n_tok + 1) / nullif(n_tok, 0), 0), 6)
+         AS mean_word_len,
+       round(coalesce(n_punct / nullif(n_chars, 0), 0), 6) AS punct_ratio,
+       round(coalesce(n_stop / nullif(n_dtok, 0), 0), 6) AS stopword_ratio,
+       round(coalesce(n_upper / nullif(n_chars, 0), 0), 6) AS upper_ratio,
+       round(CASE WHEN n_tok >= 10 THEN 1.0 ELSE 0.0 END
+             + CASE WHEN (n_chars - n_tok + 1) / nullif(n_tok, 0)
+                         BETWEEN 3 AND 10 THEN 1.0 ELSE 0.0 END
+             + CASE WHEN n_punct / nullif(n_chars, 0) <= 0.1
+                    THEN 1.0 ELSE 0.0 END
+             + coalesce(n_stop / nullif(n_dtok, 0), 0), 6) AS quality
+FROM s
+""")
+def quality_score(spark, sf):
+    d = _t(spark, sf, "documents")
+    return textstats.quality_score(d, "text", "doc_id")
+
+
+@q("lang_id", None)  # n-gram heuristic UDF: rows-only
+def lang_id_q(spark, sf):
+    d = _t(spark, sf, "documents")
+    return textstats.language_id(d, "text", "doc_id")
+
+
+@q("fingerprint_overlap", None)  # winnowing sketch: rows-only
+def fingerprint_overlap(spark, sf):
+    d = _t(spark, sf, "documents")
+    return textstats.fingerprint_overlap_pairs(d, "text", "doc_id",
+                                               min_shared=3)
+
+
+@q("readability_scores", None)  # closed-form formulas via pandas UDF
+def readability_scores_q(spark, sf):
+    d = _t(spark, sf, "documents")
+    r = textstats.readability(d, "text", "doc_id")
+    return r.select("doc_id", "readability.*")
+
+
+# ===========================================================================
+# flagship (entry): dedup + quality + language over documents
+# ===========================================================================
+
+
+def flagship(spark, sf):
+    """Representative pipeline: exact-dedup the corpus, keep high-quality
+    English docs, return per-source stats — the 'corpus preparation' query a
+    crawl feeds."""
+    d = _t(spark, sf, "documents")
+    kept = dedup.exact_dedup(d, "text", "doc_id").select("doc_id")
+    quality = textstats.quality_score(d, "text", "doc_id")
+    return (d.join(kept, "doc_id")
+            .join(quality, "doc_id")
+            .filter(F.col("lang") == "en")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg("quality"), 4).alias("avg_quality"),
+                 F.round(F.avg("n_tokens"), 2).alias("avg_tokens")))
+
+
+def queries() -> dict:
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict:
+    return {name: sql for name, (fn, sql) in REGISTRY.items()
+            if sql is not None}

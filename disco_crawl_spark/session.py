@@ -29,6 +29,13 @@ def build_session(
         .config("spark.default.parallelism", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalesce post-shuffle partitions purely by size: without this AQE
+        # refuses to go below defaultParallelism and tiny state-table
+        # shuffles become 32-task storms whose dispatch latency dominates
+        # crawl-round time (the same setting avoids tiny-task storms on a
+        # real cluster)
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+                "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

@@ -1,0 +1,138 @@
+"""Input connectors: the pages table (parquet/icelite) and Common-Crawl
+WARC files.
+
+WARC reading uses file-level parallelism (``binaryFiles`` → pure-python
+record parser per file) — the standard shape for Common Crawl, whose corpus
+is ~90k × ~1 GB WARC files per snapshot; each file is one task, so a
+1000-executor cluster streams the snapshot without coordination. gzip
+members per record (the CC layout) are handled transparently.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+
+from pyspark.sql import DataFrame, SparkSession
+
+PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, text string, "
+                "lang string")
+
+
+def read_pages(spark: SparkSession, path: str) -> DataFrame:
+    """The canonical input table (BASELINE.json input_hint)."""
+    df = spark.read.parquet(path)
+    missing = {"url", "warc_ts", "html", "text", "lang"} - set(df.columns)
+    if missing:
+        raise ValueError(f"pages table at {path} missing columns {missing}")
+    return df
+
+
+def write_pages(df: DataFrame, path: str, buckets: int = 0):
+    """Write a pages table; with buckets>0, bucket by url so the fetch join
+    co-partitions with a bucketed frontier (no shuffle of the big side)."""
+    if buckets:
+        (df.write.mode("overwrite").format("parquet")
+         .bucketBy(buckets, "url").sortBy("url")
+         .option("path", path).saveAsTable(f"pages_b{buckets}"))
+    else:
+        df.write.mode("overwrite").parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# WARC
+# ---------------------------------------------------------------------------
+
+
+def parse_warc_records(raw: bytes) -> list:
+    """Parse WARC/1.0 response records from one (possibly gzipped or
+    multi-member-gzip) WARC file. Returns dicts with warc headers, http
+    status, content-type, and body bytes. Pure function — unit-testable
+    without Spark."""
+    if raw[:2] == b"\x1f\x8b":
+        # concatenated gzip members (Common Crawl layout)
+        out = io.BytesIO()
+        with gzip.open(io.BytesIO(raw)) as g:
+            out.write(g.read())
+        raw = out.getvalue()
+    records = []
+    pos = 0
+    while True:
+        start = raw.find(b"WARC/1.0", pos)
+        if start < 0:
+            break
+        hdr_end = raw.find(b"\r\n\r\n", start)
+        if hdr_end < 0:
+            break
+        headers = {}
+        for line in raw[start:hdr_end].decode("utf-8", "replace").split("\r\n")[1:]:
+            if ":" in line:
+                k, _, v = line.partition(":")
+                headers[k.strip().lower()] = v.strip()
+        try:
+            length = int(headers.get("content-length", "0"))
+        except ValueError:
+            length = 0
+        block = raw[hdr_end + 4: hdr_end + 4 + length]
+        pos = hdr_end + 4 + length
+        if headers.get("warc-type") != "response":
+            continue
+        status, ctype, body = 0, None, block
+        if block[:5] in (b"HTTP/",):
+            he = block.find(b"\r\n\r\n")
+            if he >= 0:
+                head_lines = block[:he].decode("utf-8", "replace").split("\r\n")
+                try:
+                    status = int(head_lines[0].split()[1])
+                except (IndexError, ValueError):
+                    status = 0
+                for hl in head_lines[1:]:
+                    if hl.lower().startswith("content-type:"):
+                        ctype = hl.partition(":")[2].strip()
+                body = block[he + 4:]
+        records.append({
+            "url": headers.get("warc-target-uri"),
+            "warc_ts": headers.get("warc-date"),
+            "status": status,
+            "content_type": ctype,
+            "body": body,
+        })
+    return records
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """WARC files → pages-shaped DataFrame (text left null; the
+    postprocess/streaming stage fills it). One task per WARC file."""
+    from .. import refsem
+
+    sc = spark.sparkContext
+
+    def to_rows(kv):
+        _, raw = kv
+        for r in parse_warc_records(bytes(raw)):
+            if not r["url"] or r["status"] not in (0, 200):
+                continue
+            yield (r["url"], r["warc_ts"], bytearray(r["body"]), None, None)
+
+    rdd = sc.binaryFiles(path).flatMap(to_rows)
+    df = spark.createDataFrame(rdd, "url string, warc_ts string, html binary,"
+                                    " text string, lang string")
+    from pyspark.sql import functions as F
+    return df.withColumn("warc_ts", F.to_timestamp("warc_ts"))
+
+
+def write_warc(records: list, fileobj, compress: bool = False):
+    """Serialize (url, warc_date, body_bytes) records as a WARC/1.0 file —
+    used to build test fixtures (and round-trip-tests the reader)."""
+    buf = io.BytesIO()
+    for url, date, body in records:
+        http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8"
+                b"\r\n\r\n" + body)
+        hdr = (f"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: {url}"
+               f"\r\nWARC-Date: {date}\r\nContent-Type: application/http"
+               f"\r\nContent-Length: {len(http)}\r\n\r\n").encode()
+        buf.write(hdr + http + b"\r\n\r\n")
+    data = buf.getvalue()
+    if compress:
+        data = gzip.compress(data)
+    fileobj.write(data)

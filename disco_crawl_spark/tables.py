@@ -109,17 +109,23 @@ class Table:
         self._commit(meta)
         return sid
 
-    def append(self, df, round_no: int = 0, state: "dict | None" = None) -> int:
+    def append(self, df, round_no: int = 0,
+               state: "dict | None" = None) -> "tuple[int, str]":
+        """Commit an append snapshot; returns (snapshot_id, new data dir) so
+        callers can cheaply re-read just the delta."""
         cur = self.current_snapshot()
         prev_dirs = cur["data"] if cur else []
         prev_files = cur["files"] if cur else []
         rel, files = self._write_data(df, round_no)
-        return self._new_snapshot(prev_dirs + [rel], round_no, "append",
-                                  prev_files + files, state)
+        sid = self._new_snapshot(prev_dirs + [rel], round_no, "append",
+                                 prev_files + files, state)
+        return sid, os.path.join(self.path, rel)
 
-    def overwrite(self, df, round_no: int = 0, state: "dict | None" = None) -> int:
+    def overwrite(self, df, round_no: int = 0,
+                  state: "dict | None" = None) -> "tuple[int, str]":
         rel, files = self._write_data(df, round_no)
-        return self._new_snapshot([rel], round_no, "overwrite", files, state)
+        sid = self._new_snapshot([rel], round_no, "overwrite", files, state)
+        return sid, os.path.join(self.path, rel)
 
     def commit_state(self, round_no: int, state: dict) -> int:
         """Metadata-only snapshot (no data change) — used for driver-side
