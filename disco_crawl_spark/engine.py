@@ -101,6 +101,7 @@ class CrawlEngine:
         self.pages = pages.repartition(F.col("url")).persist()
         self.dom: dict = {}          # host -> driver state dict
         self.events: list = []       # (round, host, event)
+        self.metrics: list = []      # per-round per-host fetch/parse stats
         self.round_no = 0
         # In-memory views of the state tables: every committed delta is also
         # kept as a persisted DataFrame and unioned here, so rounds never
@@ -322,8 +323,29 @@ class CrawlEngine:
                 )
             )
             results = self._append("crawl_log", results)
-            for (d,) in (results.select(F.explode("discovered").alias("d"))
-                         .distinct().collect()):
+            # one collect drives BOTH new-domain discovery and the per-host
+            # fetch/parse metrics (statsd-counter taxonomy of worker.py:
+            # 466,492,499-501), recorded in the round-state snapshot
+            stats_rows = (results.groupBy("host").agg(
+                F.count(F.lit(1)).alias("scheduled"),
+                F.sum(F.when(F.col("status") == 200, 1).otherwise(0))
+                 .alias("fetched_200"),
+                F.sum(F.size("links")).alias("internal_links"),
+                F.sum(F.size("external_links")).alias("external_links"),
+                F.flatten(F.collect_set("discovered")).alias("discovered"),
+            ).collect())
+            discovered_all = set()
+            for r in stats_rows:
+                self.metrics.append({
+                    "round": rnd, "host": r["host"],
+                    "scheduled": r["scheduled"],
+                    "fetched_200": int(r["fetched_200"]),
+                    "fetched_404": r["scheduled"] - int(r["fetched_200"]),
+                    "internal_links": int(r["internal_links"]),
+                    "external_links": int(r["external_links"]),
+                })
+                discovered_all.update(r["discovered"])
+            for d in sorted(discovered_all):
                 self._seen_host(d, rnd)
 
         # -- driver cursor/crawl accounting ----------------------------
@@ -445,7 +467,8 @@ class CrawlEngine:
     # ------------------------------------------------------------------
     def _state_dict(self) -> dict:
         return {"round": self.round_no, "dom": self.dom,
-                "events": [list(e) for e in self.events]}
+                "events": [list(e) for e in self.events],
+                "metrics": self.metrics}
 
     def run(self, max_rounds: "int | None" = None) -> dict:
         max_rounds = max_rounds or self.cfg.max_rounds
@@ -476,6 +499,7 @@ class CrawlEngine:
             eng.round_no = st["round"] + 1 if "round" in st else 0
             eng.dom = st["dom"]
             eng.events = [tuple(e) for e in st.get("events", [])]
+            eng.metrics = st.get("metrics", [])
         return eng
 
     def crawl_order(self) -> list:
@@ -492,6 +516,13 @@ class CrawlEngine:
             return set()
         return {(r["host_group"], r["url_key"])
                 for r in df.select("host_group", "url_key").distinct().collect()}
+
+    def metrics_df(self) -> "DataFrame | None":
+        """Per-round per-host fetch/parse metrics as a DataFrame (the
+        table-shaped view of the round-state snapshots)."""
+        if not self.metrics:
+            return None
+        return self.spark.createDataFrame(self.metrics)
 
     def texts(self) -> dict:
         df = self._view("crawl_log")

@@ -597,6 +597,105 @@ def readability_scores_q(spark, sf):
 
 
 # ===========================================================================
+# crawl-kernel surfaces over constructed inputs (rows-only: UDF semantics
+# have no ANSI-SQL equivalent; verified against the kernel in pytest)
+# ===========================================================================
+
+
+@q("page_meta_extract", None)
+def page_meta_extract(spark, sf):
+    """Title/keywords/content-hash/text extraction (parser.py:92-165) driven
+    through the Spark UDF over HTML synthesized from the documents table."""
+    from . import udfs as _udfs
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    html = F.encode(F.concat(
+        F.lit("<html><head><title>Doc "), F.col("doc_id"),
+        F.lit("</title></head><body><h1>Quality Assessment Statement</h1>"
+              "<p>"), F.col("text"), F.lit("</p></body></html>")), "utf-8")
+    url = F.concat(F.lit("https://docs.gov.au/d"), F.col("doc_id"),
+                   F.lit(".html"))
+    out = d.select(
+        "doc_id",
+        _udfs.parse_page(html, url, F.lit("docs.gov.au"),
+                         F.lit("https")).alias("p"))
+    return out.select("doc_id", F.col("p.title").alias("title"),
+                      F.col("p.keywords").alias("keywords"),
+                      F.col("p.content_hash").alias("content_hash"),
+                      F.col("p.content_size").alias("content_size"))
+
+
+@q("url_canonicalize", None)
+def url_canonicalize(spark, sf):
+    """normalize_href + domainize + seen-key (worker.py:104-181,120-128)
+    over constructed messy hrefs — the frontier-preparation kernels."""
+    from . import udfs as _udfs
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    href = (F.when(F.col("doc_id") % 4 == 0,
+                   F.concat(F.lit("../up/page"), F.col("doc_id"),
+                            F.lit(".html#frag")))
+            .when(F.col("doc_id") % 4 == 1,
+                  F.concat(F.lit("./a//b/../c"), F.col("doc_id")))
+            .when(F.col("doc_id") % 4 == 2,
+                  F.concat(F.lit("/abs/"), F.col("doc_id"), F.lit("/?q=1")))
+            .otherwise(F.concat(F.lit("HTTPS://Ext.gov.au/P"),
+                                F.col("doc_id"))))
+    out = d.select("doc_id", href.alias("href"))
+    out = out.withColumn("normalized", _udfs.normalize_href(F.col("href")))
+    out = out.withColumn(
+        "fetch_url", _udfs.domainize(F.lit("www.x.gov.au"),
+                                     F.col("normalized"), F.lit("https")))
+    return out.withColumn("url_key", _udfs.url_seen_key(F.col("fetch_url")))
+
+
+@q("robots_gate", None)
+def robots_gate(spark, sf):
+    """The robots broadcast-join filter (worker.py:97-101) over constructed
+    URLs: even doc_ids land under /private/ which the corpus robots denies."""
+    from . import udfs as _udfs
+    robots = {"x.gov.au": "User-agent: *\nDisallow: /private/\n"}
+    allow = _udfs.make_robots_allow(spark, robots)
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    url = (F.when(F.col("doc_id") % 2 == 0,
+                  F.concat(F.lit("https://x.gov.au/private/d"),
+                           F.col("doc_id")))
+           .otherwise(F.concat(F.lit("https://x.gov.au/public/d"),
+                               F.col("doc_id"))))
+    return (d.select("doc_id", url.alias("url"))
+            .withColumn("allowed", allow(F.lit("x.gov.au"), F.col("url"))))
+
+
+@q("rollup_revenue", """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(*) AS n
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""")
+def rollup_revenue(spark, sf):
+    # grouping-sets capability (absent in the reference; a first-class
+    # engine feature here)
+    o = _t(spark, sf, "orders")
+    return (o.rollup("o_orderstatus", "o_orderpriority")
+            .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                 F.count(F.lit(1)).alias("n"))
+            .select(F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+                    F.coalesce("o_orderpriority", F.lit("ALL"))
+                     .alias("priority"),
+                    "revenue", "n"))
+
+
+@q("approx_distinct_monitor", None)
+def approx_distinct_monitor(spark, sf):
+    """approx_count_distinct for monitoring dashboards (SURVEY §2.4 — never
+    the authoritative seen-set). rows-only: HLL sketches are engine-specific."""
+    e = _t(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"))
+
+
+# ===========================================================================
 # flagship (entry): dedup + quality + language over documents
 # ===========================================================================
 

@@ -1,0 +1,82 @@
+"""Kernel-parity checks for the rows-only coverage queries and the skew
+utilities."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+from disco_crawl_spark import refsem
+from disco_crawl_spark.operators import skew
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_url_canonicalize_matches_kernel(spark):
+    rows = entry_mod.queries()["url_canonicalize"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["normalized"] == refsem.normalize_href(r["href"])
+        assert r["fetch_url"] == refsem.domainize_link(
+            "www.x.gov.au", r["normalized"], "https")
+        assert r["url_key"] == refsem.url_seen_key(r["fetch_url"])
+
+
+def test_robots_gate_semantics(spark):
+    rows = entry_mod.queries()["robots_gate"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["allowed"] == ("/private/" not in r["url"])
+
+
+def test_page_meta_extract_matches_kernel(spark):
+    import duckdb
+    texts = {r[0]: r[1] for r in duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet') "
+        "WHERE doc_id < 100").fetchall()}
+    rows = entry_mod.queries()["page_meta_extract"](spark, SF).collect()
+    assert len(rows) == len(texts)
+    for r in rows[:25]:
+        html = (f"<html><head><title>Doc {r['doc_id']}</title></head>"
+                f"<body><h1>Quality Assessment Statement</h1>"
+                f"<p>{texts[r['doc_id']]}</p></body></html>")
+        assert r["title"] == f"Doc {r['doc_id']}"
+        assert r["keywords"] == refsem.keywords(html)
+        assert r["content_hash"] == refsem.content_hash(html.encode())
+
+
+def test_approx_distinct_monitor_runs(spark):
+    rows = entry_mod.queries()["approx_distinct_monitor"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        # HLL estimate within its error bound of the exact count
+        assert abs(r["approx_users"] - r["exact_users"]) <= \
+            max(3, 0.1 * r["exact_users"])
+
+
+def test_salt_repartition_tames_skew(spark):
+    # one key holds 90% of rows; salting must spread it so that no
+    # partition exceeds 4x the median (SURVEY §5 skew test)
+    n = 20_000
+    df = spark.range(n).select(
+        F.when(F.col("id") % 10 < 9, F.lit("hot"))
+         .otherwise(F.concat(F.lit("cold"), F.col("id") % 50)).alias("host"),
+        F.col("id").cast("string").alias("url"))
+    skewed = df.repartition(16, F.col("host"))
+    sizes_before = skew.partition_sizes(skewed)
+    salted = skew.salt_repartition(df, "host", "url", salt_n=16,
+                                   hot_keys=["hot"])
+    sizes_after = [s for s in skew.partition_sizes(salted) if s > 0]
+    import statistics
+    med = statistics.median(sizes_after)
+    assert max(sizes_before) > 4 * max(1, statistics.median(sizes_before))
+    assert max(sizes_after) <= 4 * med, (sizes_after, med)
+
+
+def test_salted_count_equals_plain(spark):
+    df = spark.range(5000).select(
+        (F.col("id") % 7).cast("string").alias("k"),
+        F.col("id").cast("string").alias("v"))
+    got = {r["k"]: r["n"] for r in
+           skew.salted_count(df, "k", "v", salt_n=8).collect()}
+    expect = {r["k"]: r["count"] for r in df.groupBy("k").count().collect()}
+    assert got == expect
