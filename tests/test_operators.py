@@ -192,3 +192,49 @@ def test_multimodal_features_and_frames(spark):
     assert feats == feats2
     frames = multimodal.sample_frames(media, every_nth=2).collect()
     assert frames and all(r["frame"] % 2 == 0 for r in frames)
+
+
+def test_cuckoo_filter_no_false_negatives_and_delete(spark):
+    from disco_crawl_spark.operators import cuckoo
+    keys = [hashlib.md5(f"u{i}".encode()).hexdigest() for i in range(2000)]
+    cf = cuckoo.CuckooFilter(capacity=4000)
+    for k in keys:
+        assert cf.insert(k)
+    assert all(cf.contains(k) for k in keys)  # no false negatives
+    other = [hashlib.md5(f"x{i}".encode()).hexdigest() for i in range(2000)]
+    fp_rate = sum(cf.contains(k) for k in other) / len(other)
+    assert fp_rate < 0.05
+    # deletion (the capability Bloom lacks)
+    for k in keys[:100]:
+        assert cf.delete(k)
+    assert sum(cf.contains(k) for k in keys[:100]) <= 5
+    # overfill regression: a failed evict chain must never lose a victim
+    # fingerprint (homeless victims go to the stash)
+    small = cuckoo.CuckooFilter(capacity=64)
+    attempted = keys[:500]
+    for k in attempted:
+        small.insert(k)
+    assert all(small.contains(k) for k in attempted)
+
+
+def test_cuckoo_screen_matches_bloom_contract(spark):
+    from disco_crawl_spark.operators import cuckoo
+    seen = spark.createDataFrame(
+        [(f"g{i % 4}", hashlib.md5(f"url{i}".encode()).hexdigest())
+         for i in range(500)],
+        "host_group string, url_key string")
+    sidecar = cuckoo.build_sidecar(seen, "url_key", "host_group",
+                                   num_buckets=4)
+    cand = spark.createDataFrame(
+        [(f"g{i % 4}", hashlib.md5(f"url{i}".encode()).hexdigest())
+         for i in range(400, 900)],
+        "host_group string, url_key string")
+    new, maybe = cuckoo.screen(cand, sidecar, "url_key", "host_group",
+                               num_buckets=4)
+    maybe_keys = {r["url_key"] for r in maybe.collect()}
+    new_keys = {r["url_key"] for r in new.collect()}
+    truly_seen = {hashlib.md5(f"url{i}".encode()).hexdigest()
+                  for i in range(400, 500)}
+    assert truly_seen <= maybe_keys
+    assert not (new_keys & truly_seen)
+    assert len(new_keys) > 350
