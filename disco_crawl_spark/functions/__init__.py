@@ -40,7 +40,10 @@ def suspicious_host(host: Column) -> Column:
 def jurisdiction(host: Column) -> Column:
     parts = F.split(host, r"\.")
     n = F.size(parts)
-    third = F.element_at(parts, n - 2)  # parts[-3]
+    # F.get is 0-based and null-safe out of range — element_at(parts, 0)
+    # would raise under ANSI mode for two-part hosts even inside a guarded
+    # when() if Catalyst reorders predicates
+    third = F.get(parts, n - 3)  # parts[-3]
     expr = F.when((n >= 3) & third.isin(*_THIRD_LEVEL), F.upper(third))
     expr = expr.when(host.endswith(".gov.nf"), F.lit("Norfolk Island"))
     expr = expr.when(host.endswith("gov.cx"), F.lit("Christmas Island"))
@@ -64,20 +67,20 @@ def mime_encoding(content_type: Column) -> Column:
     parts = F.split(content_type, ";")
     return F.when(
         content_type.contains(";") & (F.size(parts) > 1),
-        F.lower(F.trim(F.element_at(parts, 2))),
+        F.lower(F.trim(F.get(parts, 1))),
     )
 
 
 def mime_group(content_type: Column) -> Column:
     mt = mime_type(content_type)
-    return F.when(mt.contains("/"), F.element_at(F.split(mt, "/"), 1))
+    return F.when(mt.contains("/"), F.get(F.split(mt, "/"), 0))
 
 
 def mime_format(content_type: Column) -> Column:
     mt = mime_type(content_type)
     parts = F.split(mt, "/")
     return F.when(mt.contains("/") & (F.size(parts) > 1),
-                  F.element_at(parts, 2))
+                  F.get(parts, 1))
 
 
 # ---------------------------------------------------------------------------
