@@ -423,6 +423,8 @@ class CrawlEngine:
         cand = (cand.withColumn("rn", F.row_number().over(wk))
                 .filter(F.col("rn") == 1).drop("rn").persist())
         # every survivor is seen-inserted, even ones the cap then drops
+        # (concurrent-thread commits were tried here and measured SLOWER:
+        # both jobs race to materialize the shared cand cache)
         new_seen = (cand.join(F.broadcast(sess.select("host", "session")), "host")
                     .select("host", "session", "host_group", "url_key"))
         self._append("url_seen", new_seen)
@@ -435,9 +437,9 @@ class CrawlEngine:
         w = Window.partitionBy("host").orderBy("link")
         nxt = (nxt.withColumn("ord", F.row_number().over(w))
                .filter(F.col("ord") <= self.cfg.max_pages)
-               .join(F.broadcast(sess.select("host", "session",
-                                             (F.col("gen") + 1).alias("gen"))),
-                     ["host"])
+               .join(F.broadcast(sess.select(
+                   "host", "session", (F.col("gen") + 1).alias("gen"))),
+                   ["host"])
                .select("host", "session", "gen", "ord", "link_raw"))
         nxt = nxt.persist()
         prepared_delta = self._append("frontier", self._prepare(nxt))
@@ -482,6 +484,12 @@ class CrawlEngine:
             if not active and not startable:
                 break
             self.step()
+        # persist the metrics table (queryable form of the per-round stats
+        # carried in the state snapshots)
+        if self.metrics:
+            self.t_metrics.overwrite(
+                self.spark.createDataFrame(self.metrics)
+                .coalesce(self._commit_files), self.round_no)
         # drop cached deltas; later reads come from the committed snapshots
         self._release()
         return {"rounds": self.round_no,
