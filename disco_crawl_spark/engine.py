@@ -40,28 +40,13 @@ engine-vs-oracle equivalence check.
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
-from pyspark.sql.types import (
-    ArrayType, IntegerType, LongType, StringType, StructField, StructType,
-)
 
-from . import functions as cf, lifecycle, refsem, robots as robots_mod, udfs
+from . import functions as cf, lifecycle, robots as robots_mod, udfs
 from .refsim import SimConfig
 from .tables import Catalog
-
-FRONTIER_SCHEMA = StructType([
-    StructField("host", StringType()), StructField("session", IntegerType()),
-    StructField("gen", IntegerType()), StructField("pos", IntegerType()),
-    StructField("link", StringType()),
-])
-SEEN_SCHEMA = StructType([
-    StructField("host", StringType()), StructField("session", IntegerType()),
-    StructField("host_group", StringType()),
-    StructField("url_key", StringType()),
-])
 
 
 class CrawlEngine:

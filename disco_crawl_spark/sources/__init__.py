@@ -103,8 +103,6 @@ def parse_warc_records(raw: bytes) -> list:
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """WARC files → pages-shaped DataFrame (text left null; the
     postprocess/streaming stage fills it). One task per WARC file."""
-    from .. import refsem
-
     sc = spark.sparkContext
 
     def to_rows(kv):

@@ -18,8 +18,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
-    ArrayType, BooleanType, IntegerType, LongType, StringType, StructField,
-    StructType,
+    ArrayType, BooleanType, LongType, StringType, StructField, StructType,
 )
 
 from . import refsem, robots as robots_mod
