@@ -279,13 +279,19 @@ class CrawlEngine:
             )
             # -- fetch join + parse (the two hot stages) ---------------
             fetched = schedule.join(
-                self.pages.select(F.col("url").alias("fetch_url"), "html"),
+                self.pages.select(F.col("url").alias("fetch_url"), "html",
+                                  "warc_ts"),
                 "fetch_url", "left")
             parsed = fetched.withColumn(
                 "p", udfs.parse_page(F.col("html"), F.col("fetch_url"),
                                      F.col("host"), F.col("scheme")))
             ct = F.when(F.col("html").isNotNull(),
                         F.lit("text/html; charset=utf-8"))
+            # full ES-document field parity (SURVEY §1.1 table); omitted by
+            # design: uuid (nondeterministic), requestTime/SpiderErrorMessage
+            # (no live network), indexedAt (the round IS the clock),
+            # redirectTo (no redirects in the join-fetch model),
+            # externalDomains (dead code in the reference)
             results = (
                 parsed.select(
                     F.lit(rnd).alias("round"), "host", "session", "gen",
@@ -293,12 +299,20 @@ class CrawlEngine:
                     F.when(F.col("html").isNotNull(), F.lit(200))
                      .otherwise(F.lit(404)).alias("status"),
                     udfs.sha256_url(F.col("fetch_url")).alias("url_sha256"),
+                    F.lit("v3").alias("crawler"),
                     cf.host_group(F.col("host")).alias("host_group"),
                     cf.jurisdiction(F.col("host")).alias("jurisdiction"),
                     cf.mime_type(ct).alias("mime_type"),
+                    cf.mime_encoding(ct).alias("mime_encoding"),
                     cf.mime_group(ct).alias("mime_group"),
+                    cf.mime_format(ct).alias("mime_format"),
+                    cf.filename_guess(F.col("fetch_url")).alias("filename"),
+                    F.lit("en-us").alias("language"),
+                    F.col("warc_ts").alias("date_created"),
                     F.col("p.links").alias("links"),
+                    F.size("p.links").alias("links_count"),
                     F.col("p.external_links").alias("external_links"),
+                    F.size("p.external_links").alias("external_links_count"),
                     F.col("p.discovered").alias("discovered"),
                     F.col("p.title").alias("title"),
                     F.col("p.keywords").alias("keywords"),
@@ -469,11 +483,18 @@ class CrawlEngine:
             if not active and not startable:
                 break
             self.step()
-        # persist the metrics table (queryable form of the per-round stats
-        # carried in the state snapshots)
+        # persist the metrics + domain-event tables (queryable forms of the
+        # per-round stats carried in the state snapshots; events mirror the
+        # reference's domain-lifecycle ES index, worker.py:535-547)
         if self.metrics:
             self.t_metrics.overwrite(
                 self.spark.createDataFrame(self.metrics)
+                .coalesce(self._commit_files), self.round_no)
+        if self.events:
+            self.cat.table("domain_events").overwrite(
+                self.spark.createDataFrame(
+                    [(r, h, m) for r, h, m in self.events],
+                    "round int, host string, event string")
                 .coalesce(self._commit_files), self.round_no)
         # drop cached deltas; later reads come from the committed snapshots
         self._release()
