@@ -3,9 +3,10 @@ DataFrame jobs over snapshot-versioned tables.
 
 Design (SURVEY.md §1.3/§3.1 'Spark rewrite'):
 
-- **frontier / url_seen / collected / crawl_log are DataFrames** backed by
-  icelite snapshot tables (tables.py). One crawl round commits one snapshot
-  set — that IS the checkpoint (resumable mid-crawl, north_star).
+- **frontier / url_seen / crawl_log are DataFrames** backed by icelite
+  snapshot tables (tables.py); collected links derive from the crawl log.
+  One crawl round commits one snapshot set — that IS the checkpoint
+  (resumable mid-crawl, north_star).
 - **domains is tiny** (thousands of hosts vs 10^10 URLs): lifecycle
   decisions (steward pick, start gauntlet, budgets, cursors) run driver-side
   via the same ``lifecycle`` functions the oracle simulator uses. All
@@ -88,10 +89,10 @@ class CrawlEngine:
         self.events: list = []       # (round, host, event)
         self.metrics: list = []      # per-round per-host fetch/parse stats
         self.round_no = 0
-        # In-memory views of the state tables: every committed delta is also
-        # kept as a persisted DataFrame and unioned here, so rounds never
-        # re-read parquet. The parquet snapshots are the durable checkpoint;
-        # ``resume`` rebuilds these views from disk.
+        # In-run views of the state tables: each committed delta's parquet
+        # files are read back and unioned here (flat lineage, no recompute).
+        # The snapshots are the durable checkpoint; ``resume`` rebuilds the
+        # views from the committed history.
         self._mem: dict = {"frontier": None, "url_seen": None,
                            "crawl_log": None}
         if seeds:
@@ -149,8 +150,7 @@ class CrawlEngine:
         return self._mem[name]
 
     def _release(self):
-        # drop in-run views; checkpoint blocks are reclaimed by the context
-        # cleaner once unreferenced, later reads come from parquet snapshots
+        # drop in-run views; later reads come from the committed snapshots
         self._mem = {k: None for k in self._mem}
 
     # ------------------------------------------------------------------
