@@ -61,16 +61,20 @@ class CrawlEngine:
         config: "SimConfig | None" = None,
         seeds: "list | None" = None,
         use_bloom: bool = False,
+        seen_filter: "str | None" = None,
     ):
         self.spark = spark
         self.cfg = config or SimConfig()
-        # Bloom pre-pass over the seen set (north_star): candidates the
-        # filter proves new skip the exact anti-join; the anti-join stays
-        # the authority for 'maybe seen' rows, so results are identical
-        # with the flag on or off (asserted by tests). Worth it when the
-        # seen set dwarfs per-round candidates (the 10^10 regime); pure
+        # Approximate-membership pre-pass over the seen set (north_star:
+        # 'Bloom/cuckoo URL-seen filter'): candidates the filter proves new
+        # skip the exact anti-join; the anti-join stays the authority for
+        # 'maybe seen' rows, so results are identical with the filter on or
+        # off (asserted by tests for both implementations). Worth it when
+        # the seen set dwarfs per-round candidates (the 10^10 regime); pure
         # overhead at toy scale, hence opt-in.
-        self.use_bloom = use_bloom
+        # seen_filter: None | 'bloom' | 'cuckoo' (use_bloom kept for
+        # back-compat).
+        self.seen_filter = seen_filter or ("bloom" if use_bloom else None)
         self.robots = robots_mod.RobotsCache(robots_corpus)
         self.attrs = host_attrs
         self.cat = Catalog(warehouse)
@@ -406,11 +410,14 @@ class CrawlEngine:
             cur_seen = (seen.join(F.broadcast(sess.select("host", "session")),
                                   ["host", "session"])
                         .select("host", "url_key").distinct())
-            if self.use_bloom:
-                from .operators import bloom as bloom_mod
-                sidecar = bloom_mod.build_sidecar(
+            if self.seen_filter:
+                if self.seen_filter == "cuckoo":
+                    from .operators import cuckoo as filter_mod
+                else:
+                    from .operators import bloom as filter_mod
+                sidecar = filter_mod.build_sidecar(
                     cur_seen, "url_key", "host", num_buckets=16)
-                definitely_new, maybe = bloom_mod.screen(
+                definitely_new, maybe = filter_mod.screen(
                     cand, sidecar, "url_key", "host", num_buckets=16)
                 cand = definitely_new.unionByName(
                     maybe.join(cur_seen, ["host", "url_key"], "left_anti"))

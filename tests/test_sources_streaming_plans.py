@@ -135,7 +135,8 @@ def test_tpch_q1_plan_quality(spark):
     assert "l_orderkey" not in plans.scan_schema(df)
 
 
-def test_engine_bloom_path_equivalent(spark, tmp_warehouse):
+@pytest.mark.parametrize("seen_filter", ["bloom", "cuckoo"])
+def test_engine_seen_filter_path_equivalent(spark, tmp_warehouse, seen_filter):
     from disco_crawl_spark import refsim
     from disco_crawl_spark.engine import CrawlEngine
     c = corpus_mod.generate(n_agencies=3, n_govcms=1, n_sections=2,
@@ -146,7 +147,7 @@ def test_engine_bloom_path_equivalent(spark, tmp_warehouse):
          for r in c.page_rows()],
         "url string, warc_ts timestamp, html binary, text string, lang string")
     eng = CrawlEngine(spark, pages, c.robots, c.hosts, tmp_warehouse,
-                      seeds=c.seeds, use_bloom=True)
+                      seeds=c.seeds, seen_filter=seen_filter)
     eng.run()
     assert eng.crawl_order() == sim.order
     sim_seen = {(g, k) for g, ks in sim.url_seen.items() for k in ks}
