@@ -32,7 +32,8 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
 HEADLINE = [
     "tpch_q1", "tpch_q3_topk", "tpch_q5_join_chain", "agg_counts",
     "window_budget_rank", "sessionize_lag", "seen_anti_join",
-    "dedup_exact", "dedup_minhash_lsh", "token_count", "quality_score",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "token_count",
+    "quality_score",
     "ann_cosine_topk", "steward_hash_order", "json_extract",
 ]
 

@@ -29,16 +29,41 @@ SIDECAR_SCHEMA = StructType([
 ])
 
 
-def _indexes(keys: pd.Series, bits: int, k: int) -> np.ndarray:
+def _split_u64(keys) -> "tuple[np.ndarray, np.ndarray]":
+    """(lo, hi) uint64 halves of md5-hex keys, fully vectorized: one
+    ``bytes.fromhex`` over the whole batch, no per-key Python ints."""
+    n = len(keys)
+    if n == 0:
+        z = np.empty(0, dtype=np.uint64)
+        return z, z
+    raw = np.frombuffer(bytes.fromhex("".join(keys)),
+                        dtype=np.uint8).reshape(n, 16)
+    hi = np.ascontiguousarray(raw[:, 0:8]).view(">u8").ravel().astype(np.uint64)
+    lo = np.ascontiguousarray(raw[:, 8:16]).view(">u8").ravel().astype(np.uint64)
+    return lo, hi
+
+
+def _indexes(keys, bits: int, k: int) -> np.ndarray:
     """k bit-positions per key, derived from the md5-hex seen key itself
     (worker.py:120-128 keys are md5 hexdigests — 128 bits of entropy to
-    slice, no rehash needed). Returns (n, k) int array."""
+    slice, no rehash needed): position j = (24-bit slice at offset 24·j)
+    mod bits. Vectorized over the batch via two uint64 halves — no per-key
+    Python loop (round-1 VERDICT 'What's wrong' #4). For power-of-two
+    ``bits`` ≤ 2^20 this matches the previous scalar definition bit-for-bit.
+    Returns (n, k) int array."""
+    assert k <= 5 and bits <= (1 << 24), "128 bits of key material = 5 slices"
+    lo, hi = _split_u64(keys)
+    mask24 = np.uint64(0xFFFFFF)
     out = np.empty((len(keys), k), dtype=np.int64)
-    for i, key in enumerate(keys):
-        h = int(key, 16)
-        for j in range(k):
-            out[i, j] = (h >> (j * 24)) % bits if j * 24 + 24 <= 128 else \
-                ((h * (2 * j + 1)) & ((1 << 128) - 1)) % bits
+    for j in range(k):
+        s = j * 24
+        if s + 24 <= 64:
+            sl = (lo >> np.uint64(s)) & mask24
+        elif s >= 64:
+            sl = (hi >> np.uint64(s - 64)) & mask24
+        else:  # slice straddles the halves (s = 48)
+            sl = ((lo >> np.uint64(s)) | (hi << np.uint64(64 - s))) & mask24
+        out[:, j] = (sl % np.uint64(bits)).astype(np.int64)
     return out
 
 
@@ -83,20 +108,19 @@ def screen(cand: DataFrame, sidecar: DataFrame, key_col: str,
 
     @pandas_udf(BooleanType())
     def may_contain(key: pd.Series, bitmap: pd.Series) -> pd.Series:
+        """Vectorized membership: index derivation for the whole batch at
+        once, then one gather per distinct bitmap (≤ num_buckets of them)."""
         out = np.zeros(len(key), dtype=bool)
-        for i, (kk, bm) in enumerate(zip(key, bitmap)):
-            if bm is None:
-                continue
+        if not len(key):
+            return pd.Series(out)
+        idx = _indexes(key, bits, k)             # (n, k)
+        codes, uniques = pd.factorize(bitmap)    # None → code -1
+        for c, bm in enumerate(uniques):
+            rows = np.nonzero(codes == c)[0]
             arr = np.frombuffer(bm, dtype=np.uint8)
-            h = int(kk, 16)
-            hit = True
-            for j in range(k):
-                pos = (h >> (j * 24)) % bits if j * 24 + 24 <= 128 else \
-                    ((h * (2 * j + 1)) & ((1 << 128) - 1)) % bits
-                if not (arr[pos // 8] >> (pos % 8)) & 1:
-                    hit = False
-                    break
-            out[i] = hit
+            pos = idx[rows]
+            hit = (arr[pos // 8] >> (pos % 8)) & 1
+            out[rows] = hit.all(axis=1)
         return pd.Series(out)
 
     flagged = joined.withColumn(

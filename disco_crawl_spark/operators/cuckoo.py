@@ -162,15 +162,29 @@ def screen(cand: DataFrame, sidecar: DataFrame, key_col: str,
     @pandas_udf(BooleanType())
     def may_contain(key: pd.Series, table: pd.Series,
                     n_buckets: pd.Series) -> pd.Series:
-        out, cache = np.zeros(len(key), dtype=bool), {}
-        for i, (k, t, nb) in enumerate(zip(key, table, n_buckets)):
-            if t is None:
-                continue
-            cf = cache.get(id(t))
-            if cf is None:
-                cf = CuckooFilter.from_bytes(bytes(t), int(nb))
-                cache[id(t)] = cf
-            out[i] = cf.contains(k)
+        """Vectorized lookup, same semantics as CuckooFilter.contains with
+        an empty stash (build_sidecar rebuilds until no key is stashed):
+        batch uint64 key halves, one slot-gather per distinct table."""
+        from .bloom import _split_u64
+        out = np.zeros(len(key), dtype=bool)
+        if not len(key):
+            return pd.Series(out)
+        lo, hi = _split_u64(key)
+        fp = hi & np.uint64(0xFFFF)
+        fp[fp == 0] = np.uint64(1)           # 0 means empty slot
+        codes, uniques = pd.factorize(table)  # None → code -1
+        for c, t in enumerate(uniques):
+            rows = np.nonzero(codes == c)[0]
+            nb = int(n_buckets.iloc[rows[0]])
+            assert nb & (nb - 1) == 0, "cuckoo table size is a power of two"
+            arr = np.frombuffer(t, dtype=np.uint16).reshape(nb, SLOTS)
+            mask = np.uint64(nb - 1)
+            f = fp[rows]
+            i1 = lo[rows] & mask
+            i2 = (i1 ^ (f * np.uint64(0x5BD1E995))) & mask
+            f16 = f.astype(np.uint16)[:, None]
+            out[rows] = ((arr[i1.astype(np.int64)] == f16).any(axis=1)
+                         | (arr[i2.astype(np.int64)] == f16).any(axis=1))
         return pd.Series(out)
 
     flagged = joined.withColumn(

@@ -38,16 +38,24 @@ def test_minhash_matches_python_reference(spark, docs):
     rows = dedup.minhash_signatures(docs, "text", "doc_id",
                                     num_hashes=16, shingle_len=3).collect()
     sig = {r["doc_id"]: r["sig"] for r in rows}
-    # independent recomputation
+    # independent recomputation of the spec: md5→uint64 per token, uint64
+    # polynomial fold per 3-token shingle, 32-bit mask, distinct, then
+    # min over the universal (a*x+b) mod p family with a,b < 2^31
     rng = np.random.RandomState(42)
     M = (1 << 61) - 1
-    a = rng.randint(1, M, size=16, dtype=np.int64)
-    b = rng.randint(0, M, size=16, dtype=np.int64)
+    a = rng.randint(1, 1 << 31, size=16, dtype=np.int64)
+    b = rng.randint(0, 1 << 31, size=16, dtype=np.int64)
     t = "the quick brown fox jumps over the lazy dog"
     toks = t.split()
-    sh = {" ".join(toks[i:i+3]) for i in range(len(toks)-2)}
-    h = np.array([int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
-                  & ((1 << 61) - 1) for s in sh], dtype=np.int64)
+    P = 1099511628211
+    sh = set()
+    for i in range(len(toks) - 2):
+        acc = 0
+        for tok in toks[i:i + 3]:
+            th = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+            acc = (acc * P + th) % (1 << 64)
+        sh.add(acc & 0xFFFFFFFF)
+    h = np.array(sorted(sh), dtype=np.int64)
     expect = ((a[:, None] * h[None, :] + b[:, None]) % M).min(axis=1)
     assert sig[0] == [int(x) for x in expect]
     assert sig[0] == sig[1]           # identical text, identical signature
