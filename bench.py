@@ -56,11 +56,12 @@ def _spark(master: str):
 
 
 def _bench_pages(spark, c):
-    rows = [(r["url"], r["warc_ts"], bytearray(r["html"]), r["text"], r["lang"])
-            for r in c.page_rows()]
+    rows = [(r["url"], r["warc_ts"], bytearray(r["html"]), r["text"],
+             r["lang"], r.get("redirect_to")) for r in c.page_rows()]
     return spark.createDataFrame(
         rows,
-        "url string, warc_ts timestamp, html binary, text string, lang string")
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string, redirect_to string")
 
 
 def run_crawl(master: str, corpus_obj=None, max_rounds: int = 30) -> dict:
@@ -129,7 +130,8 @@ def run_bulk(master: str, n_pages: int = BULK_PAGES, repeats: int = 3) -> dict:
                           html.alias("html"))
         parsed = pages.withColumn(
             "p", udfs.parse_page(F.col("html"), F.col("url"), F.col("host"),
-                                 F.lit("https")))
+                                 F.lit("https"),
+                                 F.lit(None).cast("string")))
         return (parsed
                 .select("host", F.explode("p.links").alias("link"))
                 .withColumn("key", udfs.url_seen_key(F.col("link")))

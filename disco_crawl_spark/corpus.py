@@ -148,21 +148,37 @@ def _host_pages(cfg: HostAttrs, all_hosts: list, seed: int,
         ext_targets.append(hub)
     ext_links = [f"https://{t}/" for t in ext_targets if t != host]
 
-    def add(path: str, links: list):
+    def add(path: str, links: list, redirect_to: "str | None" = None):
         url = f"https://{host}{path}"
-        html = _page_html(host, path, cfg, links, seed)
+        if redirect_to is None:
+            html = _page_html(host, path, cfg, links, seed)
+        else:
+            # the 3xx body the reference GETs with allow_redirects=False
+            # (worker.py:508-513): small html, no anchors
+            html = (f"<html><head><title>Redirecting</title></head>"
+                    f"<body><p>Moved to {redirect_to}.</p></body>"
+                    f"</html>").encode("utf-8")
         pages[url] = {
             "url": url,
             "warc_ts": EPOCH + datetime.timedelta(seconds=_h(url, seed) % 10_000_000),
             "html": html,
             "text": refsem.extract_text(html),
             "lang": "en-us" if _h("lang" + url, seed) % 20 else "en-au",
+            "redirect_to": redirect_to,
         }
 
     ns, pps = cfg.n_sections, cfg.pages_per_section
+    # redirect trio (worker.py:468-494): internal (path-only Location),
+    # external .gov.au (domain-SEEN discovery — targets a host nothing
+    # links to, so redirect discovery is the only way it joins the crawl),
+    # and external non-gov (counted only)
+    redirects = ["/go/section", "/go/gov", "/go/away"]
+    add("/go/section", [], redirect_to="/s0/")
+    add("/go/gov", [], redirect_to="https://via-redirect.gov.au/")
+    add("/go/away", [], redirect_to="https://www.example.com/")
     # root links each section, one messy double-slash, externals
     add("/", [_section_path(j) for j in range(ns)]
-        + [f"//{host}/s0/"] + ext_links)
+        + [f"//{host}/s0/"] + ext_links + redirects)
     for j in range(ns):
         sp = _section_path(j)
         links = [f"p{k}.html" for k in range(pps)]          # relative
@@ -227,19 +243,26 @@ def generate(
                   n_sections=0, pages_per_section=0))
     reg(HostAttrs(host="partner00.example.com", robots_txt=None,
                   n_sections=1, pages_per_section=1))
+    # reachable ONLY via every host's /go/gov redirect (worker.py:480-482):
+    # proves the redirect-discovery path end-to-end — no <a> links here
+    reg(HostAttrs(host="via-redirect.gov.au", robots_txt=None,
+                  n_sections=1, pages_per_section=2))
 
     content_hosts = sorted(h for h, a in c.hosts.items()
                            if a.n_sections > 0 and a.index_ok)
+    # the redirect-only host stays out of the <a>-link target pool
+    link_pool = [h for h in content_hosts if h != "via-redirect.gov.au"]
     hub = "portal00.gov.au" if "portal00.gov.au" in c.hosts else None
     for h in content_hosts:
-        c.pages.update(_host_pages(c.hosts[h], content_hosts, seed, hub=hub))
+        c.pages.update(_host_pages(c.hosts[h], link_pool, seed, hub=hub))
 
     c.robots = {h: (None if a.robots_broken else a.robots_txt)
                 for h, a in c.hosts.items()}
     # seeds: first agencies by hash order — includes a bare dual alias so the
     # dual-skip path runs from round 0
     crawlable = sorted(
-        (h for h, a in c.hosts.items() if refsem.should_be_crawled(h)),
+        (h for h, a in c.hosts.items()
+         if refsem.should_be_crawled(h) and h != "via-redirect.gov.au"),
         key=lambda h: _h("seed:" + h, seed),
     )
     c.seeds = sorted(crawlable[:n_seeds])

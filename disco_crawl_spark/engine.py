@@ -88,6 +88,8 @@ class CrawlEngine:
         # scale (raise for clusters where a delta exceeds a few hundred MB)
         self._commit_files = int(os.environ.get("DISCO_COMMIT_FILES", "1"))
         # pages partitioned by the join key once, reused every round
+        if "redirect_to" not in pages.columns:
+            pages = pages.withColumn("redirect_to", F.lit(None).cast("string"))
         self.pages = pages.repartition(F.col("url")).persist()
         self.dom: dict = {}          # host -> driver state dict
         self.events: list = []       # (round, host, event)
@@ -231,11 +233,13 @@ class CrawlEngine:
         (reference-faithful)."""
         logs = self._view("crawl_log").filter(F.col("host").isin(hosts))
         sess = self.spark.createDataFrame(
-            [(h, self.dom[h]["session"]) for h in hosts],
-            "host string, session int")
+            [(h, self.dom[h]["session"], self.dom[h]["scheme"])
+             for h in hosts],
+            "host string, session int, scheme string")
         crawled = (logs.select("host", "url").distinct()
                    .withColumn("url_key", udfs.url_seen_key(F.col("url"))))
-        seen_rows = (crawled.join(F.broadcast(sess), "host")
+        seen_rows = (crawled.join(F.broadcast(sess.select("host", "session")),
+                                  "host")
                      .withColumn("host_group", cf.host_group(F.col("host")))
                      .select("host", "session", "host_group", "url_key"))
         self._append("url_seen", seen_rows)
@@ -247,10 +251,17 @@ class CrawlEngine:
         w = Window.partitionBy("host").orderBy("link_raw")
         kick = (kick.withColumn("ord", F.row_number().over(w))
                 .filter(F.col("ord") <= self.cfg.max_pages)
-                .join(F.broadcast(sess), "host")
+                .join(F.broadcast(sess.select("host", "session")), "host")
                 .withColumn("gen", F.lit(1))
                 .select("host", "session", "gen", "ord", "link_raw"))
-        return self._prepare(kick)
+        # a host whose every logged link was already crawled restarts from
+        # its root (worker.py:678-679 'if not next_links'), like a fresh start
+        roots = (sess.join(kick.select("host").distinct(), "host", "left_anti")
+                 .select("host", "session", F.lit(1).alias("gen"),
+                         F.lit(0).alias("ord"),
+                         F.concat(F.col("scheme"), F.lit("://"), F.col("host"),
+                                  F.lit("/")).alias("link_raw")))
+        return self._prepare(kick.unionByName(roots))
 
     # ------------------------------------------------------------------
     # one crawl round
@@ -284,24 +295,26 @@ class CrawlEngine:
             # -- fetch join + parse (the two hot stages) ---------------
             fetched = schedule.join(
                 self.pages.select(F.col("url").alias("fetch_url"), "html",
-                                  "warc_ts"),
+                                  "warc_ts", "redirect_to"),
                 "fetch_url", "left")
             parsed = fetched.withColumn(
                 "p", udfs.parse_page(F.col("html"), F.col("fetch_url"),
-                                     F.col("host"), F.col("scheme")))
+                                     F.col("host"), F.col("scheme"),
+                                     F.col("redirect_to")))
             ct = F.when(F.col("html").isNotNull(),
                         F.lit("text/html; charset=utf-8"))
             # full ES-document field parity (SURVEY §1.1 table); omitted by
             # design: uuid (nondeterministic), requestTime/SpiderErrorMessage
             # (no live network), indexedAt (the round IS the clock),
-            # redirectTo (no redirects in the join-fetch model),
             # externalDomains (dead code in the reference)
             results = (
                 parsed.select(
                     F.lit(rnd).alias("round"), "host", "session", "gen",
                     "seq", F.col("fetch_url").alias("url"), "link",
-                    F.when(F.col("html").isNotNull(), F.lit(200))
+                    F.when(F.col("redirect_to").isNotNull(), F.lit(302))
+                     .when(F.col("html").isNotNull(), F.lit(200))
                      .otherwise(F.lit(404)).alias("status"),
+                    F.col("redirect_to"),
                     udfs.sha256_url(F.col("fetch_url")).alias("url_sha256"),
                     F.lit("v3").alias("crawler"),
                     cf.host_group(F.col("host")).alias("host_group"),
@@ -573,9 +586,10 @@ def selftest(tmpdir: "str | None" = None, **corpus_kwargs) -> bool:
     wh = tmpdir or tempfile.mkdtemp(prefix="disco_wh_")
     try:
         pages = spark.createDataFrame(
-            [(r["url"], r["warc_ts"], bytearray(r["html"]), r["text"], r["lang"])
+            [(r["url"], r["warc_ts"], bytearray(r["html"]), r["text"], r["lang"],
+              r.get("redirect_to"))
              for r in c.page_rows()],
-            "url string, warc_ts timestamp, html binary, text string, lang string")
+            "url string, warc_ts timestamp, html binary, text string, lang string, redirect_to string")
         eng = CrawlEngine(spark, pages, c.robots, c.hosts, wh, seeds=c.seeds)
         eng.run()
         ok = True

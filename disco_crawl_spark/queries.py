@@ -644,8 +644,8 @@ def page_meta_extract(spark, sf):
                    F.lit(".html"))
     out = d.select(
         "doc_id",
-        _udfs.parse_page(html, url, F.lit("docs.gov.au"),
-                         F.lit("https")).alias("p"))
+        _udfs.parse_page(html, url, F.lit("docs.gov.au"), F.lit("https"),
+                         F.lit(None).cast("string")).alias("p"))
     # keywords is array<string> internally; the driver canonicalizer sorts
     # row values through pandas and cannot hash Python lists, so the
     # driver-facing select flattens it to a '|'-joined string.

@@ -98,6 +98,25 @@ def is_domain_local(our_domain: str, target_domain: str) -> bool:
     return our_domain.strip().lower() == target_domain.strip().lower()
 
 
+def redirect_info(host: str, redirect_to: "str | None") -> "tuple[bool, str | None]":
+    """HEAD-redirect classification (worker.py:468-494 + is_redirect_local,
+    worker.py:227-241): returns (is_local, discovered_domain).
+
+    - no redirect, empty target netloc, or netloc == our host (exact
+      lowercase compare — www/non-www are NOT collapsed here, deliberately,
+      per the reference's comment) → local, nothing discovered;
+    - external redirect whose netloc ends with ``.gov.au`` → that domain is
+      added to the domain-SEEN set (worker.py:480-482); other externals are
+      only counted.
+    """
+    if not redirect_to:
+        return True, None
+    netloc = urlparse(redirect_to).netloc.lower().strip()
+    if not netloc or netloc == (host or "").lower().strip():
+        return True, None
+    return False, (netloc if netloc.endswith(".gov.au") else None)
+
+
 # ---------------------------------------------------------------------------
 # Link extraction (LinkParser semantics) and classification
 # ---------------------------------------------------------------------------

@@ -169,8 +169,15 @@ class Simulator:
                             "external_links": [], "content_hash": None,
                             "content_size": 0, "title": None, "keywords": [],
                             "mime_type": None, "mime_group": None,
-                            "text": None})
+                            "redirect_to": None, "text": None})
             else:
+                # HEAD-redirect semantics (worker.py:468-494): record the
+                # Location, SEEN external .gov.au targets; the 3xx body is
+                # still GET-fetched and parsed like any html response
+                redirect_to = page.get("redirect_to")
+                _local, extra = refsem.redirect_info(dc.host, redirect_to)
+                if extra:
+                    self._seen(extra, round_no)
                 html_b = page["html"]
                 html = html_b.decode("utf-8")
                 links = refsem.extract_links(html, url)
@@ -179,7 +186,8 @@ class Simulator:
                 text = refsem.extract_text(html_b)
                 mime = refsem.mime_split("text/html; charset=utf-8")
                 row.update({
-                    "status": 200, "is_html": True, "links": internal,
+                    "status": 302 if redirect_to else 200,
+                    "is_html": True, "links": internal,
                     "external_links": external,
                     "content_hash": refsem.content_hash(html_b),
                     "content_size": len(html_b),
@@ -187,6 +195,7 @@ class Simulator:
                     "keywords": refsem.keywords(html),
                     "mime_type": mime.get("MIMEType"),
                     "mime_group": mime.get("MIMEGroup"),
+                    "redirect_to": redirect_to,
                     "text": text,
                 })
                 self.res.texts[url] = text

@@ -16,7 +16,7 @@ import io
 from pyspark.sql import DataFrame, SparkSession
 
 PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, text string, "
-                "lang string")
+                "lang string, redirect_to string")
 
 
 def read_pages(spark: SparkSession, path: str) -> DataFrame:

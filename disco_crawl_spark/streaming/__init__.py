@@ -36,7 +36,8 @@ def postprocess_columns(df: DataFrame, html_col: str = "html",
                               F.coalesce(F.parse_url(F.col(url_col),
                                                      F.lit("HOST")),
                                          F.lit("")),
-                              F.lit("https")))
+                              F.lit("https"),
+                              F.lit(None).cast("string")))
     out = (parsed
            .withColumn("text_extracted", F.col("_p.text"))
            .withColumn("title", F.col("_p.title"))

@@ -41,18 +41,23 @@ PARSE_SCHEMA = StructType([
 
 @pandas_udf(PARSE_SCHEMA)
 def parse_page(html: pd.Series, url: pd.Series, host: pd.Series,
-               scheme: pd.Series) -> pd.DataFrame:
+               scheme: pd.Series, redirect_to: pd.Series) -> pd.DataFrame:
     """Everything the reference derives from one fetched body in one pass:
     LinkParser link extraction + classification (worker.py:184-210,377-407),
     title/keywords (parser.py:92-98,329-338), content hash (parser.py:54-57),
-    and the byte-identical text chain (process_raw.py + process_bs4.py)."""
+    the byte-identical text chain (process_raw.py + process_bs4.py), and
+    HEAD-redirect discovery (worker.py:468-494): an external ``.gov.au``
+    Location target joins the ``discovered`` list alongside link-discovered
+    domains."""
     out = {k: [] for k in
            ("links", "external_links", "discovered", "title", "keywords",
             "content_hash", "content_size", "text")}
-    for body, u, h, sch in zip(html, url, host, scheme):
+    for body, u, h, sch, rto in zip(html, url, host, scheme, redirect_to):
+        _local, extra = refsem.redirect_info(h, rto)
         if body is None:
-            for k in ("links", "external_links", "discovered", "keywords"):
+            for k in ("links", "external_links", "keywords"):
                 out[k].append([])
+            out["discovered"].append([extra] if extra else [])
             out["title"].append(None)
             out["content_hash"].append(None)
             out["content_size"].append(0)
@@ -62,6 +67,8 @@ def parse_page(html: pd.Series, url: pd.Series, host: pd.Series,
         html_str = body.decode("utf-8", errors="replace")
         links = refsem.extract_links(html_str, u)
         internal, external, discovered = refsem.classify_links(links, h, sch)
+        if extra and extra not in discovered:
+            discovered = sorted(discovered + [extra])
         out["links"].append(internal)
         out["external_links"].append(external)
         out["discovered"].append(discovered)

@@ -58,9 +58,9 @@ def main():
         c = corpus_mod.generate()
         pages = spark.createDataFrame(
             [(r["url"], r["warc_ts"], bytearray(r["html"]), r["text"],
-              r["lang"]) for r in c.page_rows()],
+              r["lang"], r.get("redirect_to")) for r in c.page_rows()],
             "url string, warc_ts timestamp, html binary, text string, "
-            "lang string")
+            "lang string, redirect_to string")
         attrs, robots, seeds = c.hosts, c.robots, (args.seeds or c.seeds)
 
     if args.resume:

@@ -28,9 +28,10 @@ def sim(c):
 
 def _pages_df(spark, c):
     return spark.createDataFrame(
-        [(r["url"], r["warc_ts"], bytearray(r["html"]), r["text"], r["lang"])
+        [(r["url"], r["warc_ts"], bytearray(r["html"]), r["text"], r["lang"],
+              r.get("redirect_to"))
          for r in c.page_rows()],
-        "url string, warc_ts timestamp, html binary, text string, lang string")
+        "url string, warc_ts timestamp, html binary, text string, lang string, redirect_to string")
 
 
 @pytest.fixture()
@@ -56,6 +57,17 @@ def test_engine_matches_oracle(engine, sim, c):
     # 5. text also matches the corpus golden column byte-for-byte
     for u, t in texts.items():
         assert t.encode() == c.pages[u]["text"].encode(), u
+    # 6. redirect semantics (worker.py:468-494): 302 rows carry redirect_to,
+    # and the host nothing links to was discovered+crawled via redirect only
+    log = engine._view("crawl_log")
+    redir = {r["url"]: (r["status"], r["redirect_to"])
+             for r in log.filter(log.redirect_to.isNotNull()).collect()}
+    assert redir, "corpus redirect pages must appear in the crawl log"
+    assert all(s == 302 for s, _ in redir.values())
+    crawled_hosts = {h for _, h, _, _ in engine.crawl_order()}
+    assert "via-redirect.gov.au" in crawled_hosts
+    sim_redir = {r["url"] for r in sim.crawl_log if r.get("redirect_to")}
+    assert set(redir) == sim_redir
 
 
 def test_engine_resume_equals_uninterrupted(spark, c, sim, tmp_warehouse):

@@ -242,3 +242,19 @@ def test_readability_scores_shape():
     assert set(r) == {"ARI", "ColemanLiau", "DaleChall", "Flesch",
                       "FleschKincaid", "LinsearWrite", "SMOG"}
     assert all(isinstance(v, int) and 0 <= v <= 60 for v in r.values())
+
+
+def test_redirect_info_matches_reference_rules():
+    # worker.py:468-494 + is_redirect_local (worker.py:227-241)
+    # no redirect / path-only Location / same netloc → local, no discovery
+    assert refsem.redirect_info("a.gov.au", None) == (True, None)
+    assert refsem.redirect_info("a.gov.au", "/new/path") == (True, None)
+    assert refsem.redirect_info("a.gov.au", "https://A.GOV.AU/x") == (True, None)
+    # www variant is NOT local (deliberate, per the reference's comment)
+    local, disc = refsem.redirect_info("a.gov.au", "https://www.a.gov.au/")
+    assert not local and disc == "www.a.gov.au"
+    # external .gov.au → discovered; other externals → counted only
+    assert refsem.redirect_info("a.gov.au", "https://b.gov.au/") == \
+        (False, "b.gov.au")
+    assert refsem.redirect_info("a.gov.au", "https://example.com/") == \
+        (False, None)

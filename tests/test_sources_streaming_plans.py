@@ -63,9 +63,10 @@ def pages_dir(spark, tmp_path_factory):
                             pages_per_section=2)
     d = tmp_path_factory.mktemp("pages")
     df = spark.createDataFrame(
-        [(r["url"], r["warc_ts"], bytearray(r["html"]), r["text"], r["lang"])
+        [(r["url"], r["warc_ts"], bytearray(r["html"]), r["text"], r["lang"],
+              r.get("redirect_to"))
          for r in c.page_rows()],
-        "url string, warc_ts timestamp, html binary, text string, lang string")
+        "url string, warc_ts timestamp, html binary, text string, lang string, redirect_to string")
     df.coalesce(2).write.mode("overwrite").parquet(str(d / "pages"))
     return c, str(d / "pages"), str(d)
 
@@ -143,9 +144,10 @@ def test_engine_seen_filter_path_equivalent(spark, tmp_warehouse, seen_filter):
                             pages_per_section=2)
     sim = refsim.Simulator(c).run()
     pages = spark.createDataFrame(
-        [(r["url"], r["warc_ts"], bytearray(r["html"]), r["text"], r["lang"])
+        [(r["url"], r["warc_ts"], bytearray(r["html"]), r["text"], r["lang"],
+              r.get("redirect_to"))
          for r in c.page_rows()],
-        "url string, warc_ts timestamp, html binary, text string, lang string")
+        "url string, warc_ts timestamp, html binary, text string, lang string, redirect_to string")
     eng = CrawlEngine(spark, pages, c.robots, c.hosts, tmp_warehouse,
                       seeds=c.seeds, seen_filter=seen_filter)
     eng.run()
