@@ -524,16 +524,35 @@ class CrawlEngine:
     @classmethod
     def resume(cls, spark, pages, robots_corpus, host_attrs, warehouse,
                config=None) -> "CrawlEngine":
-        """Rebuild an engine from the latest committed round checkpoint."""
+        """Rebuild an engine from the latest committed round checkpoint.
+
+        Crash-safe against mid-round kills: a round's table appends land
+        before its ``commit_state`` checkpoint, so after an abort the head
+        snapshots can be op='append' deltas of a round that never finished.
+        Recovery scans history for the newest real checkpoint (op='state')
+        and ROLLS BACK frontier/url_seen/crawl_log to their last snapshot of
+        that round — aborted deltas are discarded from every view, and the
+        re-run round recomputes them identically (the engine is
+        deterministic given the checkpoint state)."""
         eng = cls(spark, pages, robots_corpus, host_attrs, warehouse,
                   config=config)
-        snap = eng.t_log.current_snapshot()
-        if snap and snap.get("state"):
-            st = snap["state"]
-            eng.round_no = st["round"] + 1 if "round" in st else 0
-            eng.dom = st["dom"]
-            eng.events = [tuple(e) for e in st.get("events", [])]
-            eng.metrics = st.get("metrics", [])
+        ckpt = next((s for s in reversed(eng.t_log.history())
+                     if s["op"] == "state" and s.get("state")), None)
+        if ckpt is None:
+            # no finished round: start over from scratch
+            for name in ("frontier", "url_seen", "crawl_log"):
+                eng._table(name).rollback(None)
+            return eng
+        st = ckpt["state"]
+        eng.round_no = st["round"] + 1 if "round" in st else 0
+        eng.dom = st["dom"]
+        eng.events = [tuple(e) for e in st.get("events", [])]
+        eng.metrics = st.get("metrics", [])
+        ckpt_round = st.get("round", -1)
+        for name in ("frontier", "url_seen", "crawl_log"):
+            t = eng._table(name)
+            good = [s for s in t.history() if s["round"] <= ckpt_round]
+            t.rollback(good[-1]["id"] if good else None)
         return eng
 
     def crawl_order(self) -> list:

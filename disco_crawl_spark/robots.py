@@ -49,25 +49,22 @@ def robots_allow(rp: "RobotFileParser | None", url: str) -> bool:
 def effective_delay(rp: "RobotFileParser | None") -> float:
     """The per-request delay the reference would sleep.
 
-    Reproduces two quirks faithfully:
-    - domain-level delay comes from ``request_rate('*').seconds`` (not
-      Crawl-delay!), floored at DOWNLOAD_DELAY (worker.py:630-636);
-    - per-URL delay uses ``robots.crawl_delay(url)`` — a URL passed where an
-      agent is expected, so the *default-entry* Crawl-delay applies
-      (worker.py:720; SURVEY.md §8.5). When robots has no delay at all the
-      reference passes ``sleep_seconds`` (the request-rate/default value).
-    The effective delay is therefore: default-entry crawl-delay if set,
-    else max(request_rate('*').seconds or DOWNLOAD_DELAY, DOWNLOAD_DELAY),
-    else DOWNLOAD_DELAY.
+    The reference computes an rrate-derived ``sleep_seconds``
+    (worker.py:620-626) but then DISCARDS it whenever robots parsed with a
+    default entry: the per-URL delay is ``robots.crawl_delay(url) if robots
+    else sleep_seconds`` (worker.py:720) — a URL passed where an agent is
+    expected, so the *default-entry* Crawl-delay applies — and do_work
+    floors the result at DOWNLOAD_DELAY (worker.py:445-449). A robots file
+    with Request-rate but no Crawl-delay therefore sleeps DOWNLOAD_DELAY,
+    not the request-rate interval; and when robots is None the rrate block
+    never ran (request_rate needs the same default entry whose absence
+    nulls the parser), so the fallback is DOWNLOAD_DELAY there too.
     """
     if rp is None:
         return DOWNLOAD_DELAY
     delay = rp.crawl_delay(USER_AGENT)  # default-entry delay ('*')
     if delay is not None:
-        return float(delay)
-    rrate = rp.request_rate("*")
-    if rrate:
-        return float(max(rrate.seconds or DOWNLOAD_DELAY, DOWNLOAD_DELAY))
+        return max(float(delay), DOWNLOAD_DELAY)
     return DOWNLOAD_DELAY
 
 

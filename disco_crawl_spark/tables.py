@@ -145,10 +145,34 @@ class Table:
         dirs = [os.path.join(self.path, d) for d in snap["data"]]
         return spark.read.parquet(*dirs)
 
+    def rollback(self, snapshot_id: "int | None"):
+        """Iceberg ``rollback_to_snapshot`` equivalent: make snapshot_id the
+        head again, drop newer snapshots, and GC their orphaned data dirs.
+        ``None`` truncates the table to empty (rollback past the first
+        commit). Used by crash recovery to discard aborted-round deltas."""
+        meta = self._load_meta()
+        if snapshot_id is not None and not any(
+                s["id"] == snapshot_id for s in meta["snapshots"]):
+            raise ValueError(f"unknown snapshot {snapshot_id}")
+        keep_snaps = ([] if snapshot_id is None else
+                      [s for s in meta["snapshots"] if s["id"] <= snapshot_id])
+        keep_dirs = {d for s in keep_snaps for d in s["data"]}
+        meta["snapshots"] = keep_snaps
+        meta["current"] = snapshot_id
+        self._commit(meta)
+        data_root = os.path.join(self.path, "data")
+        for d in os.listdir(data_root):
+            if f"data/{d}" not in keep_dirs:
+                shutil.rmtree(os.path.join(data_root, d), ignore_errors=True)
+
     def expire_before(self, keep_snapshot_id: int):
         """GC data dirs unreachable from snapshots >= keep_snapshot_id
-        (Iceberg expire_snapshots equivalent)."""
+        (Iceberg expire_snapshots equivalent). keep_snapshot_id is clamped
+        to the current snapshot so the table's head always survives expiry
+        (an id past the head would otherwise silently empty the table)."""
         meta = self._load_meta()
+        if meta.get("current") is not None:
+            keep_snapshot_id = min(keep_snapshot_id, meta["current"])
         keep = {d for s in meta["snapshots"] if s["id"] >= keep_snapshot_id
                 for d in s["data"]}
         meta["snapshots"] = [s for s in meta["snapshots"]

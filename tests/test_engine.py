@@ -98,3 +98,29 @@ def test_engine_cap_resume_matches_oracle(spark, c, tmp_warehouse):
     assert eng.crawl_order() == sim.order
     sim_seen = {(g, k) for g, ks in sim.url_seen.items() for k in ks}
     assert eng.url_seen_set() == sim_seen
+
+
+def test_engine_resume_after_midround_kill(spark, c, sim, tmp_warehouse):
+    # a kill AFTER a round's table appends but BEFORE its state checkpoint
+    # must not lose or double-count the aborted round: resume rolls the
+    # state tables back to the last op='state' snapshot and replays
+    eng = CrawlEngine(spark, _pages_df(spark, c), c.robots, c.hosts,
+                      tmp_warehouse, seeds=c.seeds)
+    for _ in range(3):
+        eng.step()
+
+    def boom(*a, **k):
+        raise RuntimeError("killed mid-round")
+
+    eng.t_log.commit_state = boom  # the crash point: appends landed, no ckpt
+    with pytest.raises(RuntimeError):
+        eng.step()
+    del eng
+    eng2 = CrawlEngine.resume(spark, _pages_df(spark, c), c.robots, c.hosts,
+                              tmp_warehouse)
+    assert eng2.round_no == 3  # the aborted round 3 replays from scratch
+    eng2.run()
+    assert eng2.crawl_order() == sim.order
+    sim_seen = {(g, k) for g, ks in sim.url_seen.items() for k in ks}
+    assert eng2.url_seen_set() == sim_seen
+    assert set(eng2.events) == set(sim.events)
