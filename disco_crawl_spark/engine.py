@@ -25,11 +25,17 @@ Design (SURVEY.md §1.3/§3.1 'Spark rewrite'):
   is broadcast (bounds, robots) or narrow (parse UDF, explode).
 
 Scale notes (100 TB / 10^10-URL design; local runs verify correctness):
-frontier and url_seen bucket by host so schedule construction and the
-seen anti-join co-partition; hot politeness groups are already serialized
-by the group lock, and AQE skew-join splitting covers hot-host fetch joins;
-the url_seen anti-join is the authority while a per-partition Bloom filter
-(operators/bloom.py) screens the bulk cheaply.
+- **pages** can be a url-bucketed catalog table (``pages_bucketed=True``
+  + ``sources.write_pages(buckets=N)``): the fetch join then exchanges
+  only the per-round schedule, never the corpus (plan-asserted in tests).
+- **url_seen** compacts every K rounds (``compact_seen_every``) into a
+  table bucketed+sorted on exactly the anti-join key (host, url_key): the
+  generation-build anti-join reads it in place — no exchange of the seen
+  side — while the between-compactions tail stays broadcast-sized.
+- hot politeness groups are serialized by the group lock; AQE skew-join
+  splitting covers hot-host fetch joins; optionally a per-partition
+  Bloom/cuckoo filter (operators/bloom.py) screens the bulk of candidates
+  before the exact anti-join.
 
 Reference-faithful quirks reproduced (see refsim module docstring for the
 full list): seen-at-schedule-time, blacklist-then-cap, cap-exit-not-
@@ -62,6 +68,8 @@ class CrawlEngine:
         seeds: "list | None" = None,
         use_bloom: bool = False,
         seen_filter: "str | None" = None,
+        pages_bucketed: bool = False,
+        compact_seen_every: "int | None" = None,
     ):
         self.spark = spark
         self.cfg = config or SimConfig()
@@ -87,10 +95,22 @@ class CrawlEngine:
         # committer overhead locally and avoids the small-file problem at
         # scale (raise for clusters where a delta exceeds a few hundred MB)
         self._commit_files = int(os.environ.get("DISCO_COMMIT_FILES", "1"))
-        # pages partitioned by the join key once, reused every round
         if "redirect_to" not in pages.columns:
             pages = pages.withColumn("redirect_to", F.lit(None).cast("string"))
-        self.pages = pages.repartition(F.col("url")).persist()
+        if pages_bucketed:
+            # pages came from a url-bucketed catalog table
+            # (sources.write_pages/register_bucketed_pages): the fetch join
+            # reads it in place — no exchange of the pages side, no cache
+            # pin of the whole corpus. This is the 100 TB path; the
+            # repartition+persist below is the small-corpus convenience.
+            self.pages = pages
+        else:
+            # partitioned by the join key once, reused every round
+            self.pages = pages.repartition(F.col("url")).persist()
+        # compacted url_seen base (bucketed catalog table) + per-round tail;
+        # see compact_seen()
+        self._seen_base = None
+        self.compact_seen_every = compact_seen_every
         self.dom: dict = {}          # host -> driver state dict
         self.events: list = []       # (round, host, event)
         self.metrics: list = []      # per-round per-host fetch/parse stats
@@ -152,12 +172,52 @@ class CrawlEngine:
 
     def _view(self, name: str) -> "DataFrame | None":
         if self._mem[name] is None:
+            if name == "url_seen" and self._seen_base is not None:
+                # the compacted base holds the whole committed history;
+                # the tail view stays empty until the next append
+                return None
             self._mem[name] = self._table(name).read(self.spark)
         return self._mem[name]
 
+    def _seen_view(self) -> "DataFrame | None":
+        """Full url_seen view: compacted bucketed base ∪ per-round tail."""
+        parts = [p for p in (self._seen_base, self._view("url_seen"))
+                 if p is not None]
+        if not parts:
+            return None
+        return parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+
+    def compact_seen(self, buckets: int = 16):
+        """Compact url_seen into a catalog table bucketed AND sorted by the
+        anti-join key (host, url_key). After this, the generation-build
+        anti-join never exchanges the seen side: the bucketed scan feeds the
+        SortMergeJoin directly and only the (per-round, small) candidate
+        side shuffles — the layout the north_star names for the 10^10-URL
+        frontier. Per-round deltas after the compaction form a small tail
+        that anti-joins separately (broadcast-sized between compactions)."""
+        full = self._seen_view()
+        if full is None:
+            return
+        import uuid as _uuid
+        rel = f"data/compact-r{self.round_no:05d}-{_uuid.uuid4().hex[:8]}"
+        out = os.path.join(self.t_seen.path, rel)
+        name = f"url_seen_b{buckets}_{_uuid.uuid4().hex[:8]}"
+        self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (full.write.mode("overwrite").format("parquet")
+         .bucketBy(buckets, "host", "url_key").sortBy("host", "url_key")
+         .option("path", out).saveAsTable(name))
+        # an overwrite snapshot: the compacted dir replaces the delta chain
+        # (same rows, bucketed layout) — time travel to older snapshots and
+        # resume both keep working through the ordinary read path
+        self.t_seen._new_snapshot([rel], self.round_no, "compact", [], None)
+        self._seen_base = self.spark.table(name)
+        self._mem["url_seen"] = None  # tail restarts empty (guarded above)
+
     def _release(self):
-        # drop in-run views; later reads come from the committed snapshots
+        # drop in-run views (incl. the compacted base — the committed
+        # snapshots hold the same rows); later reads re-load from them
         self._mem = {k: None for k in self._mem}
+        self._seen_base = None
 
     # ------------------------------------------------------------------
     # generation preparation (worker.py:685-693): normalize + robots filter,
@@ -389,6 +449,9 @@ class CrawlEngine:
         # -- snapshot the driver state (the round checkpoint) ----------
         self.t_log.commit_state(rnd, self._state_dict())
         self.round_no += 1
+        if self.compact_seen_every and \
+                self.round_no % self.compact_seen_every == 0:
+            self.compact_seen()
 
     def _build_generations(self, hosts: list, schedule: "DataFrame | None"):
         """SURVEY.md §8.3 frontier-update rule, one distributed pass for all
@@ -418,24 +481,36 @@ class CrawlEngine:
                 .withColumn("host_group", cf.host_group(F.col("host"))))
         # authoritative anti-join against this session's seen keys, with an
         # optional Bloom pre-pass that lets provably-new candidates skip it
-        seen = self._view("url_seen")
-        if seen is not None:
+        segments = [s for s in (self._seen_base, self._view("url_seen"))
+                    if s is not None]
+        if segments and self.seen_filter:
+            seen = (segments[0] if len(segments) == 1
+                    else segments[0].unionByName(segments[1]))
             cur_seen = (seen.join(F.broadcast(sess.select("host", "session")),
                                   ["host", "session"])
                         .select("host", "url_key").distinct())
-            if self.seen_filter:
-                if self.seen_filter == "cuckoo":
-                    from .operators import cuckoo as filter_mod
-                else:
-                    from .operators import bloom as filter_mod
-                sidecar = filter_mod.build_sidecar(
-                    cur_seen, "url_key", "host", num_buckets=16)
-                definitely_new, maybe = filter_mod.screen(
-                    cand, sidecar, "url_key", "host", num_buckets=16)
-                cand = definitely_new.unionByName(
-                    maybe.join(cur_seen, ["host", "url_key"], "left_anti"))
+            if self.seen_filter == "cuckoo":
+                from .operators import cuckoo as filter_mod
             else:
-                cand = cand.join(cur_seen, ["host", "url_key"], "left_anti")
+                from .operators import bloom as filter_mod
+            sidecar = filter_mod.build_sidecar(
+                cur_seen, "url_key", "host", num_buckets=16)
+            definitely_new, maybe = filter_mod.screen(
+                cand, sidecar, "url_key", "host", num_buckets=16)
+            cand = definitely_new.unionByName(
+                maybe.join(cur_seen, ["host", "url_key"], "left_anti"))
+        elif segments:
+            # one anti-join per segment (equivalent to anti-joining the
+            # union): the compacted base is bucketed+sorted on exactly
+            # (host, url_key), so its scan feeds the SortMergeJoin with NO
+            # exchange — only the per-round candidate side shuffles; the
+            # un-compacted tail is broadcast-sized between compactions
+            for seg in segments:
+                seg_seen = (seg.join(
+                    F.broadcast(sess.select("host", "session")),
+                    ["host", "session"])
+                    .select("host", "url_key").distinct())
+                cand = cand.join(seg_seen, ["host", "url_key"], "left_anti")
         # within-batch key dedup: first raw link per key wins (the oracle
         # marks keys sequentially in sorted order)
         wk = Window.partitionBy("host", "url_key").orderBy("link")
@@ -564,7 +639,7 @@ class CrawlEngine:
         return [(r["round"], r["host"], r["seq"], r["url"]) for r in rows]
 
     def url_seen_set(self) -> set:
-        df = self._view("url_seen")
+        df = self._seen_view()
         if df is None:
             return set()
         return {(r["host_group"], r["url_key"])

@@ -28,15 +28,40 @@ def read_pages(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
-def write_pages(df: DataFrame, path: str, buckets: int = 0):
-    """Write a pages table; with buckets>0, bucket by url so the fetch join
-    co-partitions with a bucketed frontier (no shuffle of the big side)."""
+def write_pages(df: DataFrame, path: str, buckets: int = 0,
+                name: "str | None" = None) -> "str | None":
+    """Write a pages table; with buckets>0, bucket (and sort) by url — the
+    fetch-join key — so the join exchanges only the (small) per-round
+    schedule side, never the pages side. Returns the catalog table name
+    registered for the bucketed layout (None for the plain write)."""
     if buckets:
+        name = name or f"pages_b{buckets}"
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
         (df.write.mode("overwrite").format("parquet")
          .bucketBy(buckets, "url").sortBy("url")
-         .option("path", path).saveAsTable(f"pages_b{buckets}"))
-    else:
-        df.write.mode("overwrite").parquet(path)
+         .option("path", path).saveAsTable(name))
+        return name
+    df.write.mode("overwrite").parquet(path)
+    return None
+
+
+def register_bucketed_pages(spark: SparkSession, path: str, buckets: int,
+                            name: "str | None" = None) -> str:
+    """Re-register a bucketed pages table written by ``write_pages`` in a
+    NEW session (the in-memory catalog does not persist metadata): plain
+    parquet readers still work on the files, but only a catalog-registered
+    bucketed table lets Catalyst skip the pages-side exchange."""
+    name = name or f"pages_b{buckets}"
+    schema = spark.read.parquet(path).schema
+    cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                     for f in schema.fields)
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(
+        f"CREATE TABLE {name} ({cols}) USING parquet "
+        f"CLUSTERED BY (url) SORTED BY (url) INTO {buckets} BUCKETS "
+        f"LOCATION '{path}'")
+    return name
 
 
 # ---------------------------------------------------------------------------

@@ -154,3 +154,104 @@ def test_engine_seen_filter_path_equivalent(spark, tmp_warehouse, seen_filter):
     assert eng.crawl_order() == sim.order
     sim_seen = {(g, k) for g, ks in sim.url_seen.items() for k in ks}
     assert eng.url_seen_set() == sim_seen
+
+
+# ---------------------------------------------------------------------------
+# bucketed state tables (the 10^10-frontier layout)
+# ---------------------------------------------------------------------------
+
+
+def _no_broadcast(spark):
+    import contextlib
+
+    @contextlib.contextmanager
+    def ctx():
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    return ctx()
+
+
+def test_bucketed_pages_fetch_join_no_big_side_exchange(spark, tmp_path):
+    # pages bucketed+sorted by url: the fetch join exchanges ONLY the
+    # schedule side; the pages scan feeds the SortMergeJoin in place
+    c = corpus_mod.generate(n_agencies=2, n_govcms=0, n_sections=1,
+                            pages_per_section=2)
+    pages = spark.createDataFrame(
+        [(r["url"], r["warc_ts"], bytearray(r["html"]), r["text"], r["lang"],
+          r.get("redirect_to")) for r in c.page_rows()],
+        sources.PAGES_SCHEMA)
+    name = sources.write_pages(pages, str(tmp_path / "pages_b"), buckets=4,
+                               name="t_pages_b4")
+    t = spark.table(name)
+    sched = spark.createDataFrame(
+        [(u,) for u in sorted(c.pages)[:5]], "fetch_url string")
+    with _no_broadcast(spark):
+        j = sched.join(t.withColumnRenamed("url", "fetch_url"),
+                       "fetch_url", "left")
+        ex = plans.explain_str(j)
+        assert "Bucketed: true" in ex
+        assert plans.shuffle_count(j) == 1  # schedule side only
+    # a fresh session would re-register: exercise the DDL path
+    spark.sql("DROP TABLE t_pages_b4")
+    name2 = sources.register_bucketed_pages(spark, str(tmp_path / "pages_b"),
+                                            buckets=4, name="t_pages_b4")
+    with _no_broadcast(spark):
+        j2 = sched.join(spark.table(name2).withColumnRenamed(
+            "url", "fetch_url"), "fetch_url", "left")
+        assert "Bucketed: true" in plans.explain_str(j2)
+        assert plans.shuffle_count(j2) == 1
+
+
+def test_compacted_seen_anti_join_no_big_side_exchange(spark, tmp_warehouse):
+    from disco_crawl_spark.engine import CrawlEngine
+    c = corpus_mod.generate(n_agencies=3, n_govcms=1, n_sections=2,
+                            pages_per_section=2)
+    pages = spark.createDataFrame(
+        [(r["url"], r["warc_ts"], bytearray(r["html"]), r["text"], r["lang"],
+          r.get("redirect_to")) for r in c.page_rows()],
+        sources.PAGES_SCHEMA)
+    eng = CrawlEngine(spark, pages, c.robots, c.hosts, tmp_warehouse,
+                      seeds=c.seeds)
+    for _ in range(3):
+        eng.step()
+    eng.compact_seen(buckets=4)
+    assert eng._seen_base is not None
+    base = eng._seen_base
+    cand = spark.createDataFrame(
+        [("a.gov.au", "k%d" % i) for i in range(10)],
+        "host string, url_key string")
+    with _no_broadcast(spark):
+        j = cand.join(base.select("host", "url_key").distinct(),
+                      ["host", "url_key"], "left_anti")
+        ex = plans.explain_str(j)
+        assert "Bucketed: true" in ex
+        # one exchange total: the candidate side; the seen scan (and its
+        # distinct, satisfied by the bucketing) never move
+        assert plans.shuffle_count(j) == 1
+
+
+def test_engine_bucketed_pages_and_compaction_match_oracle(
+        spark, tmp_warehouse, tmp_path):
+    from disco_crawl_spark import refsim
+    from disco_crawl_spark.engine import CrawlEngine
+    c = corpus_mod.generate(n_agencies=3, n_govcms=1, n_sections=2,
+                            pages_per_section=2)
+    sim = refsim.Simulator(c).run()
+    pages = spark.createDataFrame(
+        [(r["url"], r["warc_ts"], bytearray(r["html"]), r["text"], r["lang"],
+          r.get("redirect_to")) for r in c.page_rows()],
+        sources.PAGES_SCHEMA)
+    name = sources.write_pages(pages, str(tmp_path / "pages_e2e"), buckets=4,
+                               name="t_pages_e2e")
+    eng = CrawlEngine(spark, spark.table(name), c.robots, c.hosts,
+                      tmp_warehouse, seeds=c.seeds, pages_bucketed=True,
+                      compact_seen_every=2)
+    eng.run()
+    assert eng.crawl_order() == sim.order
+    sim_seen = {(g, k) for g, ks in sim.url_seen.items() for k in ks}
+    assert eng.url_seen_set() == sim_seen
+    assert set(eng.events) == set(sim.events)
