@@ -169,14 +169,15 @@ def main_default():
     # 12 politeness-faithful rounds of the full loop (throughput is per-
     # second; a partial crawl at steady parallelism measures the same thing)
     crawl = run_crawl(f"local[{CPUS}]", max_rounds=12)
-    bulk = run_bulk(f"local[{CPUS}]", n_pages=40000, repeats=1)
+    # same page count as the scaling run, best-of-3 (sandbox noise)
+    bulk = run_bulk(f"local[{CPUS}]", n_pages=BULK_PAGES, repeats=3)
     spark = _spark(f"local[{CPUS}]")
     try:
         queries = run_queries(spark)
     finally:
         spark.stop()
     total = round(time.time() - t_all, 2)
-    print(json.dumps({
+    _emit({
         "metric": "headline wall seconds (crawl rounds + hot path + operator queries)",
         "value": total,
         "unit": "sec",
@@ -184,7 +185,18 @@ def main_default():
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "crawl": crawl,
         "bulk": bulk,
-    }))
+    })
+
+
+def _emit(payload: dict):
+    """Print the one JSON line and exit immediately: py4j accumulator /
+    JVM-teardown threads can emit stack traces during interpreter shutdown
+    (harmless, rc=0, but they dirty the tail the driver parses), so flush
+    the result and skip atexit teardown entirely."""
+    sys.stdout.flush()
+    sys.stderr.flush()
+    print(json.dumps(payload), flush=True)
+    os._exit(0)
 
 
 def main_scaling():
@@ -262,7 +274,7 @@ round.
   the engine replaces wall-clock sleeps with computed budgets, so its
   throughput is compute-bound.
 """)
-    print(json.dumps({
+    _emit({
         "metric": "scaling efficiency N=4 -> 4N=16 cores (hot path / round loop)",
         "value": bulk_eff, "unit": "ratio",
         "queries": {"bulk_eff": bulk_eff, "crawl_eff": crawl_eff,
@@ -271,7 +283,7 @@ round.
                     "crawl_n_ups": c8["urls_per_sec"],
                     "crawl_4n_ups": c32["urls_per_sec"]},
         "sf": "bench-corpus",
-    }))
+    })
 
 
 if __name__ == "__main__":

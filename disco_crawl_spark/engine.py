@@ -141,6 +141,14 @@ class CrawlEngine:
     def _event(self, round_no: int, host: str, msg: str):
         self.events.append((round_no, host, msg))
 
+    def _finish_host(self, host: str):
+        """Terminal transition: drop the per-host crawl fields and keep only
+        what the steward needs to never restart it (state + group). Driver
+        memory for completed hosts is O(2 strings), so the dict survives a
+        10^6-host crawl; active hosts are bounded by the steward batch."""
+        d = self.dom[host]
+        self.dom[host] = {"state": "finished", "group": d["group"]}
+
     def _active_hosts(self) -> list:
         return sorted(h for h, d in self.dom.items() if d["state"] == "active")
 
@@ -257,11 +265,11 @@ class CrawlEngine:
                 self._seen_host("www." + host, self.round_no)
                 self._event(self.round_no, host, "dual-domain")
                 self._event(self.round_no, host, "finished")
-                st["state"] = "finished"
+                self._finish_host(host)
                 continue
             if d.action == "broken":
                 self._event(self.round_no, host, "broken")
-                st["state"] = "finished"
+                self._finish_host(host)
                 continue
             self._event(self.round_no, host, "started")
             st.update(state="active", scheme=d.scheme, budget=d.budget,
@@ -553,7 +561,7 @@ class CrawlEngine:
             d = self.dom[h]
             if raw_counts.get(h, 0) == 0:
                 self._event(self.round_no, h, "finished")
-                d["state"] = "finished"
+                self._finish_host(h)
             else:
                 d.update(gen=d["gen"] + 1, cursor=0,
                          gen_size=counts.get(h, 0))
