@@ -126,3 +126,72 @@ def get_text(html: str, exclude: tuple[str, ...] = ("script", "style")) -> str:
     reference's bs4 text chain (process_bs4.py:36-39): concatenation of all
     text nodes in document order, no separators inserted."""
     return "".join(parse_doc(html, exclude=exclude).text_parts)
+
+
+class _MainContent(HTMLParser):
+    """Goose-style main-content scan: the text of every ``<p>`` that is not
+    inside chrome (nav/header/footer/aside/form/table/script/style), kept
+    when it looks like prose — ≥ 3 words and link density < 0.5. A
+    deterministic stdlib stand-in for goose3's cleaned_text (the extraction
+    ALGORITHM deviates from goose3 by design; the stage plumbing and the
+    reference's escape quirk are exact, see refsem.goose_text)."""
+
+    CHROME = frozenset(
+        "nav header footer aside form table script style".split())
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.paras: list[str] = []
+        self._stack: list[str] = []
+        self._p_buf: "list[str] | None" = None
+        self._p_link_chars = 0
+        self._a_depth = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in VOID_ELEMENTS:
+            return
+        self._stack.append(tag)
+        if tag == "p" and not (set(self._stack) & self.CHROME):
+            self._p_buf, self._p_link_chars, self._a_depth = [], 0, 0
+        elif tag == "a" and self._p_buf is not None:
+            self._a_depth += 1
+
+    def handle_endtag(self, tag):
+        while self._stack:
+            t = self._stack.pop()
+            if t == "p" and self._p_buf is not None:
+                self._flush_p()
+            if t == "a" and self._a_depth:
+                self._a_depth -= 1
+            if t == tag:
+                break
+
+    def handle_data(self, data):
+        if self._p_buf is not None:
+            self._p_buf.append(data)
+            if self._a_depth:
+                self._p_link_chars += len(data)
+
+    def _flush_p(self):
+        text = " ".join("".join(self._p_buf).split())
+        total = len("".join(self._p_buf).strip())
+        self._p_buf = None
+        if len(text.split()) >= 3 and (
+                total == 0 or self._p_link_chars / total < 0.5):
+            self.paras.append(text)
+
+    def close(self):
+        super().close()
+        if self._p_buf is not None:
+            self._flush_p()
+
+
+def main_content(html: str) -> str:
+    """Prose paragraphs joined by blank lines — the cleaned_text analog."""
+    p = _MainContent()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        pass
+    return "\n\n".join(p.paras)

@@ -71,11 +71,9 @@ def lsh_index(df: DataFrame, emb_col: str, dim: int, planes: int = 16,
     return df.withColumn("bucket", bucket_udf(F.col(emb_col))), H
 
 
-def lsh_query(indexed: DataFrame, H: np.ndarray, emb_col: str, id_col: str,
-              query: list, k: int = 10, probes: int = 1) -> DataFrame:
-    """ANN: probe the query's bucket (plus ``probes-1`` nearest sign-flip
-    buckets), brute-force cosine within. Recall/latency dial = planes,
-    probes."""
+def probe_buckets(H: np.ndarray, query: list, probes: int = 1) -> list:
+    """The query's bucket plus ``probes-1`` nearest sign-flip buckets
+    (multi-probe: flip the lowest-|margin| planes)."""
     q = np.asarray(query, dtype=np.float64)
     margins = H @ q
     base = 0
@@ -83,12 +81,36 @@ def lsh_query(indexed: DataFrame, H: np.ndarray, emb_col: str, id_col: str,
         if margins[i] > 0:
             base |= 1 << i
     buckets = [base]
-    # multi-probe: flip the lowest-|margin| planes
     order = np.argsort(np.abs(margins))
     for j in range(min(probes - 1, len(order))):
         buckets.append(base ^ (1 << int(order[j])))
-    cand = indexed.filter(F.col("bucket").isin(buckets))
+    return buckets
+
+
+def lsh_query(indexed: DataFrame, H: np.ndarray, emb_col: str, id_col: str,
+              query: list, k: int = 10, probes: int = 1) -> DataFrame:
+    """ANN: probe the query's bucket(s), brute-force cosine within.
+    Recall/latency dial = planes, probes. Over an index read with
+    ``read_lsh_index`` the bucket filter is a PARTITION filter — Spark
+    prunes every non-probed bucket directory at planning time."""
+    cand = indexed.filter(F.col("bucket").isin(probe_buckets(H, query, probes)))
     return cosine_topk(cand, emb_col, id_col, query, k)
+
+
+def write_lsh_index(df: DataFrame, emb_col: str, dim: int, path: str,
+                    planes: int = 16, seed: int = 42) -> np.ndarray:
+    """Materialize the ANN index partitioned by bucket: one directory per
+    bucket, so a query scans only its probed buckets (partition pruning —
+    the disk layout the ``lsh_index`` docstring promises). Returns H; the
+    layout is deterministic given (planes, seed), so any session can
+    recreate H with ``make_hyperplane_udf`` and query the same index."""
+    indexed, H = lsh_index(df, emb_col, dim, planes, seed)
+    indexed.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    return H
+
+
+def read_lsh_index(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
 
 
 def pairwise_cosine_topk(df: DataFrame, emb_col: str, id_col: str,

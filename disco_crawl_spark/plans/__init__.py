@@ -33,6 +33,14 @@ def scan_schema(df: DataFrame) -> str:
                      if "ReadSchema" in line)
 
 
+def partition_filters(df: DataFrame) -> str:
+    """The PartitionFilters section of the scan node(s) — verifies partition
+    pruning (a probed-bucket ANN query must not scan other buckets)."""
+    s = explain_str(df)
+    return "\n".join(line.strip() for line in s.splitlines()
+                     if "PartitionFilters" in line)
+
+
 def uses_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in explain_str(df, "simple")
 

@@ -617,6 +617,26 @@ def fingerprint_overlap(spark, sf):
                                                min_shared=3)
 
 
+@q("goose_main_content", """
+SELECT doc_id,
+       trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')) AS text_goose
+FROM documents WHERE doc_id < 200
+""")
+def goose_main_content(spark, sf):
+    """The verified_goose stage (process_goose.py:16-46) over html
+    synthesized from the documents table: the nav paragraph is chrome (the
+    extractor must drop it), the body paragraph is the document text. The
+    oracle is exact because the testdata text is ASCII with no escapes, so
+    the stage's unicode_escape quirk is the identity and cleaned_text
+    reduces to whitespace-normalized text."""
+    from . import udfs as _udfs
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    html = F.encode(F.concat(
+        F.lit("<html><body><nav><p>site navigation menu</p></nav><p>"),
+        F.col("text"), F.lit("</p></body></html>")), "utf-8")
+    return d.select("doc_id", _udfs.goose_text(html).alias("text_goose"))
+
+
 @q("readability_scores", None)  # closed-form formulas via pandas UDF
 def readability_scores_q(spark, sf):
     d = _t(spark, sf, "documents")

@@ -453,6 +453,33 @@ def extract_text(body: bytes) -> str:
     return htmltext.get_text(html, exclude=("script", "style"))
 
 
+def goose_text(body: bytes) -> str:
+    """The goose stage (postprocessor/process_goose.py:16-46): extract the
+    main article text from the stored raw content, then reproduce the
+    stage's escape quirk — ``bytes(cleaned, 'utf-8').decode('unicode_escape')``
+    mangles the cleaned text exactly as the reference stores it. goose3 is
+    an optional heavy dependency: when importable it is used verbatim
+    (enable_image_fetching=False, like the reference); otherwise a
+    deterministic stdlib main-content heuristic (htmltext.main_content)
+    stands in — the stage plumbing and quirk are exact, the extraction
+    algorithm is a documented approximation."""
+    raw = repair_raw(body)
+    try:  # pragma: no cover - goose3 absent in this environment
+        from goose3 import Goose
+        g = Goose()
+        g.config.enable_image_fetching = False
+        cleaned = g.extract(raw_html=raw).cleaned_text or ""
+    except ImportError:
+        cleaned = htmltext.main_content(raw)
+    import warnings
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            return cleaned.encode("utf-8").decode("unicode_escape")
+    except Exception:
+        return ""
+
+
 # ---------------------------------------------------------------------------
 # Readability scores (postprocessor/process_readability.py:45-52)
 # ---------------------------------------------------------------------------

@@ -28,9 +28,10 @@ def postprocess_columns(df: DataFrame, html_col: str = "html",
                         url_col: str = "url") -> DataFrame:
     """The stage chain as column transforms: raw-repair+text (process_raw +
     process_bs4), readability struct (process_readability), plus quality/
-    token stats (our training-data additions). goose/textract stages are
-    skipped: goose needs a heavy optional dep, textract is acknowledged
-    broken in the reference (process_textract.py:34)."""
+    token stats (our training-data additions), and the verified_goose
+    main-content stage (goose3 when importable, a deterministic stdlib
+    heuristic otherwise — refsem.goose_text). Only textract is skipped:
+    acknowledged broken in the reference (process_textract.py:34)."""
     parsed = df.withColumn(
         "_p", udfs.parse_page(F.col(html_col), F.col(url_col),
                               F.coalesce(F.parse_url(F.col(url_col),
@@ -44,6 +45,9 @@ def postprocess_columns(df: DataFrame, html_col: str = "html",
            .withColumn("keywords", F.col("_p.keywords"))
            .withColumn("content_hash", F.col("_p.content_hash"))
            .drop("_p"))
+    # the verified_goose stage: main-content text (goose3 when importable,
+    # stdlib heuristic otherwise — refsem.goose_text)
+    out = out.withColumn("text_goose", udfs.goose_text(F.col(html_col)))
     return out.withColumn(
         "readability", textstats.readability_struct(F.col("text_extracted")))
 
@@ -81,6 +85,7 @@ def run_postprocess_batch(df: DataFrame) -> DataFrame:
             .withColumn("title", F.lit(None).cast("string"))
             .withColumn("keywords", F.lit(None).cast("array<string>"))
             .withColumn("content_hash", F.lit(None).cast("string"))
+            .withColumn("text_goose", F.lit(None).cast("string"))
             .withColumn("readability",
                         textstats.readability_struct(F.col("text"))))
     return fresh.unionByName(done)

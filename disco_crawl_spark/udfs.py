@@ -86,6 +86,16 @@ def parse_page(html: pd.Series, url: pd.Series, host: pd.Series,
 
 
 @pandas_udf(StringType())
+def goose_text(html: pd.Series) -> pd.Series:
+    """Main-content extraction stage (process_goose.py:16-46) as one Arrow
+    pass; see refsem.goose_text for the semantics and the goose3 gate."""
+    return pd.Series([
+        refsem.goose_text(bytes(b)) if b is not None else None
+        for b in html
+    ])
+
+
+@pandas_udf(StringType())
 def url_seen_key(url: pd.Series) -> pd.Series:
     """md5 of the scheme/netloc-stripped URL (worker.py:120-128). Must stay
     md5 (not xxhash) — it IS the reference's authoritative seen key; a Bloom

@@ -246,3 +246,27 @@ def test_cuckoo_screen_matches_bloom_contract(spark):
     assert truly_seen <= maybe_keys
     assert not (new_keys & truly_seen)
     assert len(new_keys) > 350
+
+
+def test_lsh_index_partitioned_by_bucket_prunes(spark, tmp_path):
+    import os
+    from disco_crawl_spark import plans
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    path = str(tmp_path / "lsh_index")
+    H = similarity.write_lsh_index(emb, "embedding", dim, path, planes=6)
+    # one directory per bucket on disk
+    assert any(d.startswith("bucket=") for d in os.listdir(path))
+    idx = similarity.read_lsh_index(spark, path)
+    q = [1.0 if i % 3 == 0 else -0.5 for i in range(dim)]
+    out = similarity.lsh_query(idx, H, "embedding", "vec_id", q, k=5,
+                               probes=2)
+    # partition pruning: the bucket filter is a PartitionFilter on the scan
+    pf = plans.partition_filters(out)
+    assert "bucket" in pf
+    # and the pruned query returns the same rows as the unpartitioned path
+    indexed, H2 = similarity.lsh_index(emb, "embedding", dim, planes=6)
+    expect = similarity.lsh_query(indexed, H2, "embedding", "vec_id", q,
+                                  k=5, probes=2)
+    assert [tuple(r) for r in out.collect()] == \
+        [tuple(r) for r in expect.collect()]

@@ -258,3 +258,27 @@ def test_redirect_info_matches_reference_rules():
         (False, "b.gov.au")
     assert refsem.redirect_info("a.gov.au", "https://example.com/") == \
         (False, None)
+
+
+def test_goose_text_main_content_and_quirk():
+    # the goose stage (process_goose.py:16-46): main-content paragraphs
+    # only, then the bytes(...).decode('unicode_escape') mangling quirk
+    html = ("<html><body><nav><p>menu one two three</p></nav>"
+            "<h1>Title</h1>"
+            "<p>The strategic program delivers accessible outcomes.</p>"
+            "<p><a href='/x'>pure link paragraph text</a></p>"
+            "<p>tiny</p>"
+            "<p>Second real paragraph with a café résumé.</p>"
+            "<table><tr><td><p>chrome paragraph is dropped</p></td></tr>"
+            "</table></body></html>").encode("utf-8")
+    out = refsem.goose_text(html)
+    assert "The strategic program delivers accessible outcomes." in out
+    assert "menu" not in out and "tiny" not in out
+    assert "pure link paragraph" not in out
+    assert "chrome paragraph" not in out
+    # escape quirk applied TWICE, faithfully: content_raw is already
+    # once-mangled by the raw stage (repair_raw), and process_goose mangles
+    # its cleaned text again — café → cafÃ© → cafÃ\x83Â©
+    assert "cafÃ\x83Â©" in out
+    # deterministic
+    assert refsem.goose_text(html) == out

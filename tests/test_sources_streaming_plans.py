@@ -255,3 +255,43 @@ def test_engine_bucketed_pages_and_compaction_match_oracle(
     sim_seen = {(g, k) for g, ks in sim.url_seen.items() for k in ks}
     assert eng.url_seen_set() == sim_seen
     assert set(eng.events) == set(sim.events)
+
+
+# ---------------------------------------------------------------------------
+# post_domain_aliases audit (process_domain_aliases.py:31-99)
+# ---------------------------------------------------------------------------
+
+
+def test_domain_alias_report(spark):
+    from disco_crawl_spark import reports
+    c = corpus_mod.generate(n_agencies=4, n_govcms=1, n_sections=1,
+                            pages_per_section=1)
+    probe = reports.make_attr_probe(spark, c.hosts)
+    rows = sorted(tuple(r) for r in reports.domain_alias_report(
+        spark, list(c.hosts), probe).collect())
+    # every reported row names a real failure of a partly-working group
+    assert rows
+    for scheme, domain, reason in rows:
+        grp = refsem.host_group(domain)
+        assert any(refsem.host_group(h) == grp for h in c.hosts)
+        assert reason
+    # dual hosts register both names: neither variant reports a DNS failure
+    dual = [h for h, a in c.hosts.items() if a.dual and h.startswith("www.")]
+    for h in dual:
+        assert not any(d == h and "gaierror" in r for _, d, r in rows)
+    # non-dual agencies: the unregistered www. variant must be reported
+    # (reachable group: the bare name works)
+    bare = [h for h, a in c.hosts.items()
+            if not a.dual and a.index_ok and not h.startswith("www.")
+            and h.endswith(".gov.au") and a.n_sections > 0 and a.https]
+    assert bare
+    reported = {d for _, d, _ in rows}
+    for h in bare:
+        assert f"www.{h}" in reported
+    # fully-dead groups (all 4 variants fail) are ignored, like the reference
+    assert not any(refsem.host_group(d) == "deadsite.gov.au"
+                   for _, d, _ in rows)
+    # determinism
+    rows2 = sorted(tuple(r) for r in reports.domain_alias_report(
+        spark, list(c.hosts), probe).collect())
+    assert rows == rows2
