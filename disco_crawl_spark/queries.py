@@ -610,7 +610,35 @@ def lang_id_q(spark, sf):
     return textstats.language_id(d, "text", "doc_id")
 
 
-@q("fingerprint_overlap", None)  # winnowing sketch: rows-only
+@q("fingerprint_overlap", r"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(coalesce(text,'')), '\s+'),
+                x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+    list_transform(range(greatest(len(t) - 4, 0)),
+                   i -> array_to_string(t[i+1:i+5], ' ')) AS g
+  FROM toks
+),
+hs AS (
+  SELECT doc_id,
+    list_transform(g, x -> ('0x' || substr(md5(x), 1, 16))::UBIGINT >> 1) AS h
+  FROM grams
+),
+fp AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(greatest(len(h) - 3, 1)),
+                                 i -> list_min(h[i+1:i+4]))) AS f
+  FROM hs WHERE len(h) > 0
+),
+ex AS (SELECT doc_id, unnest(f) AS hv FROM fp)
+SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS shared
+FROM ex a JOIN ex b ON a.hv = b.hv AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 3
+""")  # the full winnowing spec (k=5 grams, window-4 min, md5>>1) in SQL
 def fingerprint_overlap(spark, sf):
     d = _t(spark, sf, "documents")
     return textstats.fingerprint_overlap_pairs(d, "text", "doc_id",
@@ -637,7 +665,60 @@ def goose_main_content(spark, sf):
     return d.select("doc_id", _udfs.goose_text(html).alias("text_goose"))
 
 
-@q("readability_scores", None)  # closed-form formulas via pandas UDF
+@q("readability_scores", r"""
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS txt FROM documents
+),
+st AS (
+  SELECT doc_id,
+    greatest(1, len(list_filter(string_split_regex(txt, '[.!?]+'),
+                                s -> trim(s) <> ''))) AS S,
+    regexp_extract_all(txt, '[A-Za-z'']+') AS ws
+  FROM base
+),
+sy AS (
+  SELECT doc_id, S,
+    greatest(1, len(ws)) AS W,
+    coalesce(list_sum(list_transform(ws, w -> length(w))), 0) AS C,
+    coalesce(list_sum(list_transform(ws, w ->
+      CASE WHEN trim(lower(w), '''') = '' THEN 0
+           ELSE greatest(1,
+             len(regexp_extract_all(trim(lower(w), ''''), '[aeiouy]+'))
+             - CASE WHEN regexp_matches(trim(lower(w), ''''), 'e$')
+                     AND NOT regexp_matches(trim(lower(w), ''''), '(le|ee)$')
+                     AND len(regexp_extract_all(trim(lower(w), ''''), '[aeiouy]+')) > 1
+                    THEN 1 ELSE 0 END)
+      END)), 0) AS Y,
+    coalesce(list_sum(list_transform(ws, w ->
+      CASE WHEN trim(lower(w), '''') <> ''
+            AND greatest(1,
+              len(regexp_extract_all(trim(lower(w), ''''), '[aeiouy]+'))
+              - CASE WHEN regexp_matches(trim(lower(w), ''''), 'e$')
+                      AND NOT regexp_matches(trim(lower(w), ''''), '(le|ee)$')
+                      AND len(regexp_extract_all(trim(lower(w), ''''), '[aeiouy]+')) > 1
+                     THEN 1 ELSE 0 END) >= 3
+           THEN 1 ELSE 0 END)), 0) AS P
+  FROM st
+),
+sc AS (
+  SELECT doc_id,
+    CAST(W AS DOUBLE) AS W, CAST(S AS DOUBLE) AS S,
+    CAST(C AS DOUBLE) AS C, CAST(Y AS DOUBLE) AS Y, CAST(P AS DOUBLE) AS P
+  FROM sy
+)
+SELECT doc_id,
+  CAST(round_even(greatest(0.0, 4.71*(C/W) + 0.5*(W/S) - 21.43), 0) AS INT) + 5 AS ARI,
+  CAST(round_even(greatest(0.0, 0.0588*((C/W)*100) - 0.296*((S/W)*100) - 15.8), 0) AS INT) + 5 AS ColemanLiau,
+  CAST(round_even(greatest(0.0, 0.1579*(100.0*P/W) + 0.0496*(W/S)
+       + CASE WHEN 100.0*P/W > 5 THEN 3.6365 ELSE 0 END), 0) AS INT) + 5 AS DaleChall,
+  CAST(round_even(greatest(0.0, (100 - (206.835 - 1.015*(W/S) - 84.6*(Y/W)))/10.0), 0) AS INT) + 5 AS Flesch,
+  CAST(round_even(greatest(0.0, 0.39*(W/S) + 11.8*(Y/W) - 15.59), 0) AS INT) + 5 AS FleschKincaid,
+  CAST(round_even(greatest(0.0,
+       CASE WHEN ((W - P)*1 + P*3)/S > 20 THEN (((W - P)*1 + P*3)/S)/2
+            ELSE (((W - P)*1 + P*3)/S - 2)/2 END), 0) AS INT) + 5 AS LinsearWrite,
+  CAST(round_even(greatest(0.0, 1.0430 * sqrt(30.0*P/S) + 3.1291), 0) AS INT) + 5 AS SMOG
+FROM sc
+""")  # the full 7-score spec in SQL: same regexes, same banker's rounding
 def readability_scores_q(spark, sf):
     d = _t(spark, sf, "documents")
     r = textstats.readability(d, "text", "doc_id")
