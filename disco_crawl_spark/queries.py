@@ -447,14 +447,137 @@ def dedup_token_jaccard(spark, sf):
                                      id_cap=200)
 
 
-@q("dedup_minhash_lsh", None)  # LSH banding not ANSI-SQL-expressible
+def _minhash_lsh_oracle_sql() -> str:
+    """Exact SQL mirror of the full minhash near-dup pipeline: the seeded
+    (a, b) hash family is embedded as literals; shingle hashing (md5 token
+    fold, 32-bit mask), 32-row signatures, 8-band bucketing with the same
+    md5 bucket string Spark builds, the bucket-size bound, and the exact
+    string-shingle Jaccard verify are all reproduced in DuckDB."""
+    import numpy as np
+    rng = np.random.RandomState(42)
+    a = rng.randint(1, 1 << 31, size=32, dtype=np.int64)
+    b = rng.randint(0, 1 << 31, size=32, dtype=np.int64)
+    A = "[" + ", ".join(str(int(x)) for x in a) + "]"
+    B = "[" + ", ".join(str(int(x)) for x in b) + "]"
+    P, W, M = 1099511628211, 1 << 64, (1 << 61) - 1
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(coalesce(text,'')), '\s+'),
+                x -> x <> '') AS t
+  FROM documents
+),
+th AS (
+  SELECT doc_id, t,
+    list_transform(t, w -> ('0x' || substr(md5(w),1,16))::UBIGINT::HUGEINT) AS h
+  FROM toks
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(h) = 0 THEN []::BIGINT[]
+         WHEN len(h) = 1 THEN [CAST(h[1] % 4294967296 AS BIGINT)]
+         WHEN len(h) = 2 THEN [CAST((h[1]*{P} + h[2]) % {W} % 4294967296 AS BIGINT)]
+         ELSE list_distinct(list_transform(range(len(h) - 2),
+           i -> CAST(((h[i+1]*{P} + h[i+2]) % {W} * {P} + h[i+3]) % {W} % 4294967296 AS BIGINT)))
+    END AS s
+  FROM th
+),
+sigs AS (
+  SELECT doc_id,
+    CASE WHEN len(s) = 0 THEN list_transform(range(32), j -> 0::BIGINT)
+         ELSE list_transform(range(32),
+           j -> list_min(list_transform(s,
+             x -> ({A}[j+1]::BIGINT * x + {B}[j+1]::BIGINT) % {M})))
+    END AS sig
+  FROM sh
+),
+banded AS (
+  SELECT doc_id, bd.band,
+    md5(bd.band::VARCHAR || ',' ||
+        array_to_string(sig[bd.band*4+1 : bd.band*4+4], ',')) AS bucket
+  FROM sigs, (SELECT unnest(range(8)) AS band) bd
+),
+bounded AS (
+  SELECT * FROM (
+    SELECT doc_id, band, bucket,
+           count(*) OVER (PARTITION BY band, bucket) AS n FROM banded)
+  WHERE n <= 1000
+),
+cands AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bounded x JOIN bounded y ON x.band = y.band AND x.bucket = y.bucket
+  WHERE x.doc_id < y.doc_id
+),
+grams AS (
+  SELECT doc_id,
+    CASE WHEN len(t) = 0 THEN []::VARCHAR[]
+         WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+         ELSE list_distinct(list_transform(range(len(t) - 2),
+           i -> array_to_string(t[i+1:i+3], ' ')))
+    END AS g
+  FROM toks
+)
+SELECT c.a, c.b,
+  round(CASE WHEN len(list_distinct(list_concat(ga.g, gb.g))) = 0 THEN 0.0
+        ELSE len(list_intersect(ga.g, gb.g))::DOUBLE
+             / len(list_distinct(list_concat(ga.g, gb.g))) END, 6) AS jaccard
+FROM cands c JOIN grams ga ON ga.doc_id = c.a JOIN grams gb ON gb.doc_id = c.b
+WHERE (CASE WHEN len(list_distinct(list_concat(ga.g, gb.g))) = 0 THEN 0.0
+       ELSE len(list_intersect(ga.g, gb.g))::DOUBLE
+            / len(list_distinct(list_concat(ga.g, gb.g))) END) >= 0.5"""
+
+
+@q("dedup_minhash_lsh", _minhash_lsh_oracle_sql())
 def dedup_minhash_lsh(spark, sf):
     d = _t(spark, sf, "documents")
     return dedup.minhash_dedup_pairs(d, "text", "doc_id", threshold=0.5,
                                      num_hashes=32, bands=8)
 
 
-@q("dedup_simhash", None)
+@q("dedup_simhash", r"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(coalesce(text,'')), '\s+'),
+                x -> x <> '') AS t
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, ('0x' || substr(md5(u.w), 1, 16))::UBIGINT AS h
+  FROM toks, unnest(t) AS u(w)
+),
+bits AS (
+  SELECT doc_id, b.i,
+    CASE WHEN 2 * sum(((h >> b.i) & 1)::BIGINT) > count(*)
+         THEN (1::UBIGINT << b.i) ELSE 0::UBIGINT END AS bitval
+  FROM tok, (SELECT unnest(range(64)) AS i) b
+  GROUP BY doc_id, b.i
+),
+sigs AS (
+  SELECT d.doc_id, coalesce(s.fp, 0::UBIGINT) AS fp
+  FROM documents d LEFT JOIN (
+    SELECT doc_id, bit_or(bitval) AS fp FROM bits GROUP BY doc_id) s
+  USING (doc_id)
+),
+chunks AS (
+  SELECT doc_id, fp, c.i AS chunk, (fp >> (16 * c.i)) & 65535 AS val
+  FROM sigs, (SELECT unnest(range(4)) AS i) c
+),
+bounded AS (
+  SELECT * FROM (
+    SELECT doc_id, fp, chunk, val,
+           count(*) OVER (PARTITION BY chunk, val) AS n
+    FROM chunks)
+  WHERE n <= 2000
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
+         bit_count(xor(a.fp, b.fp)) AS hamming
+  FROM bounded a JOIN bounded b ON a.chunk = b.chunk AND a.val = b.val
+  WHERE a.doc_id < b.doc_id
+)
+SELECT a, b, hamming FROM pairs WHERE hamming <= 10
+""")  # full simhash spec in SQL: md5 token bits, majority sign,
+    # pigeonhole chunk join with the same bucket bound
 def dedup_simhash(spark, sf):
     d = _t(spark, sf, "documents")
     return dedup.simhash_near_dup_pairs(d, "text", "doc_id", max_distance=10)
@@ -482,7 +605,37 @@ def ann_cosine_topk(spark, sf):
     return similarity.cosine_topk(e, "embedding", "vec_id", QUERY_VEC, k=20)
 
 
-@q("ann_lsh_bucketed", None)  # hyperplane LSH: rows-only (numpy UDF)
+def _ann_lsh_oracle_sql() -> str:
+    """Exact SQL mirror of the hyperplane-LSH query: the seeded hyperplane
+    matrix H and the python-computed probe buckets are embedded as literals
+    (the family is deterministic given seed=42), so DuckDB reproduces the
+    bucket assignment, the probed-bucket filter, and the cosine top-k."""
+    import numpy as np
+    from .operators.similarity import probe_buckets
+    rng = np.random.RandomState(42)
+    H = rng.normal(size=(8, 64)).astype(np.float64)
+    buckets = probe_buckets(H, QUERY_VEC, probes=4)
+    qn = float(np.sqrt(np.dot(QUERY_VEC, QUERY_VEC)))
+    hlits = ["[" + ", ".join(repr(float(x)) for x in row) + "]::DOUBLE[]"
+             for row in H]
+    bucket_expr = "\n    + ".join(
+        f"(CASE WHEN list_dot_product(emb, {hlits[i]}) > 0"
+        f" THEN {1 << i} ELSE 0 END)" for i in range(8))
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+b AS (SELECT vec_id, emb, {bucket_expr} AS bucket FROM e)
+SELECT vec_id,
+       round(list_dot_product(emb, {_QVEC_SQL})
+             / (sqrt(list_dot_product(emb, emb)) * {qn!r}), 6) AS cosine
+FROM b WHERE bucket IN ({", ".join(str(b) for b in buckets)})
+ORDER BY cosine DESC, vec_id LIMIT 20
+"""
+
+
+@q("ann_lsh_bucketed", _ann_lsh_oracle_sql())
 def ann_lsh_bucketed(spark, sf):
     e = _t(spark, sf, "embeddings")
     e = e.withColumn("embedding",
