@@ -112,3 +112,63 @@ def test_content_hash_deterministic_and_ascii(b):
     h = refsem.content_hash(b)
     assert h == refsem.content_hash(b)
     assert all(c in refsem._B58_ALPHABET for c in h)
+
+
+@given(_host, st.one_of(st.none(), urls(), _path))
+@settings(max_examples=300, deadline=None)
+def test_redirect_info_invariants(host, target):
+    local, disc = refsem.redirect_info(host, target)
+    # a discovered domain is always an external .gov.au netloc
+    if disc is not None:
+        assert not local
+        assert disc.endswith(".gov.au")
+        assert disc != host.lower()
+    # no redirect / relative target is always local
+    if not target or not target.startswith(("http://", "https://")):
+        assert local and disc is None
+
+
+@given(st.lists(st.lists(_seg, min_size=0, max_size=30),
+                min_size=1, max_size=10))
+@settings(max_examples=60, deadline=None)
+def test_vectorized_simhash_matches_scalar_spec(docs):
+    # the batch unpackbits pipeline must equal the per-token scalar
+    # definition: bit i of the fingerprint = sign of sum of ±1 by (h>>i)&1
+    import hashlib
+    import numpy as np
+    import pandas as pd
+    from disco_crawl_spark.operators import dedup
+
+    texts = pd.Series([" ".join(toks) for toks in docs])
+    got = list(dedup.make_simhash_udf().func(texts))
+
+    for toks, fp in zip(docs, got):
+        toks = " ".join(toks).lower().split()
+        if not toks:
+            assert fp == 0
+            continue
+        acc = [0] * 64
+        for tok in toks:
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+            for i in range(64):
+                acc[i] += 1 if (h >> i) & 1 else -1
+        v = 0
+        for i in range(64):
+            if acc[i] > 0:
+                v |= 1 << i
+        assert fp == (v - (1 << 64) if v >= (1 << 63) else v)
+
+
+@given(st.lists(st.text(alphabet=string.hexdigits.lower()[:16], min_size=32,
+                        max_size=32), min_size=1, max_size=50))
+@settings(max_examples=100, deadline=None)
+def test_bloom_indexes_match_scalar_spec(keys):
+    # vectorized uint64-halves derivation == int(key,16) bit arithmetic
+    import numpy as np
+    from disco_crawl_spark.operators import bloom
+    bits, k = 1 << 20, 4
+    got = bloom._indexes(keys, bits, k)
+    for row, key in zip(got, keys):
+        h = int(key, 16)
+        for j in range(k):
+            assert row[j] == ((h >> (j * 24)) & 0xFFFFFF) % bits
