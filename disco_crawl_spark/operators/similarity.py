@@ -18,7 +18,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import LongType
+from pyspark.sql.types import ArrayType, LongType
 
 
 def _dot(col, vec: list) -> "F.Column":
@@ -111,6 +111,67 @@ def write_lsh_index(df: DataFrame, emb_col: str, dim: int, path: str,
 
 def read_lsh_index(spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def make_banded_hyperplane_udf(dim: int, bands: int = 8, planes: int = 4,
+                               seed: int = 42):
+    """One bucket id per band: band b's bucket packs the sign bits of its
+    ``planes`` hyperplanes (rows b·planes..(b+1)·planes-1 of one seeded
+    normal matrix). A single vectorized matmul per Arrow batch covers all
+    bands. Returns (udf, H) with H shaped (bands·planes, dim)."""
+    rng = np.random.RandomState(seed)
+    H = rng.normal(size=(bands * planes, dim)).astype(np.float64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def buckets(emb: pd.Series) -> pd.Series:
+        M = np.array([np.asarray(e, dtype=np.float64) for e in emb])
+        if M.ndim != 2 or M.shape[0] == 0:
+            return pd.Series([], dtype="object")
+        signs = (M @ H.T) > 0                      # (n, bands*planes)
+        out = np.zeros((len(emb), bands), dtype=np.int64)
+        for b in range(bands):
+            for i in range(planes):
+                out[:, b] |= signs[:, b * planes + i].astype(np.int64) << i
+        return pd.Series(list(out))
+
+    return buckets, H
+
+
+def embedding_near_dup_pairs(df: DataFrame, emb_col: str, id_col: str,
+                             dim: int, threshold: float = 0.4,
+                             bands: int = 8, planes: int = 4, seed: int = 42,
+                             max_bucket: int = 2000) -> DataFrame:
+    """Embedding-cosine near-dup (the dedup family's vector member): banded
+    hyperplane LSH proposes candidates — two vectors collide in a band iff
+    all of that band's planes agree in sign — then an exact JVM-side cosine
+    (zip_with/aggregate, codegen) verifies against ``threshold``. Recall
+    dial = bands (more bands, higher recall), precision is exact. Same
+    scale shape as the text near-dup paths: the only shuffle is the
+    (band, bucket) self-join, pathological buckets bounded by
+    ``max_bucket``, and the cosine filter runs before the pair-dedup
+    exchange. Returns (a, b, cosine)."""
+    from pyspark.sql import Window
+    udf, _H = make_banded_hyperplane_udf(dim, bands, planes, seed)
+    sig = df.select(F.col(id_col), F.col(emb_col).alias("__emb"),
+                    udf(F.col(emb_col)).alias("__bks"))
+    banded = sig.select(
+        id_col, "__emb",
+        F.posexplode("__bks").alias("band", "bucket"))
+    bcount = F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
+    banded = banded.withColumn("__n", bcount).filter(
+        F.col("__n") <= max_bucket).drop("__n")
+    left = banded.select(F.col(id_col).alias("a"),
+                         F.col("__emb").alias("ea"), "band", "bucket")
+    right = banded.select(F.col(id_col).alias("b"),
+                          F.col("__emb").alias("eb"), "band", "bucket")
+    dot = F.aggregate(F.zip_with("ea", "eb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    cos = dot / (_norm(F.col("ea")) * _norm(F.col("eb")))
+    return (left.join(right, ["band", "bucket"])
+            .filter(F.col("a") < F.col("b"))
+            .withColumn("cosine", F.round(cos, 6))
+            .filter(F.col("cosine") >= threshold)
+            .select("a", "b", "cosine").distinct())
 
 
 def pairwise_cosine_topk(df: DataFrame, emb_col: str, id_col: str,

@@ -605,6 +605,66 @@ def ann_cosine_topk(spark, sf):
     return similarity.cosine_topk(e, "embedding", "vec_id", QUERY_VEC, k=20)
 
 
+def _embedding_neardup_oracle_sql(bands: int = 8, planes: int = 4,
+                                  threshold: float = 0.4) -> str:
+    """Exact SQL mirror of the banded-hyperplane embedding near-dup: the
+    seeded hyperplane matrix is embedded as literals; per-band sign buckets,
+    the band self-join with its bucket bound, and the exact cosine verify
+    are all reproduced in DuckDB."""
+    import numpy as np
+    rng = np.random.RandomState(42)
+    H = rng.normal(size=(bands * planes, 64)).astype(np.float64)
+    hlits = ["[" + ", ".join(repr(float(x)) for x in row) + "]::DOUBLE[]"
+             for row in H]
+
+    def band_expr(b):
+        return " + ".join(
+            f"(CASE WHEN list_dot_product(emb, {hlits[b * planes + i]}) > 0"
+            f" THEN {1 << i} ELSE 0 END)" for i in range(planes))
+
+    cases = "\n      ".join(
+        f"WHEN {b} THEN {band_expr(b)}" for b in range(bands))
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+banded AS (
+  SELECT vec_id, emb, b.band,
+    CASE b.band
+      {cases}
+    END AS bucket
+  FROM e, (SELECT unnest(range({bands})) AS band) b
+),
+bounded AS (
+  SELECT * FROM (
+    SELECT vec_id, emb, band, bucket,
+           count(*) OVER (PARTITION BY band, bucket) AS n FROM banded)
+  WHERE n <= 2000
+)
+SELECT DISTINCT x.vec_id AS a, y.vec_id AS b,
+  round(list_dot_product(x.emb, y.emb)
+        / (sqrt(list_dot_product(x.emb, x.emb))
+           * sqrt(list_dot_product(y.emb, y.emb))), 6) AS cosine
+FROM bounded x JOIN bounded y ON x.band = y.band AND x.bucket = y.bucket
+WHERE x.vec_id < y.vec_id
+  AND round(list_dot_product(x.emb, y.emb)
+        / (sqrt(list_dot_product(x.emb, x.emb))
+           * sqrt(list_dot_product(y.emb, y.emb))), 6) >= {threshold}
+"""
+
+
+@q("dedup_embedding_cosine", _embedding_neardup_oracle_sql())
+def dedup_embedding_cosine(spark, sf):
+    """Embedding-cosine near-dup (brief: the vector member of the dedup
+    family): banded hyperplane LSH candidates + exact codegen cosine."""
+    e = _t(spark, sf, "embeddings")
+    e = e.withColumn("embedding",
+                     F.transform("embedding", lambda x: x.cast("double")))
+    return similarity.embedding_near_dup_pairs(
+        e, "embedding", "vec_id", dim=64, threshold=0.4, bands=8, planes=4)
+
+
 def _ann_lsh_oracle_sql() -> str:
     """Exact SQL mirror of the hyperplane-LSH query: the seeded hyperplane
     matrix H and the python-computed probe buckets are embedded as literals

@@ -270,3 +270,19 @@ def test_lsh_index_partitioned_by_bucket_prunes(spark, tmp_path):
                                   k=5, probes=2)
     assert [tuple(r) for r in out.collect()] == \
         [tuple(r) for r in expect.collect()]
+
+
+def test_embedding_near_dup_pairs_finds_planted_dup(spark):
+    rng = np.random.RandomState(3)
+    base = rng.normal(size=(40, 16))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    rows.append((40, [float(x) for x in base[7] +
+                      rng.normal(scale=0.01, size=16)]))  # near-dup of 7
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    pairs = {(r["a"], r["b"]): r["cosine"]
+             for r in similarity.embedding_near_dup_pairs(
+                 df, "embedding", "vec_id", dim=16, threshold=0.95,
+                 bands=8, planes=4).collect()}
+    assert (7, 40) in pairs and pairs[(7, 40)] > 0.99
+    # random normals are not near-dups of each other at 0.95
+    assert all(p == (7, 40) for p in pairs)
