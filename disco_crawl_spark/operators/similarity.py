@@ -113,6 +113,81 @@ def read_lsh_index(spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def train_ivf_centroids(df: DataFrame, emb_col: str, id_col: str,
+                        n_centroids: int = 16, iters: int = 5,
+                        sample_size: int = 4096,
+                        seed: int = 42) -> np.ndarray:
+    """Deterministic k-means coarse quantizer for IVF: trained driver-side
+    on a bounded sample (lowest ids — order-stable), seeded init, fixed
+    iteration count. Training on a sample is the standard IVF recipe (the
+    full corpus only ever does the cheap argmin assignment); the driver
+    memory is O(sample · dim), independent of corpus size."""
+    rows = (df.select(id_col, emb_col).orderBy(id_col)
+            .limit(sample_size).collect())
+    X = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
+    k = min(n_centroids, len(X))
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=k, replace=False)]
+    for _ in range(iters):
+        d2 = (C * C).sum(1)[None, :] - 2.0 * (X @ C.T)
+        assign = d2.argmin(axis=1)
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                C[j] = X[m].mean(axis=0)
+    return C
+
+
+def make_ivf_assign_udf(centroids: np.ndarray):
+    """list-id assignment: one argmin matmul per Arrow batch."""
+    C = np.asarray(centroids, dtype=np.float64)
+    c2 = (C * C).sum(1)
+
+    @pandas_udf(LongType())
+    def assign(emb: pd.Series) -> pd.Series:
+        M = np.array([np.asarray(e, dtype=np.float64) for e in emb])
+        if M.ndim != 2 or M.shape[0] == 0:
+            return pd.Series([], dtype="int64")
+        d2 = c2[None, :] - 2.0 * (M @ C.T)
+        return pd.Series(d2.argmin(axis=1).astype(np.int64))
+
+    return assign
+
+
+def ivf_index(df: DataFrame, emb_col: str, id_col: str,
+              n_centroids: int = 16, iters: int = 5,
+              sample_size: int = 4096,
+              seed: int = 42) -> "tuple[DataFrame, np.ndarray]":
+    """Attach an IVF list id. At scale, write the output partitioned by
+    ``ivf_list`` (as ``write_ivf_index`` does) so queries prune lists."""
+    C = train_ivf_centroids(df, emb_col, id_col, n_centroids, iters,
+                            sample_size, seed)
+    assign = make_ivf_assign_udf(C)
+    return df.withColumn("ivf_list", assign(F.col(emb_col))), C
+
+
+def write_ivf_index(df: DataFrame, emb_col: str, id_col: str, path: str,
+                    n_centroids: int = 16, seed: int = 42,
+                    **kw) -> np.ndarray:
+    indexed, C = ivf_index(df, emb_col, id_col, n_centroids, seed=seed, **kw)
+    indexed.write.mode("overwrite").partitionBy("ivf_list").parquet(path)
+    return C
+
+
+def ivf_query(indexed: DataFrame, centroids: np.ndarray, emb_col: str,
+              id_col: str, query: list, k: int = 10,
+              nprobe: int = 2) -> DataFrame:
+    """ANN: scan only the ``nprobe`` lists whose centroids are nearest the
+    query (partition pruning over a ``write_ivf_index`` layout), exact
+    cosine within."""
+    q = np.asarray(query, dtype=np.float64)
+    C = np.asarray(centroids, dtype=np.float64)
+    d2 = (C * C).sum(1) - 2.0 * (C @ q)
+    probes = [int(i) for i in np.argsort(d2, kind="stable")[:nprobe]]
+    cand = indexed.filter(F.col("ivf_list").isin(probes))
+    return cosine_topk(cand, emb_col, id_col, query, k)
+
+
 def make_banded_hyperplane_udf(dim: int, bands: int = 8, planes: int = 4,
                                seed: int = 42):
     """One bucket id per band: band b's bucket packs the sign bits of its

@@ -605,6 +605,20 @@ def ann_cosine_topk(spark, sf):
     return similarity.cosine_topk(e, "embedding", "vec_id", QUERY_VEC, k=20)
 
 
+@q("ann_ivf", None)  # data-trained k-means centroids: rows-only (pytest
+def ann_ivf(spark, sf):  # pins recall/determinism on planted clusters)
+    """IVF coarse-quantizer ANN (brief: 'IVF or LSH-bucketed variant'):
+    deterministic seeded k-means on a bounded sample, argmin-matmul list
+    assignment, nprobe-list scan + exact cosine."""
+    e = _t(spark, sf, "embeddings")
+    e = e.withColumn("embedding",
+                     F.transform("embedding", lambda x: x.cast("double")))
+    indexed, C = similarity.ivf_index(e, "embedding", "vec_id",
+                                      n_centroids=8, sample_size=256)
+    return similarity.ivf_query(indexed, C, "embedding", "vec_id",
+                                QUERY_VEC, k=20, nprobe=3)
+
+
 def _embedding_neardup_oracle_sql(bands: int = 8, planes: int = 4,
                                   threshold: float = 0.4) -> str:
     """Exact SQL mirror of the banded-hyperplane embedding near-dup: the

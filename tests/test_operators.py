@@ -286,3 +286,31 @@ def test_embedding_near_dup_pairs_finds_planted_dup(spark):
     assert (7, 40) in pairs and pairs[(7, 40)] > 0.99
     # random normals are not near-dups of each other at 0.95
     assert all(p == (7, 40) for p in pairs)
+
+
+def test_ivf_ann_recall_and_pruning(spark, tmp_path):
+    from disco_crawl_spark import plans
+    rng = np.random.RandomState(5)
+    # 10 well-separated cluster centers + noise: IVF's natural regime
+    centers = rng.normal(scale=10.0, size=(10, 16))
+    vecs = np.concatenate([
+        centers[i % 10] + rng.normal(size=16) for i in range(300)
+    ]).reshape(300, 16)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(300)],
+        "vec_id int, embedding array<double>")
+    path = str(tmp_path / "ivf")
+    C = similarity.write_ivf_index(df, "embedding", "vec_id", path,
+                                   n_centroids=10, sample_size=300)
+    idx = spark.read.parquet(path)
+    q = [float(x) for x in vecs[17]]
+    out = similarity.ivf_query(idx, C, "embedding", "vec_id", q,
+                               k=5, nprobe=2)
+    # list-id filter is a partition filter over the on-disk layout
+    assert "ivf_list" in plans.partition_filters(out)
+    res = out.collect()
+    assert res and res[0]["vec_id"] == 17 and res[0]["cosine"] == 1.0
+    # deterministic end-to-end (seeded init, fixed iterations)
+    C2 = similarity.train_ivf_centroids(df, "embedding", "vec_id",
+                                        n_centroids=10, sample_size=300)
+    assert np.allclose(C, C2)
