@@ -89,3 +89,51 @@ def run_postprocess_batch(df: DataFrame) -> DataFrame:
             .withColumn("readability",
                         textstats.readability_struct(F.col("text"))))
     return fresh.unionByName(done)
+
+
+def run_seen_filter_stream(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    available_now: bool = True,
+):
+    """Streaming URL-seen dedup — the frontier's seen semantics as a custom
+    stateful operator (``applyInPandasWithState``, the brief's named tool):
+    candidate links arrive as a stream, per-host_group state holds the set
+    of md5 seen keys, and only first-seen rows are emitted. The state store
+    is checkpointed with the query, so a restarted stream continues exactly
+    where it stopped — keys seen in earlier runs stay deduplicated
+    (exactly-once across restarts; asserted in tests). Keyed by host_group,
+    the state partitions like the batch engine's url_seen table: one
+    group's keys never shuffle to another task."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = (spark.readStream
+           .schema("host_group string, url_key string, url string")
+           .parquet(input_path))
+
+    def dedup(key, pdfs, state: GroupState):
+        seen = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            pdf = pdf[~pdf["url_key"].isin(seen)]
+            pdf = pdf.drop_duplicates(subset=["url_key"], keep="first")
+            seen.update(pdf["url_key"])
+            if len(pdf):
+                yield pdf[["host_group", "url_key", "url"]]
+        state.update((sorted(seen),))
+
+    out = src.groupBy("host_group").applyInPandasWithState(
+        dedup,
+        outputStructType="host_group string, url_key string, url string",
+        stateStructType="keys array<string>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    writer = (out.writeStream.format("parquet")
+              .option("path", output_path)
+              .option("checkpointLocation", checkpoint_path)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -295,3 +295,33 @@ def test_domain_alias_report(spark):
     rows2 = sorted(tuple(r) for r in reports.domain_alias_report(
         spark, list(c.hosts), probe).collect())
     assert rows == rows2
+
+
+def test_seen_filter_stream_stateful_across_restarts(spark, tmp_path):
+    # the url-seen set as applyInPandasWithState group state: keys seen in
+    # run 1 must stay deduplicated in run 2 (state restored from checkpoint)
+    import hashlib
+    inp, outp, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+
+    def rows(ids):
+        return [(f"g{i % 3}", hashlib.md5(f"u{i}".encode()).hexdigest(),
+                 f"https://g{i % 3}.gov.au/u{i}") for i in ids]
+
+    spark.createDataFrame(rows(range(20)) + rows(range(5)),  # in-batch dups
+                          "host_group string, url_key string, url string"
+                          ).coalesce(1).write.mode("append").parquet(inp)
+    q = streaming.run_seen_filter_stream(spark, inp, outp, ckpt)
+    q.awaitTermination()
+    first = spark.read.parquet(outp).collect()
+    assert len(first) == 20  # within-batch dups collapsed
+
+    # run 2: 10 repeats + 10 fresh keys
+    spark.createDataFrame(rows(range(10, 30)),
+                          "host_group string, url_key string, url string"
+                          ).coalesce(1).write.mode("append").parquet(inp)
+    q2 = streaming.run_seen_filter_stream(spark, inp, outp, ckpt)
+    q2.awaitTermination()
+    allrows = spark.read.parquet(outp).collect()
+    assert len(allrows) == 30  # only the 10 fresh keys were emitted
+    keys = [r["url_key"] for r in allrows]
+    assert len(set(keys)) == 30
