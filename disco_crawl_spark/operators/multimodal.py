@@ -156,6 +156,39 @@ def sample_frames(df: DataFrame, every_nth: int = 2) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(run, schema)
 
 
+def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Deterministic nearest-neighbor resize for image rows — the 'resize'
+    member of the brief's decode/feature/resize/frame-sample set — emitted
+    as re-encoded payloads with the same streaming mapInPandas shape as the
+    other media ops (a batch never holds more than Arrow-batch-many decoded
+    images). Non-image rows pass through unchanged. With PIL present this
+    would call ``Image.resize(..., NEAREST)``; the synthetic codec keeps
+    the Spark-side plumbing identical."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for payload in pdf["payload"]:
+                b = bytes(payload)
+                if not b.startswith(b"SYNIMG"):
+                    payloads.append(b)
+                    continue
+                _head, _, rest = b.partition(b":")
+                dims, _, px = rest.partition(b":")
+                w, h = (int(x) for x in dims.split(b"x"))
+                arr = np.frombuffer(px, dtype=np.uint8)[: w * h].reshape(h, w)
+                yi = np.arange(out_h) * h // out_h
+                xi = np.arange(out_w) * w // out_w
+                out = np.ascontiguousarray(arr[yi][:, xi])
+                payloads.append(
+                    f"SYNIMG:{out_w}x{out_h}:".encode() + out.tobytes())
+            pdf = pdf.copy()
+            pdf["payload"] = payloads
+            yield pdf
+
+    return df.mapInPandas(run, df.schema)
+
+
 def synthetic_media_df(spark, n: int = 30, seed: int = 42) -> DataFrame:
     rows = []
     for i in range(n):

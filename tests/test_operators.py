@@ -314,3 +314,27 @@ def test_ivf_ann_recall_and_pruning(spark, tmp_path):
     C2 = similarity.train_ivf_centroids(df, "embedding", "vec_id",
                                         n_centroids=10, sample_size=300)
     assert np.allclose(C, C2)
+
+
+def test_resize_images_nearest_neighbor(spark):
+    df = multimodal.synthetic_media_df(spark, n=9)
+    out = multimodal.resize_images(df, 4, 3)
+    rows = {r["media_id"]: r for r in out.collect()}
+    orig = {r["media_id"]: r for r in df.collect()}
+    feats = {r["media_id"]: r
+             for r in multimodal.extract_features(out).collect()}
+    for mid, r in rows.items():
+        if r["kind"] != "image":
+            assert bytes(r["payload"]) == bytes(orig[mid]["payload"])
+            continue
+        assert feats[mid]["width"] == 4 and feats[mid]["height"] == 3
+        # independent nearest-neighbor recompute
+        b = bytes(orig[mid]["payload"])
+        _, _, rest = b.partition(b":")
+        dims, _, px = rest.partition(b":")
+        w, h = (int(x) for x in dims.split(b"x"))
+        arr = np.frombuffer(px, dtype=np.uint8)[: w * h].reshape(h, w)
+        expect = arr[np.arange(3) * h // 3][:, np.arange(4) * w // 4]
+        got = np.frombuffer(bytes(r["payload"]).split(b":", 2)[2],
+                            dtype=np.uint8).reshape(3, 4)
+        assert (got == expect).all()
