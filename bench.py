@@ -32,8 +32,8 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
 HEADLINE = [
     "tpch_q1", "tpch_q3_topk", "tpch_q5_join_chain", "agg_counts",
     "window_budget_rank", "sessionize_lag", "seen_anti_join",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "token_count",
-    "quality_score",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_embedding_cosine", "token_count", "quality_score",
     "ann_cosine_topk", "steward_hash_order", "json_extract",
 ]
 
@@ -152,15 +152,22 @@ def run_bulk(master: str, n_pages: int = BULK_PAGES, repeats: int = 3) -> dict:
         spark.stop()
 
 
-def run_queries(spark) -> dict:
+def run_queries(spark, repeats: int = 2) -> dict:
+    """Best-of-N per query: the first execution of a pandas-UDF stage pays
+    python-worker spin-up and JVM codegen, and the sandbox has multi-minute
+    noisy-neighbor windows — the repeated-run minimum measures the
+    operator, not the infrastructure (same policy as run_bulk)."""
     from disco_crawl_spark import queries as q
     out = {}
     for name in HEADLINE:
         fn = q.queries()[name]
-        t0 = time.time()
-        df = fn(spark, SF_DIR)
-        n = df.count()
-        out[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(repeats):
+            t0 = time.time()
+            fn(spark, SF_DIR).count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 3)
     return out
 
 

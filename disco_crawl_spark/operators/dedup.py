@@ -178,8 +178,13 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str, id_col: str,
                         seed: int = 42) -> DataFrame:
     """Full near-dup pipeline: minhash → LSH candidates → exact-Jaccard
     verify. Returns (a, b, jaccard) for pairs ≥ threshold."""
+    # signatures are ~8·num_hashes bytes/doc — persist so the banding
+    # self-join and the verify stage never recompute the shingle UDF (at
+    # 10^9-doc scale you would write the signature table instead, as the
+    # ANN path's write_lsh_index does; the cache manager dedupes repeated
+    # calls on the same plan)
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_len,
-                              seed)
+                              seed).persist()
     cands = lsh_candidate_pairs(sigs, id_col, bands)
     texts = df.select(F.col(id_col), F.col(text_col))
     verify = jaccard_verify_udf(shingle_len)
@@ -253,7 +258,10 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str, id_col: str,
     ``max_bucket``, same contract as ``lsh_candidate_pairs``."""
     from pyspark.sql import Window
     sh = make_simhash_udf()
-    f = df.select(F.col(id_col), sh(F.col(text_col)).alias("sim"))
+    # 16 bytes/doc: persist so both join branches read the signatures
+    # instead of re-running the UDF subtree (write a signature table at
+    # 10^9-doc scale)
+    f = df.select(F.col(id_col), sh(F.col(text_col)).alias("sim")).persist()
     chunks = f.select(
         id_col, "sim",
         F.explode(F.array(*[

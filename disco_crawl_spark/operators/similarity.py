@@ -227,8 +227,10 @@ def embedding_near_dup_pairs(df: DataFrame, emb_col: str, id_col: str,
     exchange. Returns (a, b, cosine)."""
     from pyspark.sql import Window
     udf, _H = make_banded_hyperplane_udf(dim, bands, planes, seed)
+    # persist: both self-join branches read the bucketed vectors instead of
+    # re-running the matmul UDF (disk-backed at embedding-table scale)
     sig = df.select(F.col(id_col), F.col(emb_col).alias("__emb"),
-                    udf(F.col(emb_col)).alias("__bks"))
+                    udf(F.col(emb_col)).alias("__bks")).persist()
     banded = sig.select(
         id_col, "__emb",
         F.posexplode("__bks").alias("band", "bucket"))

@@ -668,15 +668,17 @@ WHERE x.vec_id < y.vec_id
 """
 
 
-@q("dedup_embedding_cosine", _embedding_neardup_oracle_sql())
+@q("dedup_embedding_cosine", _embedding_neardup_oracle_sql(planes=6))
 def dedup_embedding_cosine(spark, sf):
     """Embedding-cosine near-dup (brief: the vector member of the dedup
     family): banded hyperplane LSH candidates + exact codegen cosine."""
     e = _t(spark, sf, "embeddings")
     e = e.withColumn("embedding",
                      F.transform("embedding", lambda x: x.cast("double")))
+    # planes=6 → 64 buckets/band: at 10^4+ vectors the candidate set stays
+    # ~1% of all pairs while near-identical vectors still collide w.h.p.
     return similarity.embedding_near_dup_pairs(
-        e, "embedding", "vec_id", dim=64, threshold=0.4, bands=8, planes=4)
+        e, "embedding", "vec_id", dim=64, threshold=0.4, bands=8, planes=6)
 
 
 def _ann_lsh_oracle_sql() -> str:
