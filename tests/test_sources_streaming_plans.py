@@ -325,3 +325,31 @@ def test_seen_filter_stream_stateful_across_restarts(spark, tmp_path):
     assert len(allrows) == 30  # only the 10 fresh keys were emitted
     keys = [r["url_key"] for r in allrows]
     assert len(set(keys)) == 30
+
+
+def test_pyfiles_zip_is_complete_and_importable(tmp_path):
+    # the spark-submit --py-files artifact must carry the whole package:
+    # import it from the zip alone (cwd outside the repo) and drive kernels
+    import subprocess
+    import sys
+    sys.path.insert(0, "/root/repo/scripts")
+    try:
+        from build_pyfiles import build
+    finally:
+        sys.path.pop(0)
+    zip_path = build(str(tmp_path / "disco_crawl_spark.zip"))
+    code = (
+        "import sys; sys.path.insert(0, sys.argv[1])\n"
+        "from disco_crawl_spark import refsem, corpus, lifecycle\n"
+        "from disco_crawl_spark.operators import dedup, similarity\n"
+        "from disco_crawl_spark import engine, queries, reports, streaming\n"
+        "assert refsem.normalize_href('/a/../b/') == '/b/'\n"
+        "assert refsem.redirect_info('a.gov.au', 'https://b.gov.au/x') == "
+        "(False, 'b.gov.au')\n"
+        "print('zip-import-ok')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code, zip_path], cwd=str(tmp_path),
+        capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "zip-import-ok" in out.stdout
