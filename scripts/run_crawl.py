@@ -69,10 +69,13 @@ def main():
         eng = CrawlEngine(spark, pages, robots, attrs, args.warehouse,
                           seeds=seeds, use_bloom=args.bloom)
     eng.run(max_rounds=eng.round_no + args.rounds)
+    order = eng.crawl_order()
     summary = {
         "rounds": eng.round_no,
-        "fetched": len(eng.crawl_order()),
-        "hosts": len({h for h, d in eng.dom.items() if d["ever_crawled"]}),
+        "fetched": len(order),
+        # distinct hosts with crawl-log rows (finished hosts keep only a
+        # compact {state, group} record on the driver)
+        "hosts": len({h for _, h, _, _ in order}),
         "states": {},
     }
     for d in eng.dom.values():
