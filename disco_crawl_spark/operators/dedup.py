@@ -8,8 +8,9 @@ Scale design notes (the part that matters at 10^9 documents):
   matrix min over a hash family — no per-row Python beyond tokenize);
   banding turns all-pairs O(n²) into per-bucket self-joins. The bucket
   self-join is the only shuffle; enormous buckets (duplicate-heavy crawls)
-  are bounded by ``max_bucket`` to cap worst-case pair fan-out (dropped
-  buckets are logged, not silent).
+  are bounded by ``max_bucket`` to cap worst-case pair fan-out — the bound
+  is an explicit parameter, and an audit of what it excluded is one
+  aggregation (count (band, bucket) groups above it) when callers need it.
 - *SimHash*: 64-bit fingerprints; the pigeonhole band join (4×16-bit chunks)
   guarantees recall for hamming distance ≤ 3 with the same bounded-join
   structure.
