@@ -184,3 +184,28 @@ def readability(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     seven min_age scores."""
     return df.select(F.col(id_col),
                      readability_struct(F.col(text_col)).alias("readability"))
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data scrub; pure Catalyst)
+# ---------------------------------------------------------------------------
+
+# RE2-compatible patterns (no backreferences/lookaround), so the exact same
+# strings drive Spark's regexp_replace and the DuckDB oracle
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{1,3}[ -]?\d{1,4}[ -]?\d{3,4}[ -]?\d{3,4}", "<PHONE>"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Training-data PII scrub: emails, IPv4 addresses, and international
+    phone numbers become typed placeholder tokens — entirely built-in
+    regexp_replace (whole-stage codegen, no Python). Order matters: emails
+    go first (an address's dotted domain would otherwise partially match
+    the IP pattern), then IPs, then phones."""
+    col = F.col(text_col)
+    for _name, pat, tok in PII_PATTERNS:
+        col = F.regexp_replace(col, pat, tok)
+    return df.select(F.col(id_col), col.alias("text_redacted"))

@@ -874,6 +874,37 @@ def fingerprint_overlap(spark, sf):
                                                min_shared=3)
 
 
+@q("redact_pii", r"""
+WITH t AS (
+  SELECT doc_id,
+    text || CASE doc_id % 3
+      WHEN 0 THEN ' Contact sam.lee@data.gov.au for access.'
+      WHEN 1 THEN ' Call +61 2 6123 4567 or visit 10.1.2.3 now.'
+      ELSE ' No contact details were published.' END AS text
+  FROM documents WHERE doc_id < 300)
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+    '\+\d{1,3}[ -]?\d{1,4}[ -]?\d{3,4}[ -]?\d{3,4}', '<PHONE>', 'g'
+  ) AS text_redacted
+FROM t
+""")
+def redact_pii_q(spark, sf):
+    """PII scrub over text with synthesized contact details (the testdata
+    corpus has none) — same RE2 patterns on both sides."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    pii = (F.when(F.col("doc_id") % 3 == 0,
+                  F.lit(" Contact sam.lee@data.gov.au for access."))
+           .when(F.col("doc_id") % 3 == 1,
+                 F.lit(" Call +61 2 6123 4567 or visit 10.1.2.3 now."))
+           .otherwise(F.lit(" No contact details were published.")))
+    d = d.select("doc_id", F.concat(F.col("text"), pii).alias("text"))
+    return textstats.redact_pii(d, "text", "doc_id")
+
+
 @q("goose_main_content", """
 SELECT doc_id,
        trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')) AS text_goose
