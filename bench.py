@@ -168,7 +168,38 @@ def run_queries(spark, repeats: int = 2) -> dict:
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         out[name] = round(best, 3)
+        # per-query caches (near-dup signature persists are unpersisted by
+        # their own pipelines; this bounds anything else) never accumulate
+        # across the headline sweep
+        spark.catalog.clearCache()
     return out
+
+
+def _record_history(payload: dict):
+    """Append this run to BENCH/history.jsonl and regenerate the per-round
+    headline-query drift table (BENCH/HISTORY.md) so round-over-round
+    movement is visible without artifact archaeology."""
+    bdir = os.path.join(REPO, "BENCH")
+    os.makedirs(bdir, exist_ok=True)
+    hist_path = os.path.join(bdir, "history.jsonl")
+    with open(hist_path, "a") as f:
+        f.write(json.dumps(payload) + "\n")
+    rows = [json.loads(l) for l in open(hist_path) if l.strip()]
+    names = sorted({k for r in rows for k in r.get("queries", {})})
+    labels = [r.get("label", f"run{i+1}") for i, r in enumerate(rows)]
+    with open(os.path.join(bdir, "HISTORY.md"), "w") as f:
+        f.write("# BENCH history — headline queries (sec) per recorded run\n\n")
+        f.write("| query | " + " | ".join(labels) + " |\n")
+        f.write("|---" * (len(rows) + 1) + "|\n")
+        for n in names:
+            vals = [str(r.get("queries", {}).get(n, "-")) for r in rows]
+            f.write(f"| {n} | " + " | ".join(vals) + " |\n")
+        f.write("\n| throughput | " + " | ".join(labels) + " |\n")
+        f.write("|---" * (len(rows) + 1) + "|\n")
+        for key, sub in (("crawl urls/s", ("crawl", "urls_per_sec")),
+                         ("bulk pages/s", ("bulk", "pages_per_sec"))):
+            vals = [str(r.get(sub[0], {}).get(sub[1], "-")) for r in rows]
+            f.write(f"| {key} | " + " | ".join(vals) + " |\n")
 
 
 def main_default():
@@ -184,7 +215,7 @@ def main_default():
     finally:
         spark.stop()
     total = round(time.time() - t_all, 2)
-    _emit({
+    payload = {
         "metric": "headline wall seconds (crawl rounds + hot path + operator queries)",
         "value": total,
         "unit": "sec",
@@ -192,7 +223,12 @@ def main_default():
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "crawl": crawl,
         "bulk": bulk,
-    })
+    }
+    try:
+        _record_history(dict(payload, label=time.strftime("%Y-%m-%d %H:%M")))
+    except Exception:
+        pass
+    _emit(payload)
 
 
 def _emit(payload: dict):
@@ -341,7 +377,22 @@ round.
     })
 
 
+def _capture_stderr():
+    """Route fd 2 (inherited by the Spark JVM) to BENCH/bench_stderr.log:
+    Spark's mid-run PythonAccumulatorV2 socket-churn stacks and CacheManager
+    WARNs land there instead of the output tail the driver parses — the one
+    JSON line on stdout is the whole visible output. Disable with
+    DISCO_BENCH_STDERR=0 when debugging interactively."""
+    if os.environ.get("DISCO_BENCH_STDERR", "1") == "0":
+        return
+    bdir = os.path.join(REPO, "BENCH")
+    os.makedirs(bdir, exist_ok=True)
+    f = open(os.path.join(bdir, "bench_stderr.log"), "wb")
+    os.dup2(f.fileno(), 2)
+
+
 if __name__ == "__main__":
+    _capture_stderr()
     if "--scaling" in sys.argv:
         main_scaling()
     else:

@@ -136,7 +136,7 @@ def _section_path(j: int) -> str:
 
 
 def _host_pages(cfg: HostAttrs, all_hosts: list, seed: int,
-                hub: "str | None" = None) -> dict:
+                hub: "str | None" = None, redirects: bool = True) -> dict:
     """Build the page tree for one host: root → sections → leaf pages, with
     messy href forms and deterministic cross-host external links. ``hub``
     (the hot portal host) is linked from every root — a realistic hub that
@@ -172,13 +172,15 @@ def _host_pages(cfg: HostAttrs, all_hosts: list, seed: int,
     # external .gov.au (domain-SEEN discovery — targets a host nothing
     # links to, so redirect discovery is the only way it joins the crawl),
     # and external non-gov (counted only)
-    redirects = ["/go/section", "/go/gov", "/go/away"]
-    add("/go/section", [], redirect_to="/s0/")
-    add("/go/gov", [], redirect_to="https://via-redirect.gov.au/")
-    add("/go/away", [], redirect_to="https://www.example.com/")
+    redirect_links: list = []
+    if redirects:
+        redirect_links = ["/go/section", "/go/gov", "/go/away"]
+        add("/go/section", [], redirect_to="/s0/")
+        add("/go/gov", [], redirect_to="https://via-redirect.gov.au/")
+        add("/go/away", [], redirect_to="https://www.example.com/")
     # root links each section, one messy double-slash, externals
     add("/", [_section_path(j) for j in range(ns)]
-        + [f"//{host}/s0/"] + ext_links + redirects)
+        + [f"//{host}/s0/"] + ext_links + redirect_links)
     for j in range(ns):
         sp = _section_path(j)
         links = [f"p{k}.html" for k in range(pps)]          # relative
@@ -205,7 +207,12 @@ def generate(
     hot_hosts: int = 1,
     hot_multiplier: int = 5,
     n_seeds: int = 3,
+    redirects: bool = True,
 ) -> Corpus:
+    """``redirects=False`` reproduces the round-1 corpus shape (no per-host
+    redirect trio, no redirect-only host) — kept as a first-class knob so
+    throughput regressions can be bisected input-shape vs code (VERDICT r2
+    'What's wrong' #1)."""
     c = Corpus(seed=seed)
 
     def reg(attrs: HostAttrs):
@@ -243,10 +250,12 @@ def generate(
                   n_sections=0, pages_per_section=0))
     reg(HostAttrs(host="partner00.example.com", robots_txt=None,
                   n_sections=1, pages_per_section=1))
-    # reachable ONLY via every host's /go/gov redirect (worker.py:480-482):
-    # proves the redirect-discovery path end-to-end — no <a> links here
-    reg(HostAttrs(host="via-redirect.gov.au", robots_txt=None,
-                  n_sections=1, pages_per_section=2))
+    if redirects:
+        # reachable ONLY via every host's /go/gov redirect
+        # (worker.py:480-482): proves the redirect-discovery path
+        # end-to-end — no <a> links here
+        reg(HostAttrs(host="via-redirect.gov.au", robots_txt=None,
+                      n_sections=1, pages_per_section=2))
 
     content_hosts = sorted(h for h, a in c.hosts.items()
                            if a.n_sections > 0 and a.index_ok)
@@ -254,7 +263,8 @@ def generate(
     link_pool = [h for h in content_hosts if h != "via-redirect.gov.au"]
     hub = "portal00.gov.au" if "portal00.gov.au" in c.hosts else None
     for h in content_hosts:
-        c.pages.update(_host_pages(c.hosts[h], link_pool, seed, hub=hub))
+        c.pages.update(_host_pages(c.hosts[h], link_pool, seed, hub=hub,
+                                   redirects=redirects))
 
     c.robots = {h: (None if a.robots_broken else a.robots_txt)
                 for h, a in c.hosts.items()}

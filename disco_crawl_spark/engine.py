@@ -129,14 +129,26 @@ class CrawlEngine:
     # driver-side domain state
     # ------------------------------------------------------------------
     def _seen_host(self, host: str, round_no: int):
+        # merely-SEEN hosts carry the 3-field compact form (state, group,
+        # first-seen) — at 10^6 discovered hosts the driver dict stays
+        # O(3 fields)/host; the full crawl fields inflate lazily on start
+        # (_inflate_host) and compact again on finish (_finish_host), so
+        # only steward-batch-bounded ACTIVE hosts ever hold the wide form.
         if host not in self.dom:
             self.dom[host] = {
                 "state": "seen",
                 "group": lifecycle.politeness_group(host, self.attrs.get(host)),
                 "first_seen_round": round_no,
-                "scheme": None, "budget": 0, "gen": 0, "gen_size": 0,
-                "cursor": 0, "crawled": 0, "session": 0, "ever_crawled": False,
             }
+
+    def _inflate_host(self, host: str):
+        """Attach the per-crawl fields a host needs while active; a cap-exit
+        host re-entering keeps its session/ever_crawled history."""
+        d = self.dom[host]
+        for k, v in (("scheme", None), ("budget", 0), ("gen", 0),
+                     ("gen_size", 0), ("cursor", 0), ("crawled", 0),
+                     ("session", 0), ("ever_crawled", False)):
+            d.setdefault(k, v)
 
     def _event(self, round_no: int, host: str, msg: str):
         self.events.append((round_no, host, msg))
@@ -260,6 +272,7 @@ class CrawlEngine:
         fresh, resumed = [], []
         for host in picks:
             d = lifecycle.start_decision(host, self.attrs.get(host), self.robots)
+            self._inflate_host(host)
             st = self.dom[host]
             if d.action == "dual-skip":
                 self._seen_host("www." + host, self.round_no)
@@ -335,8 +348,18 @@ class CrawlEngine:
     # one crawl round
     # ------------------------------------------------------------------
     def step(self):
+        import time as _time
+        _prof = os.environ.get("DISCO_PROFILE") == "1"
+        _marks: list = []
+
+        def _mark(label):
+            if _prof:
+                _marks.append((label, _time.time()))
+
         rnd = self.round_no
+        _mark("begin")
         self._start_domains()
+        _mark("start_domains")
 
         # -- schedule: per-host pos range [cursor, cursor+budget) ------
         bounds_rows = []
@@ -396,7 +419,20 @@ class CrawlEngine:
                     F.col("warc_ts").alias("date_created"),
                     F.col("p.links").alias("links"),
                     F.size("p.links").alias("links_count"),
-                    F.col("p.external_links").alias("external_links"),
+                    # schema parity with the ES doc (parser.py:147-173):
+                    # externalLinks is a map keyed by url whose values are
+                    # always empty dicts (the prefetch is dead code that
+                    # returns {url: {}}). Value type is an empty map — it
+                    # JSON-serializes to {} exactly like the reference's
+                    # value, and unlike struct<> it is parquet-storable
+                    # (parquet forbids empty groups).
+                    F.map_from_arrays(
+                        F.col("p.external_links"),
+                        F.transform("p.external_links",
+                                    lambda _: F.map_from_arrays(
+                                        F.array().cast("array<string>"),
+                                        F.array().cast("array<string>"))))
+                     .alias("external_links"),
                     F.size("p.external_links").alias("external_links_count"),
                     F.col("p.discovered").alias("discovered"),
                     F.col("p.title").alias("title"),
@@ -407,6 +443,7 @@ class CrawlEngine:
                 )
             )
             results = self._append("crawl_log", results)
+            _mark("fetch_parse_log")
             # one collect drives BOTH new-domain discovery and the per-host
             # fetch/parse metrics (statsd-counter taxonomy of worker.py:
             # 466,492,499-501), recorded in the round-state snapshot
@@ -431,6 +468,7 @@ class CrawlEngine:
                 discovered_all.update(r["discovered"])
             for d in sorted(discovered_all):
                 self._seen_host(d, rnd)
+        _mark("stats_collect")
 
         # -- driver cursor/crawl accounting ----------------------------
         ended = []
@@ -453,9 +491,16 @@ class CrawlEngine:
             self.dom[h]["state"] = "seen"  # cap exit: NOT finished
         if build:
             self._build_generations(build, schedule)
+        _mark("build_generations")
 
         # -- snapshot the driver state (the round checkpoint) ----------
         self.t_log.commit_state(rnd, self._state_dict())
+        _mark("commit_state")
+        if _prof:
+            parts = " ".join(
+                f"{lbl}={_marks[i][1] - _marks[i - 1][1]:.2f}"
+                for i, (lbl, _) in enumerate(_marks) if i)
+            print(f"# round {rnd}: {parts}", flush=True)
         self.round_no += 1
         if self.compact_seen_every and \
                 self.round_no % self.compact_seen_every == 0:

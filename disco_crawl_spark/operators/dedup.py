@@ -180,13 +180,16 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str, id_col: str,
     """Full near-dup pipeline: minhash → LSH candidates → exact-Jaccard
     verify. Returns (a, b, jaccard) for pairs ≥ threshold."""
     # signatures are ~8·num_hashes bytes/doc — persist so the banding
-    # self-join and the verify stage never recompute the shingle UDF (at
-    # 10^9-doc scale you would write the signature table instead, as the
-    # ANN path's write_lsh_index does; the cache manager dedupes repeated
-    # calls on the same plan)
+    # self-join's two branches never recompute the shingle UDF (at 10^9-doc
+    # scale you would write the signature table instead, as the ANN path's
+    # write_lsh_index does). The candidate pairs are eagerly materialized
+    # (localCheckpoint truncates their lineage off the signature plan) so
+    # the cache can be RELEASED here instead of living for the session —
+    # repeated calls re-persist fresh plans, never re-cache stale ones.
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_len,
                               seed).persist()
-    cands = lsh_candidate_pairs(sigs, id_col, bands)
+    cands = lsh_candidate_pairs(sigs, id_col, bands).localCheckpoint(eager=True)
+    sigs.unpersist()
     texts = df.select(F.col(id_col), F.col(text_col))
     verify = jaccard_verify_udf(shingle_len)
     joined = (cands
@@ -261,7 +264,7 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str, id_col: str,
     sh = make_simhash_udf()
     # 16 bytes/doc: persist so both join branches read the signatures
     # instead of re-running the UDF subtree (write a signature table at
-    # 10^9-doc scale)
+    # 10^9-doc scale); released below once the verified pairs materialize
     f = df.select(F.col(id_col), sh(F.col(text_col)).alias("sim")).persist()
     chunks = f.select(
         id_col, "sim",
@@ -278,12 +281,17 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str, id_col: str,
                          "chunk", "val")
     right = chunks.select(F.col(id_col).alias("b"), F.col("sim").alias("sb"),
                           "chunk", "val")
-    return (left.join(right, ["chunk", "val"])
-            .filter(F.col("a") < F.col("b"))
-            .withColumn("hamming",
-                        F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
-            .filter(F.col("hamming") <= max_distance)
-            .select("a", "b", "hamming").distinct())
+    verified = (left.join(right, ["chunk", "val"])
+                .filter(F.col("a") < F.col("b"))
+                .withColumn("hamming",
+                            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+                .filter(F.col("hamming") <= max_distance)
+                .select("a", "b", "hamming")
+                # eager materialization of the (small) verified pairs lets
+                # the signature cache be released immediately
+                .localCheckpoint(eager=True))
+    f.unpersist()
+    return verified.distinct()
 
 
 # ---------------------------------------------------------------------------

@@ -220,35 +220,46 @@ def embedding_near_dup_pairs(df: DataFrame, emb_col: str, id_col: str,
     hyperplane LSH proposes candidates — two vectors collide in a band iff
     all of that band's planes agree in sign — then an exact JVM-side cosine
     (zip_with/aggregate, codegen) verifies against ``threshold``. Recall
-    dial = bands (more bands, higher recall), precision is exact. Same
-    scale shape as the text near-dup paths: the only shuffle is the
-    (band, bucket) self-join, pathological buckets bounded by
-    ``max_bucket``, and the cosine filter runs before the pair-dedup
-    exchange. Returns (a, b, cosine)."""
+    dial = bands (more bands, higher recall), precision is exact.
+
+    Scale shape (the part that matters at 10^9 vectors): the banding
+    self-join shuffles only narrow (id, band, bucket) triples — embeddings
+    are NOT carried through the explode/window/join — and candidate pairs
+    dedup BEFORE the verify, so each pair's cosine is computed exactly once
+    and the two embedding re-attach joins move only distinct pairs.
+    Pathological buckets are bounded by ``max_bucket``; the signature cache
+    is released as soon as the pair set materializes. Returns
+    (a, b, cosine)."""
     from pyspark.sql import Window
     udf, _H = make_banded_hyperplane_udf(dim, bands, planes, seed)
-    # persist: both self-join branches read the bucketed vectors instead of
-    # re-running the matmul UDF (disk-backed at embedding-table scale)
-    sig = df.select(F.col(id_col), F.col(emb_col).alias("__emb"),
+    # persist: both self-join branches read the (id, buckets) signatures —
+    # ~8·bands bytes/row — instead of re-running the matmul UDF
+    sig = df.select(F.col(id_col),
                     udf(F.col(emb_col)).alias("__bks")).persist()
     banded = sig.select(
-        id_col, "__emb",
-        F.posexplode("__bks").alias("band", "bucket"))
+        id_col, F.posexplode("__bks").alias("band", "bucket"))
     bcount = F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
     banded = banded.withColumn("__n", bcount).filter(
         F.col("__n") <= max_bucket).drop("__n")
-    left = banded.select(F.col(id_col).alias("a"),
-                         F.col("__emb").alias("ea"), "band", "bucket")
-    right = banded.select(F.col(id_col).alias("b"),
-                          F.col("__emb").alias("eb"), "band", "bucket")
+    left = banded.select(F.col(id_col).alias("a"), "band", "bucket")
+    right = banded.select(F.col(id_col).alias("b"), "band", "bucket")
+    pairs = (left.join(right, ["band", "bucket"])
+             .filter(F.col("a") < F.col("b"))
+             .select("a", "b").distinct()
+             .localCheckpoint(eager=True))
+    sig.unpersist()
+    embs = df.select(F.col(id_col), F.col(emb_col))
+    joined = (pairs
+              .join(embs.select(F.col(id_col).alias("a"),
+                                F.col(emb_col).alias("ea")), "a")
+              .join(embs.select(F.col(id_col).alias("b"),
+                                F.col(emb_col).alias("eb")), "b"))
     dot = F.aggregate(F.zip_with("ea", "eb", lambda x, y: x * y),
                       F.lit(0.0), lambda acc, x: acc + x)
     cos = dot / (_norm(F.col("ea")) * _norm(F.col("eb")))
-    return (left.join(right, ["band", "bucket"])
-            .filter(F.col("a") < F.col("b"))
-            .withColumn("cosine", F.round(cos, 6))
+    return (joined.withColumn("cosine", F.round(cos, 6))
             .filter(F.col("cosine") >= threshold)
-            .select("a", "b", "cosine").distinct())
+            .select("a", "b", "cosine"))
 
 
 def pairwise_cosine_topk(df: DataFrame, emb_col: str, id_col: str,

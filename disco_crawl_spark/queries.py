@@ -605,11 +605,88 @@ def ann_cosine_topk(spark, sf):
     return similarity.cosine_topk(e, "embedding", "vec_id", QUERY_VEC, k=20)
 
 
-@q("ann_ivf", None)  # data-trained k-means centroids: rows-only (pytest
-def ann_ivf(spark, sf):  # pins recall/determinism on planted clusters)
+def _ann_ivf_oracle_sql(k: int = 8, iters: int = 5, sample: int = 256,
+                        seed: int = 42, nprobe: int = 3, topk: int = 20) -> str:
+    """Exact SQL mirror of the IVF pipeline — the k-means training is
+    data-dependent, so the 5 Lloyd iterations run INSIDE the SQL as
+    unrolled CTE pairs (assign by argmin distance with numpy's
+    first-index tie break = ``row_number ... ORDER BY d2, cid``; recompute
+    each centroid as the per-dimension mean of its members, keeping the old
+    centroid for empty clusters). Only the seeded INIT is embedded as
+    literals: ``RandomState(seed).choice(sample, k)`` depends on nothing
+    but (sample, k, seed), and the driver testdata has ≥ ``sample``
+    embeddings at every sf, so the chosen sample ranks are static. The
+    final nprobe-list scan + exact rounded cosine mirror ``ivf_query``."""
+    import numpy as np
+    choice = np.random.RandomState(seed).choice(sample, size=k, replace=False)
+    vals = ", ".join(f"({j}, {int(choice[j]) + 1})" for j in range(k))
+    qn = float(np.sqrt(np.dot(QUERY_VEC, QUERY_VEC)))
+
+    def assign_cte(src, cents, out):
+        return f"""{out} AS (
+  SELECT vec_id, emb, cid FROM (
+    SELECT s.vec_id, s.emb, c.cid,
+      row_number() OVER (PARTITION BY s.vec_id ORDER BY
+        list_dot_product(c.cv, c.cv) - 2*list_dot_product(s.emb, c.cv),
+        c.cid) AS rn
+    FROM {src} s CROSS JOIN {cents} c) WHERE rn = 1)"""
+
+    def update_cte(asg, prev, out):
+        return f"""{out} AS (
+  SELECT c.cid, coalesce(m.cv, c.cv) AS cv
+  FROM {prev} c LEFT JOIN (
+    SELECT cid, list(avgv ORDER BY dim) AS cv FROM (
+      SELECT cid, dim, avg(val) AS avgv FROM (
+        SELECT cid, unnest(emb) AS val, generate_subscripts(emb, 1) AS dim
+        FROM {asg})
+      GROUP BY cid, dim) GROUP BY cid) m USING (cid))"""
+
+    steps, prev = [], "c0"
+    for i in range(1, iters + 1):
+        steps.append(assign_cte("samp", prev, f"a{i}"))
+        steps.append(update_cte(f"a{i}", prev, f"c{i}"))
+        prev = f"c{i}"
+    lloyd = ",\n".join(steps)
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings),
+samp AS (
+  SELECT vec_id, emb, row_number() OVER (ORDER BY vec_id) AS rk
+  FROM e ORDER BY vec_id LIMIT {sample}),
+c0 AS (
+  SELECT t.cid, s.emb AS cv
+  FROM (VALUES {vals}) t(cid, rk) JOIN samp s USING (rk)),
+{lloyd},
+probes AS (
+  SELECT cid FROM {prev}
+  ORDER BY list_dot_product(cv, cv) - 2*list_dot_product(cv, {_QVEC_SQL}),
+           cid
+  LIMIT {nprobe}),
+asg AS (
+  SELECT vec_id, emb, cid FROM (
+    SELECT e.vec_id, e.emb, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        list_dot_product(c.cv, c.cv) - 2*list_dot_product(e.emb, c.cv),
+        c.cid) AS rn
+    FROM e CROSS JOIN {prev} c) WHERE rn = 1)
+SELECT vec_id,
+       round(list_dot_product(emb, {_QVEC_SQL})
+             / (sqrt(list_dot_product(emb, emb)) * {qn!r}), 6) AS cosine
+FROM asg WHERE cid IN (SELECT cid FROM probes)
+ORDER BY cosine DESC, vec_id LIMIT {topk}
+"""
+
+
+@q("ann_ivf", _ann_ivf_oracle_sql())
+def ann_ivf(spark, sf):
     """IVF coarse-quantizer ANN (brief: 'IVF or LSH-bucketed variant'):
     deterministic seeded k-means on a bounded sample, argmin-matmul list
-    assignment, nprobe-list scan + exact cosine."""
+    assignment, nprobe-list scan + exact cosine. The DuckDB oracle runs
+    the same 5 Lloyd iterations as unrolled CTEs (``_ann_ivf_oracle_sql``);
+    float-noise between numpy and DuckDB summation orders only matters at
+    exact argmin/top-k ties, which the random testdata does not produce —
+    verified at sf 0.001/0.01/0.1."""
     e = _t(spark, sf, "embeddings")
     e = e.withColumn("embedding",
                      F.transform("embedding", lambda x: x.cast("double")))
@@ -991,29 +1068,60 @@ def readability_scores_q(spark, sf):
 # ===========================================================================
 
 
-@q("page_meta_extract", None)
-def page_meta_extract(spark, sf):
-    """Title/keywords/content-hash/text extraction (parser.py:92-165) driven
-    through the Spark UDF over HTML synthesized from the documents table."""
-    from . import udfs as _udfs
-    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
-    html = F.encode(F.concat(
+def _meta_html_expr():
+    """The synthesized page the two page-meta queries share."""
+    return F.encode(F.concat(
         F.lit("<html><head><title>Doc "), F.col("doc_id"),
         F.lit("</title></head><body><h1>Quality Assessment Statement</h1>"
               "<p>"), F.col("text"), F.lit("</p></body></html>")), "utf-8")
+
+
+def _parse_meta(spark, sf):
+    from . import udfs as _udfs
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
     url = F.concat(F.lit("https://docs.gov.au/d"), F.col("doc_id"),
                    F.lit(".html"))
-    out = d.select(
+    return d.select(
         "doc_id",
-        _udfs.parse_page(html, url, F.lit("docs.gov.au"), F.lit("https"),
-                         F.lit(None).cast("string")).alias("p"))
+        _udfs.parse_page(_meta_html_expr(), url, F.lit("docs.gov.au"),
+                         F.lit("https"), F.lit(None).cast("string"))
+        .alias("p"))
+
+
+@q("page_meta_extract", """
+SELECT doc_id,
+       'Doc ' || doc_id::VARCHAR AS title,
+       'assessment|quality|statement' AS keywords,
+       octet_length(encode('<html><head><title>Doc ' || doc_id::VARCHAR
+         || '</title></head><body><h1>Quality Assessment Statement</h1><p>'
+         || text || '</p></body></html>')) AS content_size
+FROM documents WHERE doc_id < 100
+""")
+def page_meta_extract(spark, sf):
+    """Title/keywords/content-size extraction (parser.py:92-98,329-338)
+    driven through the Spark parse UDF over HTML synthesized from the
+    documents table. The oracle is exact because the synthesized page's
+    title is 'Doc <id>', its only header is the constant h1 (whose >6-char
+    words lowercased+sorted are the keywords), and content_size is the
+    utf-8 byte length of the synthesized string — all constructible in
+    DuckDB. The non-ANSI base58-multihash content_hash is verified
+    separately (``page_content_hash``, rows-only + kernel-parity pytest)."""
+    out = _parse_meta(spark, sf)
     # keywords is array<string> internally; the driver canonicalizer sorts
     # row values through pandas and cannot hash Python lists, so the
     # driver-facing select flattens it to a '|'-joined string.
     return out.select("doc_id", F.col("p.title").alias("title"),
                       F.concat_ws("|", F.col("p.keywords")).alias("keywords"),
-                      F.col("p.content_hash").alias("content_hash"),
                       F.col("p.content_size").alias("content_size"))
+
+
+@q("page_content_hash", None)
+def page_content_hash(spark, sf):
+    """base58(multihash(SHA1(body))) content addressing (parser.py:54-57):
+    not ANSI-expressible (DuckDB has no base58), so rows-only here; the
+    kernel is pinned by pytest parity tests against refsem.content_hash."""
+    return _parse_meta(spark, sf).select(
+        "doc_id", F.col("p.content_hash").alias("content_hash"))
 
 
 @q("url_canonicalize", """

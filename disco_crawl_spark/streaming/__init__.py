@@ -97,36 +97,60 @@ def run_seen_filter_stream(
     output_path: str,
     checkpoint_path: str,
     available_now: bool = True,
+    bloom_bits: int = 1 << 20,
+    bloom_k: int = 4,
 ):
     """Streaming URL-seen dedup — the frontier's seen semantics as a custom
     stateful operator (``applyInPandasWithState``, the brief's named tool):
-    candidate links arrive as a stream, per-host_group state holds the set
-    of md5 seen keys, and only first-seen rows are emitted. The state store
-    is checkpointed with the query, so a restarted stream continues exactly
-    where it stopped — keys seen in earlier runs stay deduplicated
-    (exactly-once across restarts; asserted in tests). Keyed by host_group,
-    the state partitions like the batch engine's url_seen table: one
-    group's keys never shuffle to another task."""
+    candidate links arrive as a stream and only first-seen rows are
+    emitted. The state store is checkpointed with the query, so a restarted
+    stream continues where it stopped — keys seen in earlier runs stay
+    deduplicated (asserted in tests). Keyed by host_group, the state
+    partitions like the batch engine's url_seen table: one group's keys
+    never shuffle to another task.
+
+    Per-group state is a fixed-size Bloom bitmap (``bloom_bits`` bits,
+    default 128 KiB/group), NOT the key set: state size is O(bits) no
+    matter how many keys stream through, and each micro-batch rewrites a
+    constant-size value — a 10^10-key group would overflow any exact
+    GroupState. The trade is a bounded false-positive rate (a new key can
+    be wrongly dropped once the group nears saturation: ~1e-8 at 10^4
+    keys/group with the defaults). This operator is therefore the
+    STREAMING PRE-FILTER of the seen pipeline; exactness is owned by the
+    batch engine's compacted bucketed anti-join, exactly like the batch
+    Bloom sidecar (operators/bloom.py) whose index derivation this reuses
+    (md5-hex key material sliced directly — no rehash)."""
+    import numpy as np
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.bloom import _indexes
 
     src = (spark.readStream
            .schema("host_group string, url_key string, url string")
            .parquet(input_path))
 
     def dedup(key, pdfs, state: GroupState):
-        seen = set(state.get[0]) if state.exists else set()
+        if state.exists:
+            bm = np.frombuffer(state.get[0], dtype=np.uint8).copy()
+        else:
+            bm = np.zeros(bloom_bits // 8, dtype=np.uint8)
         for pdf in pdfs:
-            pdf = pdf[~pdf["url_key"].isin(seen)]
             pdf = pdf.drop_duplicates(subset=["url_key"], keep="first")
-            seen.update(pdf["url_key"])
-            if len(pdf):
-                yield pdf[["host_group", "url_key", "url"]]
-        state.update((sorted(seen),))
+            if not len(pdf):
+                continue
+            idx = _indexes(list(pdf["url_key"]), bloom_bits, bloom_k)
+            fresh = ~(((bm[idx // 8] >> (idx % 8)) & 1).all(axis=1))
+            out = pdf[fresh]
+            fi = idx[fresh].ravel()
+            np.bitwise_or.at(bm, fi // 8, (1 << (fi % 8)).astype(np.uint8))
+            if len(out):
+                yield out[["host_group", "url_key", "url"]]
+        state.update((bytearray(bm.tobytes()),))
 
     out = src.groupBy("host_group").applyInPandasWithState(
         dedup,
         outputStructType="host_group string, url_key string, url string",
-        stateStructType="keys array<string>",
+        stateStructType="filter binary",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
