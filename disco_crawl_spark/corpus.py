@@ -228,7 +228,9 @@ def generate(
                       n_sections=n_sections,
                       pages_per_section=pages_per_section))
         if dual:
-            # the bare alias is a known host (dual-skip path) with no pages
+            # the bare alias of a dual site serves too (that is what makes
+            # it dual — worker.py:283-353); it gets a root page below so
+            # the lifecycle's index probes discover dual-ness FROM DATA
             reg(HostAttrs(host=canonical[4:], dual=True, index_ok=True,
                           robots_txt=None, n_sections=0, pages_per_section=0))
     for i in range(n_govcms):
@@ -265,6 +267,22 @@ def generate(
     for h in content_hosts:
         c.pages.update(_host_pages(c.hosts[h], link_pool, seed, hub=hub,
                                    redirects=redirects))
+    # dual bare aliases answer their index probe with a content page (no
+    # links — the www side is the crawled canonical): dual-ness is therefore
+    # discoverable ONLY from the pages table, never from a flag
+    for h, a in c.hosts.items():
+        if a.dual and not h.startswith("www.") and a.n_sections == 0:
+            url = f"https://{h}/"
+            html = _page_html(h, "/", a, [], seed)
+            c.pages[url] = {
+                "url": url,
+                "warc_ts": EPOCH + datetime.timedelta(
+                    seconds=_h(url, seed) % 10_000_000),
+                "html": html,
+                "text": refsem.extract_text(html),
+                "lang": "en-us" if _h("lang" + url, seed) % 20 else "en-au",
+                "redirect_to": None,
+            }
 
     c.robots = {h: (None if a.robots_broken else a.robots_txt)
                 for h, a in c.hosts.items()}

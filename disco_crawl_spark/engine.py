@@ -107,6 +107,25 @@ class CrawlEngine:
         else:
             # partitioned by the join key once, reused every round
             self.pages = pages.repartition(F.col("url")).persist()
+        # Index-probe table for the domain-start gauntlet (dual-domain +
+        # index HEAD, worker.py:283-353,636-644), computed FROM THE DATA as
+        # one O(hosts) aggregation over the pages table — never a URL-level
+        # collect, so it holds at a 10^10-URL corpus (hosts ~10^6). Same
+        # dict shape as refsem.root_probes; parity with the simulator is
+        # asserted by the e2e suite.
+        is_root = F.col("url").rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+/$")
+        probe_rows = (pages.select(
+            F.parse_url(F.col("url"), F.lit("HOST")).alias("h"),
+            is_root.alias("r"), "redirect_to")
+            .groupBy("h")
+            .agg(F.max("r").alias("has_root"),
+                 F.max(F.when(F.col("r"), F.coalesce("redirect_to", F.lit(""))))
+                  .alias("rr"))
+            .collect())
+        self.probes = {
+            r["h"]: {"root": bool(r["has_root"]),
+                     "redirect": (r["rr"] or None) if r["has_root"] else None}
+            for r in probe_rows}
         # compacted url_seen base (bucketed catalog table) + per-round tail;
         # see compact_seen()
         self._seen_base = None
@@ -271,7 +290,8 @@ class CrawlEngine:
                                        self.round_no, self.cfg.steward_batch)
         fresh, resumed = [], []
         for host in picks:
-            d = lifecycle.start_decision(host, self.attrs.get(host), self.robots)
+            d = lifecycle.start_decision(host, self.attrs.get(host),
+                                         self.robots, probes=self.probes)
             self._inflate_host(host)
             st = self.dom[host]
             if d.action == "dual-skip":

@@ -118,6 +118,71 @@ def redirect_info(host: str, redirect_to: "str | None") -> "tuple[bool, str | No
 
 
 # ---------------------------------------------------------------------------
+# Root-probe model (HEAD index-page probes answered from the pages table)
+# ---------------------------------------------------------------------------
+
+
+def is_root_url(url: str) -> bool:
+    """True for an index-page URL (path ``/``, no query/fragment) — the URL
+    the reference's HEAD probes hit (worker.py:299-303,565,636)."""
+    p = urlparse(url)
+    return p.path == "/" and not p.query and not p.fragment
+
+
+def root_probes(url_redirects) -> dict:
+    """Build the probe table the lifecycle gauntlet consults, from
+    (url, redirect_to) pairs of the fetch corpus: host → {root: bool,
+    redirect: str|None}. Presence of a host (any page) models "the server
+    answers"; a missing host models a connection error. The Spark engine
+    computes the identical O(hosts) dict with a groupBy over the pages
+    table (never a driver-side URL scan); parity is pinned by the
+    engine-vs-simulator e2e suite."""
+    probes: dict = {}
+    for url, redirect_to in url_redirects:
+        host = urlparse(url).netloc
+        p = probes.setdefault(host, {"root": False, "redirect": None})
+        if is_root_url(url):
+            p["root"] = True
+            p["redirect"] = redirect_to or None
+    return probes
+
+
+def probe_no_redirect_or_local(probes: dict, domain_name: str) -> bool:
+    """``no_redirect_or_local_redirect`` (worker.py:292-338) over the probe
+    table: HEAD the index page with redirects disabled.
+
+    - host absent from the table → connection error on both the https and
+      the http fallback → False;
+    - any non-redirect response → True (a live host with no root page
+      answers 404, which is not a redirect — only exceptions return False);
+    - a redirect whose (resolved) target netloc equals the domain
+      (case-insensitive; a path-only Location is local by construction) →
+      True; an external redirect → False.
+    """
+    p = probes.get(domain_name)
+    if p is None:
+        return False
+    loc = p["redirect"] if p["root"] else None
+    if not loc:
+        return True
+    netloc = urlparse(loc).netloc
+    if not netloc:
+        return True
+    return netloc.lower() == domain_name.lower()
+
+
+def is_dual_domain(probes: dict, domain_name: str) -> bool:
+    """``is_website_dualdomain`` (worker.py:283-353): a site is dual iff
+    BOTH the www and the bare variant answer their index probe with content
+    or a local redirect — i.e. neither is a mere redirect-alias of the
+    other and both actually serve."""
+    nowww = domain_name[4:] if domain_name.startswith("www.") else domain_name
+    www = domain_name if domain_name.startswith("www.") else "www." + domain_name
+    return (probe_no_redirect_or_local(probes, www)
+            and probe_no_redirect_or_local(probes, nowww))
+
+
+# ---------------------------------------------------------------------------
 # Link extraction (LinkParser semantics) and classification
 # ---------------------------------------------------------------------------
 

@@ -81,6 +81,10 @@ class Simulator:
         self.c = corpus
         self.cfg = config or SimConfig()
         self.robots = robots_mod.RobotsCache(corpus.robots)
+        # index-probe table (worker.py:283-353 dual HEADs + :636 index HEAD)
+        # answered from the page corpus — dual-ness is computed from data
+        self.probes = refsem.root_probes(
+            (u, row.get("redirect_to")) for u, row in corpus.pages.items())
         self.domains: dict = {}      # host -> state str
         self.first_seen: dict = {}
         self.groups: dict = {}       # host -> politeness group
@@ -107,7 +111,8 @@ class Simulator:
 
     # -- domain lifecycle (worker.py:550-680) -------------------------
     def _start_domain(self, host: str, round_no: int) -> "DomainCrawl | None":
-        d = lifecycle.start_decision(host, self.c.hosts.get(host), self.robots)
+        d = lifecycle.start_decision(host, self.c.hosts.get(host), self.robots,
+                                     probes=self.probes)
         if d.action == "dual-skip":
             # dual-domain: skip bare name, SEEN the www variant
             self._seen("www." + host, round_no)

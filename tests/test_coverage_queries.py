@@ -34,7 +34,9 @@ def test_page_meta_extract_matches_kernel(spark):
         f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet') "
         "WHERE doc_id < 100").fetchall()}
     rows = entry_mod.queries()["page_meta_extract"](spark, SF).collect()
-    assert len(rows) == len(texts)
+    hashes = {r["doc_id"]: r["content_hash"] for r in
+              entry_mod.queries()["page_content_hash"](spark, SF).collect()}
+    assert len(rows) == len(texts) == len(hashes)
     for r in rows[:25]:
         html = (f"<html><head><title>Doc {r['doc_id']}</title></head>"
                 f"<body><h1>Quality Assessment Statement</h1>"
@@ -42,7 +44,8 @@ def test_page_meta_extract_matches_kernel(spark):
         assert r["title"] == f"Doc {r['doc_id']}"
         # driver-facing select flattens the array for the compare harness
         assert r["keywords"] == "|".join(refsem.keywords(html))
-        assert r["content_hash"] == refsem.content_hash(html.encode())
+        assert r["content_size"] == len(html.encode())
+        assert hashes[r["doc_id"]] == refsem.content_hash(html.encode())
 
 
 def test_approx_distinct_monitor_runs(spark):

@@ -124,3 +124,31 @@ def test_engine_resume_after_midround_kill(spark, c, sim, tmp_warehouse):
     sim_seen = {(g, k) for g, ks in sim.url_seen.items() for k in ks}
     assert eng2.url_seen_set() == sim_seen
     assert set(eng2.events) == set(sim.events)
+
+
+def test_dual_domain_computed_from_probes_not_flag(spark, tmp_warehouse):
+    # VERDICT r2 #8: dual-ness must be decided by the data (index probes
+    # against the pages table, worker.py:283-353), not by a host attribute.
+    # Strip the `dual` flag from every host AFTER page generation: the
+    # pages table still serves both www.X/ and X/, so the engine and the
+    # simulator must STILL dual-skip the bare variants — and agree.
+    c2 = corpus_mod.generate(**CORPUS_KW)
+    dual_bare = sorted(h for h, a in c2.hosts.items()
+                       if a.dual and not h.startswith("www."))
+    assert dual_bare, "corpus must contain dual pairs"
+    for a in c2.hosts.values():
+        a.dual = False  # the flag is dead; only the pages table knows
+    sim2 = refsim.Simulator(c2).run()
+    eng = CrawlEngine(spark, _pages_df(spark, c2), c2.robots, c2.hosts,
+                      tmp_warehouse, seeds=c2.seeds)
+    eng.run()
+    assert eng.crawl_order() == sim2.order
+    assert set(eng.events) == set(sim2.events)
+    skipped = {h for _, h, m in eng.events if m == "dual-domain"}
+    for h in dual_bare:
+        # every started bare dual alias was probe-detected and skipped
+        if any(ev[1] == h for ev in eng.events):
+            assert h in skipped
+    assert skipped & set(dual_bare), "probe-detected dual-skip must fire"
+    crawled = {h for _, h, _, _ in eng.crawl_order()}
+    assert not (crawled & set(dual_bare))
