@@ -295,6 +295,66 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str, id_col: str,
 
 
 # ---------------------------------------------------------------------------
+# near-dup clustering: pairs → connected components → canonical doc
+# ---------------------------------------------------------------------------
+
+
+def connected_components(vertices: DataFrame, pairs: DataFrame,
+                         id_col: str, a: str = "a", b: str = "b",
+                         max_iters: int = 20) -> DataFrame:
+    """Cluster the near-dup pair graph: returns (id, comp) where ``comp``
+    is the minimum vertex id of each connected component — the canonical
+    document every duplicate collapses to (the missing last stage of any
+    dedup pipeline: pairs alone don't say which copy to keep).
+
+    Algorithm: iterative min-label propagation. Each round every vertex
+    takes the min of its own label and its neighbors' labels — one join +
+    one groupBy(min) per round, both shuffling on the vertex id, so rounds
+    are plain hash-partitioned aggregations that scale like any groupBy.
+    Rounds needed = graph diameter; near-dup clusters are shallow (dups of
+    a common ancestor), so convergence is fast — the loop stops at the
+    first round with no label change (one count action per round;
+    ``max_iters`` bounds adversarial chains). Deterministic: min over a
+    set, no RNG, no iteration-order dependence. At web scale the same loop
+    is the standard large-star/small-star recipe; labels persist per round
+    and the previous round's cache is released."""
+    edges = (pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+             .unionByName(pairs.select(F.col(b).alias("src"),
+                                       F.col(a).alias("dst"))))
+    labels = vertices.select(F.col(id_col).alias("id"),
+                             F.col(id_col).alias("comp")).persist()
+    labels.count()
+    for _ in range(max_iters):
+        msgs = (edges.join(labels.withColumnRenamed("id", "src"), "src")
+                .select(F.col("dst").alias("id"), "comp"))
+        new_labels = (labels.unionByName(msgs)
+                      .groupBy("id").agg(F.min("comp").alias("comp"))
+                      .persist())
+        changed = (new_labels.join(labels.withColumnRenamed("comp", "old"),
+                                   "id")
+                   .filter(F.col("comp") != F.col("old")).count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    out = labels.localCheckpoint(eager=True)
+    labels.unpersist()
+    return out
+
+
+def dedup_keep(df: DataFrame, pairs: DataFrame, id_col: str,
+               a: str = "a", b: str = "b") -> DataFrame:
+    """Canonical-document selection over a near-dup pair set: every doc maps
+    to its component's minimum id (``keep_id``); ``is_canonical`` marks the
+    one copy a training corpus retains. Docs in no pair are their own
+    component."""
+    comps = connected_components(df, pairs, id_col, a, b)
+    return (df.join(comps, df[id_col] == comps["id"])
+            .select(F.col(id_col), F.col("comp").alias("keep_id"),
+                    (F.col("comp") == F.col(id_col)).alias("is_canonical")))
+
+
+# ---------------------------------------------------------------------------
 # token-set Jaccard (SQL-parity variant; oracle-checkable in DuckDB)
 # ---------------------------------------------------------------------------
 

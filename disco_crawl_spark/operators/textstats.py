@@ -11,7 +11,7 @@ from __future__ import annotations
 import hashlib
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (ArrayType, IntegerType, LongType, StringType,
                                StructField, StructType)
@@ -78,6 +78,77 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         punct_ratio.alias("punct_ratio"), stop_ratio.alias("stopword_ratio"),
         upper_ratio.alias("upper_ratio"), score.alias("quality"),
     )
+
+
+# ---------------------------------------------------------------------------
+# repetition stats (Gopher/MassiveText-style repetition filters)
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(df: DataFrame, text_col: str, id_col: str,
+                     ngram: int = 2) -> DataFrame:
+    """The repetition signals large-corpus quality filters cut on (Gopher
+    rules: Rae et al. 2021 §A1.1): duplicate-token fraction and the
+    character fraction covered by the single most frequent word n-gram.
+    Entirely built-in expressions — the n-grams are built with
+    ``transform(sequence(...))`` over the token array and the max-frequency
+    n-gram is found with one explode + groupBy + window max, so the only
+    shuffle is the (doc, ngram) aggregation and map-side combine applies.
+    Returns (id, n_tokens, dup_token_frac, top_ngram, top_ngram_frac)."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    n_tok = F.size(toks)
+    dup_frac = F.round(F.coalesce(
+        F.try_divide(n_tok - F.size(F.array_distinct(toks)), n_tok),
+        F.lit(0.0)), 6)
+    base = df.select(
+        F.col(id_col), F.length(F.col(text_col)).alias("n_chars"),
+        n_tok.alias("n_tokens"), dup_frac.alias("dup_token_frac"),
+        F.when(n_tok >= ngram, F.transform(
+            F.sequence(F.lit(0), n_tok - ngram),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j + 1).cast("int"))
+                       for j in range(ngram)])))
+        .otherwise(F.array().cast("array<string>")).alias("grams"))
+    ex = base.select(id_col, "n_chars", "n_tokens", "dup_token_frac",
+                     F.explode_outer("grams").alias("g"))
+    counts = (ex.groupBy(id_col, "n_chars", "n_tokens", "dup_token_frac", "g")
+              .agg(F.count(F.lit(1)).alias("c")))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("c").desc(), F.col("g").asc_nulls_last())
+    top = (counts.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") == 1))
+    top_frac = F.round(F.coalesce(
+        F.try_divide(F.col("c") * F.length("g"), F.col("n_chars")),
+        F.lit(0.0)), 6)
+    return top.select(
+        F.col(id_col), F.col("n_tokens"), F.col("dup_token_frac"),
+        F.coalesce(F.col("g"), F.lit("")).alias("top_ngram"),
+        F.when(F.col("g").isNull(), F.lit(0.0)).otherwise(top_frac)
+         .alias("top_ngram_frac"))
+
+
+# ---------------------------------------------------------------------------
+# deterministic weighted sampling (corpus mixing)
+# ---------------------------------------------------------------------------
+
+
+def weighted_sample(df: DataFrame, group_col: str, weights: dict,
+                    id_col: str, seed: int = 42,
+                    default_weight: float = 1.0) -> DataFrame:
+    """Per-group Bernoulli sampling for training-mix construction: keep a
+    row iff U(md5(seed|id)) < weight(group). The uniform draw is a pure
+    hash of the row id — no RNG state, so the sample is identical across
+    retries, repartitions, and cluster sizes (the property a distributed
+    sampler needs and ``DataFrame.sample`` does not give), and it is
+    ANSI-SQL-expressible for the oracle. 15 hex digits < 2^60, exact in a
+    double."""
+    u = (F.conv(F.substring(
+        F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(id_col).cast("string"))),
+        1, 15), 16, 10).cast("double") / float(16 ** 15))
+    w = F.lit(float(default_weight))
+    for g, frac in sorted(weights.items()):
+        w = F.when(F.col(group_col) == g, F.lit(float(frac))).otherwise(w)
+    return df.filter(u < w)
 
 
 # ---------------------------------------------------------------------------

@@ -951,6 +951,95 @@ def fingerprint_overlap(spark, sf):
                                                min_shared=3)
 
 
+@q("dedup_clusters", """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS tk
+  FROM documents WHERE doc_id < 200),
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM toks a, toks b
+  WHERE a.doc_id < b.doc_id
+    AND round(len(list_intersect(a.tk, b.tk))::DOUBLE /
+              len(list_distinct(list_concat(a.tk, b.tk))), 6) >= 0.5),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION ALL SELECT b, a FROM pairs),
+walk AS (
+  SELECT doc_id AS id, doc_id AS comp FROM documents WHERE doc_id < 200
+  UNION
+  SELECT e.dst AS id, w.comp
+  FROM walk w JOIN edges e ON e.src = w.id)
+SELECT id AS doc_id, min(comp) AS keep_id,
+       (min(comp) = id) AS is_canonical
+FROM walk GROUP BY id
+""")
+def dedup_clusters(spark, sf):
+    """Near-dup CLUSTERING — the stage after pair generation that decides
+    which copy a training corpus keeps: token-Jaccard pairs → connected
+    components (iterative min-label propagation) → canonical = component
+    min id. The DuckDB oracle walks the same graph with a recursive CTE."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    pairs = dedup.token_jaccard_pairs(d, "text", "doc_id", threshold=0.5,
+                                      id_cap=200)
+    return dedup.dedup_keep(d, pairs, "doc_id")
+
+
+@q("repetition_stats", """
+WITH base AS (
+  SELECT doc_id, length(text) AS n_chars,
+         string_split(lower(text), ' ') AS t
+  FROM documents),
+st AS (
+  SELECT doc_id, n_chars, len(t) AS n_tokens,
+    round(coalesce((len(t) - len(list_distinct(t)))::DOUBLE
+                   / nullif(len(t), 0), 0), 6) AS dup_token_frac,
+    CASE WHEN len(t) >= 2
+         THEN list_transform(range(len(t) - 1),
+                             i -> t[i+1] || ' ' || t[i+2])
+         ELSE []::VARCHAR[] END AS grams
+  FROM base),
+cnt AS (
+  SELECT doc_id, n_chars, n_tokens, dup_token_frac, u.g, count(*) AS c
+  FROM st, unnest(grams) AS u(g)
+  GROUP BY ALL),
+top AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY c DESC, g ASC) AS rn
+    FROM cnt) WHERE rn = 1)
+SELECT s.doc_id, s.n_tokens, s.dup_token_frac,
+       coalesce(t.g, '') AS top_ngram,
+       round(coalesce(t.c * length(t.g)::DOUBLE / nullif(s.n_chars, 0), 0), 6)
+         AS top_ngram_frac
+FROM st s LEFT JOIN top t USING (doc_id)
+""")
+def repetition_stats_q(spark, sf):
+    """Gopher-style repetition filters (duplicate-token fraction, top-bigram
+    character coverage) — the quality signals that cut boilerplate-heavy
+    crawl text from training corpora."""
+    d = _t(spark, sf, "documents")
+    return textstats.repetition_stats(d, "text", "doc_id", ngram=2)
+
+
+@q("corpus_mix_sample", """
+SELECT doc_id, lang, source FROM documents
+WHERE ('0x' || substr(md5('42|' || doc_id::VARCHAR), 1, 15))::UBIGINT::DOUBLE
+      / 1152921504606846976
+      < (CASE WHEN lang = 'en' THEN 0.8 WHEN lang = 'de' THEN 0.25
+              ELSE 0.5 END)
+""")
+def corpus_mix_sample(spark, sf):
+    """Deterministic weighted corpus mixing: per-language Bernoulli keep
+    probabilities driven by a pure hash of the doc id — identical sample
+    under retries, repartitions, and cluster sizes (what a distributed
+    training-mix sampler needs; DataFrame.sample is none of those)."""
+    d = _t(spark, sf, "documents")
+    out = textstats.weighted_sample(
+        d, "lang", {"en": 0.8, "de": 0.25}, "doc_id", seed=42,
+        default_weight=0.5)
+    return out.select("doc_id", "lang", "source")
+
+
 @q("redact_pii", r"""
 WITH t AS (
   SELECT doc_id,

@@ -338,3 +338,52 @@ def test_resize_images_nearest_neighbor(spark):
         got = np.frombuffer(bytes(r["payload"]).split(b":", 2)[2],
                             dtype=np.uint8).reshape(3, 4)
         assert (got == expect).all()
+
+
+def test_connected_components_and_dedup_keep(spark):
+    # two triangles sharing nothing + one chain + singletons; canonical =
+    # component min, independent of edge order and partitioning
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(10)],
+                                 "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 5), (5, 7), (2, 3), (8, 9), (9, 2)],  # {1,5,7} {2,3,8,9}
+        "a long, b long").repartition(7)
+    out = {r["doc_id"]: (r["keep_id"], r["is_canonical"])
+           for r in dedup.dedup_keep(docs, pairs, "doc_id").collect()}
+    assert len(out) == 10
+    for i in (1, 5, 7):
+        assert out[i] == (1, i == 1)
+    for i in (2, 3, 8, 9):
+        assert out[i] == (2, i == 2)
+    for i in (0, 4, 6):
+        assert out[i] == (i, True)
+
+
+def test_weighted_sample_deterministic_and_proportional(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de") for i in range(4000)],
+        "doc_id long, lang string")
+    kept1 = sorted(r["doc_id"] for r in textstats.weighted_sample(
+        df, "lang", {"en": 0.7, "de": 0.2}, "doc_id").collect())
+    # identical under a different partitioning (hash-driven, no RNG state)
+    kept2 = sorted(r["doc_id"] for r in textstats.weighted_sample(
+        df.repartition(13), "lang", {"en": 0.7, "de": 0.2},
+        "doc_id").collect())
+    assert kept1 == kept2
+    en = sum(1 for i in kept1 if i % 2)
+    de = len(kept1) - en
+    assert abs(en / 2000 - 0.7) < 0.05 and abs(de / 2000 - 0.2) < 0.05
+
+
+def test_repetition_stats_flags_repeats(spark):
+    df = spark.createDataFrame(
+        [(0, "spam ham " * 50), (1, "all distinct words only here"), (2, "")],
+        "doc_id long, text string")
+    df = df.withColumn("text", F.trim("text"))
+    out = {r["doc_id"]: r for r in textstats.repetition_stats(
+        df, "text", "doc_id").collect()}
+    assert out[0]["dup_token_frac"] > 0.9
+    assert out[0]["top_ngram"] in ("spam ham", "ham spam")
+    assert out[0]["top_ngram_frac"] > 0.4
+    assert out[1]["dup_token_frac"] == 0.0
+    assert out[2]["top_ngram"] == "" and out[2]["top_ngram_frac"] == 0.0
