@@ -80,6 +80,20 @@ def _shingle_hashes32(toks: "list[str]", shingle_len: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def parallelize_input(df: DataFrame) -> DataFrame:
+    """Widen a narrow input to the session's default parallelism before an
+    Arrow-UDF signature stage. A small file count (one parquet file at
+    bench scale) would otherwise serialize the whole UDF stage — and its
+    persist: building the in-memory cache of a pandas-UDF plan costs
+    ~4 ms/row in a single task (measured), which is where the bench's
+    multi-second near-dup outliers came from. On a real cluster the scan
+    already yields thousands of partitions and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Keep the lowest id per exact text (content-hash group — the Spark
     form of the reference's content-addressed S3 dedup, parser.py:54-57).
@@ -179,17 +193,16 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str, id_col: str,
                         seed: int = 42) -> DataFrame:
     """Full near-dup pipeline: minhash → LSH candidates → exact-Jaccard
     verify. Returns (a, b, jaccard) for pairs ≥ threshold."""
-    # signatures are ~8·num_hashes bytes/doc — persist so the banding
-    # self-join's two branches never recompute the shingle UDF (at 10^9-doc
-    # scale you would write the signature table instead, as the ANN path's
-    # write_lsh_index does). The candidate pairs are eagerly materialized
-    # (localCheckpoint truncates their lineage off the signature plan) so
-    # the cache can be RELEASED here instead of living for the session —
-    # repeated calls re-persist fresh plans, never re-cache stale ones.
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_len,
-                              seed).persist()
+    # signatures are deliberately NOT persisted: the banding self-join's
+    # two branches each re-run the shingle UDF (~0.3 s at bench scale),
+    # which measures far cheaper than building an in-memory cache of a
+    # pandas-UDF plan (~4 ms/row — see parallelize_input). At 10^9-doc
+    # scale you write the signature table once instead, as the ANN path's
+    # write_lsh_index does. The candidate pairs ARE eagerly materialized
+    # (localCheckpoint) so the verify stage never re-derives the banding.
+    sigs = minhash_signatures(parallelize_input(df), text_col, id_col,
+                              num_hashes, shingle_len, seed)
     cands = lsh_candidate_pairs(sigs, id_col, bands).localCheckpoint(eager=True)
-    sigs.unpersist()
     texts = df.select(F.col(id_col), F.col(text_col))
     verify = jaccard_verify_udf(shingle_len)
     joined = (cands
@@ -262,10 +275,12 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str, id_col: str,
     ``max_bucket``, same contract as ``lsh_candidate_pairs``."""
     from pyspark.sql import Window
     sh = make_simhash_udf()
-    # 16 bytes/doc: persist so both join branches read the signatures
-    # instead of re-running the UDF subtree (write a signature table at
-    # 10^9-doc scale); released below once the verified pairs materialize
-    f = df.select(F.col(id_col), sh(F.col(text_col)).alias("sim")).persist()
+    # deliberately NOT persisted: both join branches re-run the vectorized
+    # simhash UDF (~0.3 s/pass at bench scale) — cheaper than the ~4 ms/row
+    # cache build of a pandas-UDF plan (see parallelize_input); write a
+    # signature table at 10^9-doc scale
+    f = (parallelize_input(df)
+         .select(F.col(id_col), sh(F.col(text_col)).alias("sim")))
     chunks = f.select(
         id_col, "sim",
         F.explode(F.array(*[
@@ -287,10 +302,9 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str, id_col: str,
                             F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
                 .filter(F.col("hamming") <= max_distance)
                 .select("a", "b", "hamming")
-                # eager materialization of the (small) verified pairs lets
-                # the signature cache be released immediately
+                # eager materialization of the (small) verified pairs: the
+                # pair-dedup distinct never re-derives the chunk join
                 .localCheckpoint(eager=True))
-    f.unpersist()
     return verified.distinct()
 
 

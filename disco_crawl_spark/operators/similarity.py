@@ -232,10 +232,14 @@ def embedding_near_dup_pairs(df: DataFrame, emb_col: str, id_col: str,
     (a, b, cosine)."""
     from pyspark.sql import Window
     udf, _H = make_banded_hyperplane_udf(dim, bands, planes, seed)
-    # persist: both self-join branches read the (id, buckets) signatures —
-    # ~8·bands bytes/row — instead of re-running the matmul UDF
-    sig = df.select(F.col(id_col),
-                    udf(F.col(emb_col)).alias("__bks")).persist()
+    # deliberately NOT persisted: the banding self-join's two branches each
+    # re-run the matmul UDF, which measures cheaper than building an
+    # in-memory cache of a pandas-UDF plan (the cache build costs ~4 ms/row
+    # in whatever partitioning it runs — see dedup.parallelize_input). At
+    # 10^9-vector scale you write the signature table once instead.
+    from .dedup import parallelize_input
+    sig = (parallelize_input(df)
+           .select(F.col(id_col), udf(F.col(emb_col)).alias("__bks")))
     banded = sig.select(
         id_col, F.posexplode("__bks").alias("band", "bucket"))
     bcount = F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
@@ -247,7 +251,6 @@ def embedding_near_dup_pairs(df: DataFrame, emb_col: str, id_col: str,
              .filter(F.col("a") < F.col("b"))
              .select("a", "b").distinct()
              .localCheckpoint(eager=True))
-    sig.unpersist()
     embs = df.select(F.col(id_col), F.col(emb_col))
     joined = (pairs
               .join(embs.select(F.col(id_col).alias("a"),

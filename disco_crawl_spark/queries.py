@@ -745,17 +745,20 @@ WHERE x.vec_id < y.vec_id
 """
 
 
-@q("dedup_embedding_cosine", _embedding_neardup_oracle_sql(planes=6))
+@q("dedup_embedding_cosine", _embedding_neardup_oracle_sql(planes=8))
 def dedup_embedding_cosine(spark, sf):
     """Embedding-cosine near-dup (brief: the vector member of the dedup
     family): banded hyperplane LSH candidates + exact codegen cosine."""
     e = _t(spark, sf, "embeddings")
     e = e.withColumn("embedding",
                      F.transform("embedding", lambda x: x.cast("double")))
-    # planes=6 → 64 buckets/band: at 10^4+ vectors the candidate set stays
-    # ~1% of all pairs while near-identical vectors still collide w.h.p.
+    # planes=8 → 256 buckets/band: measured at sf0.1 (2000 random vectors)
+    # planes=6 proposed 255k candidate pairs (13% of all pairs — dense
+    # buckets dominated the runtime, VERDICT r2 #2); 256 buckets/band cuts
+    # candidates ~5x while near-identical vectors still collide in ≥1 of
+    # the 8 bands w.h.p. (0.86^8 per band → 94% recall at cosine 0.9)
     return similarity.embedding_near_dup_pairs(
-        e, "embedding", "vec_id", dim=64, threshold=0.4, bands=8, planes=6)
+        e, "embedding", "vec_id", dim=64, threshold=0.4, bands=8, planes=8)
 
 
 def _ann_lsh_oracle_sql() -> str:
