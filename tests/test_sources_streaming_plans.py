@@ -353,3 +353,28 @@ def test_pyfiles_zip_is_complete_and_importable(tmp_path):
         capture_output=True, text=True, timeout=120)
     assert out.returncode == 0, out.stderr[-2000:]
     assert "zip-import-ok" in out.stdout
+
+
+def test_corpus_mix_sample_plan_no_exchange(spark):
+    # hash-Bernoulli sampling must be a pure filter on the scan: no RNG
+    # state, no exchange, columns pruned to the projected three
+    from disco_crawl_spark import queries as q
+    df = q.queries()["corpus_mix_sample"](spark, "/root/testdata/sf0.001")
+    assert plans.shuffle_count(df) == 0
+    rs = plans.scan_schema(df)
+    assert "text" not in rs and "n_chars" not in rs
+
+
+def test_repetition_stats_shuffles_aggregates_not_grams(spark):
+    # two exchanges — (doc, ngram) count then doc-keyed window — is the
+    # minimal-data shape: both move post-aggregation rows, never the
+    # exploded gram stream (a single doc-keyed pre-shuffle would move the
+    # raw grams instead). Map-side partial_count must precede the first,
+    # and the window must run through WindowGroupLimit (partial top-1
+    # before the exchange), not a full sort of all counts.
+    from disco_crawl_spark import queries as q
+    df = q.queries()["repetition_stats"](spark, "/root/testdata/sf0.001")
+    s = plans.explain_str(df, "simple")
+    assert plans.shuffle_count(df) == 2
+    assert "partial_count" in s
+    assert s.count("WindowGroupLimit") == 2  # Partial + Final
