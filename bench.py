@@ -33,7 +33,8 @@ HEADLINE = [
     "tpch_q1", "tpch_q3_topk", "tpch_q5_join_chain", "agg_counts",
     "window_budget_rank", "sessionize_lag", "seen_anti_join",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_embedding_cosine", "token_count", "quality_score",
+    "dedup_embedding_cosine", "dedup_clusters", "repetition_stats",
+    "corpus_mix_sample", "token_count", "quality_score",
     "ann_cosine_topk", "steward_hash_order", "json_extract",
 ]
 
