@@ -4,13 +4,16 @@ __spark_entry__ must match DuckDB on row count and order-insensitive values
 run and return a stable schema."""
 
 import math
+import os
 
 import duckdb
 import pytest
 
 import __spark_entry__ as entry_mod
 
-SF_DIR = "/root/testdata/sf0.001"
+# default sf0.001 keeps the suite fast; set DISCO_TEST_SF=/root/testdata/sf0.01
+# to mirror the driver's gate scale exactly
+SF_DIR = os.environ.get("DISCO_TEST_SF", "/root/testdata/sf0.001")
 TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
 
