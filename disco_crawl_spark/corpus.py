@@ -131,6 +131,20 @@ def _page_html(host: str, path: str, cfg: HostAttrs, links: list, seed: int) -> 
     return html.encode("utf-8")
 
 
+def _page_row(url: str, html: bytes, seed: int,
+              redirect_to: "str | None" = None) -> dict:
+    """The one place a pages-table row is shaped: every column derives from
+    (url, html, seed) so any generation path produces identical rows."""
+    return {
+        "url": url,
+        "warc_ts": EPOCH + datetime.timedelta(seconds=_h(url, seed) % 10_000_000),
+        "html": html,
+        "text": refsem.extract_text(html),
+        "lang": "en-us" if _h("lang" + url, seed) % 20 else "en-au",
+        "redirect_to": redirect_to,
+    }
+
+
 def _section_path(j: int) -> str:
     return f"/s{j}/"
 
@@ -158,14 +172,7 @@ def _host_pages(cfg: HostAttrs, all_hosts: list, seed: int,
             html = (f"<html><head><title>Redirecting</title></head>"
                     f"<body><p>Moved to {redirect_to}.</p></body>"
                     f"</html>").encode("utf-8")
-        pages[url] = {
-            "url": url,
-            "warc_ts": EPOCH + datetime.timedelta(seconds=_h(url, seed) % 10_000_000),
-            "html": html,
-            "text": refsem.extract_text(html),
-            "lang": "en-us" if _h("lang" + url, seed) % 20 else "en-au",
-            "redirect_to": redirect_to,
-        }
+        pages[url] = _page_row(url, html, seed, redirect_to)
 
     ns, pps = cfg.n_sections, cfg.pages_per_section
     # redirect trio (worker.py:468-494): internal (path-only Location),
@@ -273,16 +280,8 @@ def generate(
     for h, a in c.hosts.items():
         if a.dual and not h.startswith("www.") and a.n_sections == 0:
             url = f"https://{h}/"
-            html = _page_html(h, "/", a, [], seed)
-            c.pages[url] = {
-                "url": url,
-                "warc_ts": EPOCH + datetime.timedelta(
-                    seconds=_h(url, seed) % 10_000_000),
-                "html": html,
-                "text": refsem.extract_text(html),
-                "lang": "en-us" if _h("lang" + url, seed) % 20 else "en-au",
-                "redirect_to": None,
-            }
+            c.pages[url] = _page_row(url, _page_html(h, "/", a, [], seed),
+                                     seed)
 
     c.robots = {h: (None if a.robots_broken else a.robots_txt)
                 for h, a in c.hosts.items()}

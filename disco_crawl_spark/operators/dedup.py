@@ -321,39 +321,52 @@ def connected_components(vertices: DataFrame, pairs: DataFrame,
     document every duplicate collapses to (the missing last stage of any
     dedup pipeline: pairs alone don't say which copy to keep).
 
-    Algorithm: iterative min-label propagation. Each round every vertex
-    takes the min of its own label and its neighbors' labels — one join +
-    one groupBy(min) per round, both shuffling on the vertex id, so rounds
-    are plain hash-partitioned aggregations that scale like any groupBy.
-    Rounds needed = graph diameter; near-dup clusters are shallow (dups of
-    a common ancestor), so convergence is fast — the loop stops at the
-    first round with no label change (one count action per round;
-    ``max_iters`` bounds adversarial chains). Deterministic: min over a
-    set, no RNG, no iteration-order dependence. At web scale the same loop
-    is the standard large-star/small-star recipe; labels persist per round
-    and the previous round's cache is released."""
+    Algorithm: min-label propagation with pointer jumping. Each round
+    every vertex takes the min of (its label, its neighbors' labels, and
+    ITS LABEL'S label — the pointer jump), so a path of length d converges
+    in O(log d) rounds instead of d (the standard large-star/small-star
+    contraction); each round is two joins + one groupBy(min), all
+    shuffling on the vertex id — plain hash-partitioned aggregations that
+    scale like any groupBy. The loop stops at the first round with no
+    label change (one count action per round). A graph that somehow fails
+    to converge within ``max_iters`` (diameter > 2^max_iters) RAISES
+    rather than returning silently non-minimal components — dedup_keep
+    marking two canonicals in one cluster would corrupt a corpus.
+    Deterministic: min over a set, no RNG, no iteration-order
+    dependence."""
     edges = (pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
              .unionByName(pairs.select(F.col(b).alias("src"),
                                        F.col(a).alias("dst"))))
+    # each round's labels are eagerly checkpointed: the pointer-jump
+    # self-join would otherwise NEST the previous round's plan twice per
+    # round (exponential logical-plan growth — planning itself OOMs long
+    # before the data does); lineage truncation keeps every round's plan
+    # flat, the same reason the crawl engine reads its deltas back
     labels = vertices.select(F.col(id_col).alias("id"),
-                             F.col(id_col).alias("comp")).persist()
-    labels.count()
+                             F.col(id_col).alias("comp"))
+    labels = labels.localCheckpoint(eager=True)
     for _ in range(max_iters):
         msgs = (edges.join(labels.withColumnRenamed("id", "src"), "src")
                 .select(F.col("dst").alias("id"), "comp"))
-        new_labels = (labels.unionByName(msgs)
+        # pointer jump: vertex v with label c learns c's current label
+        jump = (labels.join(labels.select(F.col("id").alias("comp"),
+                                          F.col("comp").alias("jcomp")),
+                            "comp")
+                .select("id", F.col("jcomp").alias("comp")))
+        new_labels = (labels.unionByName(msgs).unionByName(jump)
                       .groupBy("id").agg(F.min("comp").alias("comp"))
-                      .persist())
+                      .localCheckpoint(eager=True))
         changed = (new_labels.join(labels.withColumnRenamed("comp", "old"),
                                    "id")
                    .filter(F.col("comp") != F.col("old")).count())
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    out = labels.localCheckpoint(eager=True)
-    labels.unpersist()
-    return out
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            f"(component diameter > 2^{max_iters}?)")
+    return labels
 
 
 def dedup_keep(df: DataFrame, pairs: DataFrame, id_col: str,

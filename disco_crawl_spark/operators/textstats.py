@@ -140,11 +140,13 @@ def weighted_sample(df: DataFrame, group_col: str, weights: dict,
     hash of the row id — no RNG state, so the sample is identical across
     retries, repartitions, and cluster sizes (the property a distributed
     sampler needs and ``DataFrame.sample`` does not give), and it is
-    ANSI-SQL-expressible for the oracle. 15 hex digits < 2^60, exact in a
-    double."""
+    ANSI-SQL-expressible for the oracle. 13 hex digits = 52 bits, below a
+    double's 53-bit mantissa, so the integer→double conversion and the
+    division by 2^52 are EXACT on every engine — no rounding at weight
+    boundaries."""
     u = (F.conv(F.substring(
         F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(id_col).cast("string"))),
-        1, 15), 16, 10).cast("double") / float(16 ** 15))
+        1, 13), 16, 10).cast("double") / float(16 ** 13))
     w = F.lit(float(default_weight))
     for g, frac in sorted(weights.items()):
         w = F.when(F.col(group_col) == g, F.lit(float(frac))).otherwise(w)

@@ -1026,8 +1026,8 @@ def repetition_stats_q(spark, sf):
 
 @q("corpus_mix_sample", """
 SELECT doc_id, lang, source FROM documents
-WHERE ('0x' || substr(md5('42|' || doc_id::VARCHAR), 1, 15))::UBIGINT::DOUBLE
-      / 1152921504606846976
+WHERE ('0x' || substr(md5('42|' || doc_id::VARCHAR), 1, 13))::UBIGINT::DOUBLE
+      / 4503599627370496
       < (CASE WHEN lang = 'en' THEN 0.8 WHEN lang = 'de' THEN 0.25
               ELSE 0.5 END)
 """)

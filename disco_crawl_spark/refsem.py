@@ -136,14 +136,22 @@ def root_probes(url_redirects) -> dict:
     answers"; a missing host models a connection error. The Spark engine
     computes the identical O(hosts) dict with a groupBy over the pages
     table (never a driver-side URL scan); parity is pinned by the
-    engine-vs-simulator e2e suite."""
+    engine-vs-simulator e2e suite.
+
+    A host can carry multiple root rows (e.g. an http and an https root in
+    a merged table). Both implementations apply the same input-order-free
+    rule — ``redirect = max over root rows of (redirect_to or '')``, empty
+    meaning a content response — which the engine expresses as
+    ``F.max(when(is_root, coalesce(redirect_to, '')))``."""
     probes: dict = {}
     for url, redirect_to in url_redirects:
         host = urlparse(url).netloc
-        p = probes.setdefault(host, {"root": False, "redirect": None})
+        p = probes.setdefault(host, {"root": False, "redirect": ""})
         if is_root_url(url):
             p["root"] = True
-            p["redirect"] = redirect_to or None
+            p["redirect"] = max(p["redirect"] or "", redirect_to or "")
+    for p in probes.values():
+        p["redirect"] = p["redirect"] or None
     return probes
 
 

@@ -110,20 +110,31 @@ def run_seen_filter_stream(
     never shuffle to another task.
 
     Per-group state is a fixed-size Bloom bitmap (``bloom_bits`` bits,
-    default 128 KiB/group), NOT the key set: state size is O(bits) no
-    matter how many keys stream through, and each micro-batch rewrites a
-    constant-size value — a 10^10-key group would overflow any exact
-    GroupState. The trade is a bounded false-positive rate (a new key can
-    be wrongly dropped once the group nears saturation: ~1e-8 at 10^4
-    keys/group with the defaults). This operator is therefore the
-    STREAMING PRE-FILTER of the seen pipeline; exactness is owned by the
-    batch engine's compacted bucketed anti-join, exactly like the batch
-    Bloom sidecar (operators/bloom.py) whose index derivation this reuses
-    (md5-hex key material sliced directly — no rehash)."""
+    default 128 KiB/group) plus a key counter, NOT the key set: state size
+    is O(bits) no matter how many keys stream through, and each
+    micro-batch rewrites a constant-size value — a 10^10-key group would
+    overflow any exact GroupState.
+
+    Error direction matters: a Bloom false positive here would DROP a
+    never-seen URL, and nothing downstream can resurrect a row that was
+    never emitted. Two defenses keep that loss negligible-to-zero:
+    (a) while a group holds ≤ ``max_keys`` keys (default sized so the
+    false-positive rate stays ≤ ~1e-4: n = m/38 ⇒ fill ≈ 10%, fp ≈
+    (1-e^(-kn/m))^k = 0.1^4; at 10^4 keys in a 2^20-bit filter fp ≈
+    2e-6), maybe-seen rows are dropped — at those fill levels they are
+    overwhelmingly true duplicates; (b) past ``max_keys`` the filter is
+    saturating, so the operator FAILS OPEN: every row passes through
+    (at-least-once emission) and exact dedup belongs to the batch engine's
+    bucketed anti-join downstream, which CAN remove re-emitted duplicates
+    — the recoverable error direction. Same index derivation as the batch
+    Bloom sidecar (operators/bloom.py): md5-hex key material sliced
+    directly, no rehash."""
     import numpy as np
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     from ..operators.bloom import _indexes
+
+    max_keys = bloom_bits // 38  # ≈10% fill ⇒ fp ≈ 1e-4 at k=4
 
     src = (spark.readStream
            .schema("host_group string, url_key string, url string")
@@ -132,25 +143,34 @@ def run_seen_filter_stream(
     def dedup(key, pdfs, state: GroupState):
         if state.exists:
             bm = np.frombuffer(state.get[0], dtype=np.uint8).copy()
+            n_keys = int(state.get[1])
         else:
             bm = np.zeros(bloom_bits // 8, dtype=np.uint8)
+            n_keys = 0
         for pdf in pdfs:
             pdf = pdf.drop_duplicates(subset=["url_key"], keep="first")
             if not len(pdf):
+                continue
+            if n_keys > max_keys:
+                # saturated: fail open (pass everything; exactness lives in
+                # the batch anti-join) rather than silently dropping novel
+                # URLs at a climbing false-positive rate
+                yield pdf[["host_group", "url_key", "url"]]
                 continue
             idx = _indexes(list(pdf["url_key"]), bloom_bits, bloom_k)
             fresh = ~(((bm[idx // 8] >> (idx % 8)) & 1).all(axis=1))
             out = pdf[fresh]
             fi = idx[fresh].ravel()
             np.bitwise_or.at(bm, fi // 8, (1 << (fi % 8)).astype(np.uint8))
+            n_keys += int(fresh.sum())
             if len(out):
                 yield out[["host_group", "url_key", "url"]]
-        state.update((bytearray(bm.tobytes()),))
+        state.update((bytearray(bm.tobytes()), n_keys))
 
     out = src.groupBy("host_group").applyInPandasWithState(
         dedup,
         outputStructType="host_group string, url_key string, url string",
-        stateStructType="filter binary",
+        stateStructType="filter binary, n_keys long",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -387,3 +387,15 @@ def test_repetition_stats_flags_repeats(spark):
     assert out[0]["top_ngram_frac"] > 0.4
     assert out[1]["dup_token_frac"] == 0.0
     assert out[2]["top_ngram"] == "" and out[2]["top_ngram_frac"] == 0.0
+
+
+def test_connected_components_long_chain_converges_logarithmically(spark):
+    # a 60-node path has propagation distance 59; pointer jumping must
+    # close it within the default max_iters=20 (log2(59) ≈ 6 rounds) and
+    # label every node with the chain minimum
+    docs = spark.createDataFrame([(i, "x") for i in range(60)],
+                                 "doc_id long, text string")
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(59)],
+                                  "a long, b long")
+    out = dedup.connected_components(docs, pairs, "doc_id")
+    assert {r["comp"] for r in out.collect()} == {0}
