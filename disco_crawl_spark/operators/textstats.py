@@ -11,7 +11,7 @@ from __future__ import annotations
 import hashlib
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (ArrayType, IntegerType, LongType, StringType,
                                StructField, StructType)
@@ -90,10 +90,14 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str,
     """The repetition signals large-corpus quality filters cut on (Gopher
     rules: Rae et al. 2021 §A1.1): duplicate-token fraction and the
     character fraction covered by the single most frequent word n-gram.
-    Entirely built-in expressions — the n-grams are built with
-    ``transform(sequence(...))`` over the token array and the max-frequency
-    n-gram is found with one explode + groupBy + window max, so the only
-    shuffle is the (doc, ngram) aggregation and map-side combine applies.
+    Entirely built-in expressions, and entirely ROW-LOCAL: the n-grams are
+    built with ``transform(sequence(...))`` over the token array and the
+    max-frequency n-gram is found by a run-length scan over the
+    ``array_sort``-ed gram array (``F.aggregate``), so the operator performs
+    ZERO shuffles — scan → project, embarrassingly parallel at any scale.
+    Tie-break matches the SQL oracle's ``ORDER BY c DESC, g ASC``: the scan
+    walks grams ascending and only displaces the best on a strictly greater
+    run length, so the smallest gram among equal-count maxima wins.
     Returns (id, n_tokens, dup_token_frac, top_ngram, top_ngram_frac)."""
     toks = F.split(F.lower(F.col(text_col)), " ")
     n_tok = F.size(toks)
@@ -109,21 +113,32 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str,
                 " ", *[F.element_at(toks, (i + j + 1).cast("int"))
                        for j in range(ngram)])))
         .otherwise(F.array().cast("array<string>")).alias("grams"))
-    ex = base.select(id_col, "n_chars", "n_tokens", "dup_token_frac",
-                     F.explode_outer("grams").alias("g"))
-    counts = (ex.groupBy(id_col, "n_chars", "n_tokens", "dup_token_frac", "g")
-              .agg(F.count(F.lit(1)).alias("c")))
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("c").desc(), F.col("g").asc_nulls_last())
-    top = (counts.withColumn("rn", F.row_number().over(w))
-           .filter(F.col("rn") == 1))
+
+    # Run-length scan over the sorted grams: state = (best_gram, best_count,
+    # current_gram, current_count).  cg starts "" / cc starts 0, which is
+    # safe even if a real gram equals "" (the first run still counts from 1).
+    def _merge(acc, x):
+        nc = F.when(x == acc["cg"], acc["cc"] + F.lit(1)) \
+              .otherwise(F.lit(1).cast("long"))
+        better = nc > acc["bc"]
+        return F.struct(
+            F.when(better, x).otherwise(acc["bg"]).alias("bg"),
+            F.when(better, nc).otherwise(acc["bc"]).alias("bc"),
+            x.alias("cg"), nc.alias("cc"))
+
+    best = F.aggregate(
+        F.array_sort(F.col("grams")),
+        F.struct(F.lit("").alias("bg"), F.lit(0).cast("long").alias("bc"),
+                 F.lit("").alias("cg"), F.lit(0).cast("long").alias("cc")),
+        _merge)
+    empty = F.size(F.col("grams")) == 0
     top_frac = F.round(F.coalesce(
-        F.try_divide(F.col("c") * F.length("g"), F.col("n_chars")),
+        F.try_divide(best["bc"] * F.length(best["bg"]), F.col("n_chars")),
         F.lit(0.0)), 6)
-    return top.select(
+    return base.select(
         F.col(id_col), F.col("n_tokens"), F.col("dup_token_frac"),
-        F.coalesce(F.col("g"), F.lit("")).alias("top_ngram"),
-        F.when(F.col("g").isNull(), F.lit(0.0)).otherwise(top_frac)
+        F.when(empty, F.lit("")).otherwise(best["bg"]).alias("top_ngram"),
+        F.when(empty, F.lit(0.0)).otherwise(top_frac)
          .alias("top_ngram_frac"))
 
 
