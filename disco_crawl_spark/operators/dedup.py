@@ -327,13 +327,25 @@ def connected_components(vertices: DataFrame, pairs: DataFrame,
     in O(log d) rounds instead of d (the standard large-star/small-star
     contraction); each round is two joins + one groupBy(min), all
     shuffling on the vertex id — plain hash-partitioned aggregations that
-    scale like any groupBy. The loop stops at the first round with no
-    label change (one count action per round). A graph that somehow fails
-    to converge within ``max_iters`` (diameter > 2^max_iters) RAISES
-    rather than returning silently non-minimal components — dedup_keep
-    marking two canonicals in one cluster would corrupt a corpus.
-    Deterministic: min over a set, no RNG, no iteration-order
-    dependence."""
+    scale like any groupBy. Convergence detection is FOLDED INTO the
+    round's materialization: the old label rides through the aggregation
+    (``max`` of the labels-branch rows — there is exactly one per vertex),
+    so the checkpointed output already carries a per-row ``chg`` flag and
+    the convergence test is a take(1) over the materialized blocks, not a
+    second join+count job. A graph that somehow fails to converge within
+    ``max_iters`` (diameter > 2^max_iters) RAISES rather than returning
+    silently non-minimal components — dedup_keep marking two canonicals
+    in one cluster would corrupt a corpus. Deterministic: min over a set,
+    no RNG, no iteration-order dependence.
+
+    Pair endpoints are semi-joined to ``vertices`` up front (once, not
+    per round): a pair id absent from the vertex set would otherwise leak
+    into the label table and could even win the min-label race, electing
+    a canonical document that does not exist."""
+    vids = vertices.select(F.col(id_col).alias("__vid"))
+    pairs = (pairs
+             .join(vids.withColumnRenamed("__vid", a), a, "semi")
+             .join(vids.withColumnRenamed("__vid", b), b, "semi"))
     edges = (pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
              .unionByName(pairs.select(F.col(b).alias("src"),
                                        F.col(a).alias("dst"))))
@@ -341,31 +353,59 @@ def connected_components(vertices: DataFrame, pairs: DataFrame,
     # self-join would otherwise NEST the previous round's plan twice per
     # round (exponential logical-plan growth — planning itself OOMs long
     # before the data does); lineage truncation keeps every round's plan
-    # flat, the same reason the crawl engine reads its deltas back
+    # flat, the same reason the crawl engine reads its deltas back.
+    # Superseded rounds' checkpoint blocks are unpersisted explicitly
+    # (via the persistent-RDD id the checkpoint call registered), so at
+    # most two label tables are ever held on executors; the final one
+    # backs the returned DataFrame and is freed by context GC with it.
+    sc = vertices.sparkSession.sparkContext
+
+    def _ckpt(df):
+        before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+        out = df.localCheckpoint(eager=True)
+        new = set(sc._jsc.getPersistentRDDs().keySet().toArray()) - before
+        return out, new
+
+    def _release(rdd_ids):
+        jmap = sc._jsc.getPersistentRDDs()
+        for i in rdd_ids:
+            if jmap.containsKey(i):
+                jmap.get(i).unpersist()
+
+    comp_type = dict(vertices.dtypes)[id_col]
+    # materialize the (semi-joined) edge list once: every round's message
+    # join scans it, and without this each round would re-derive the whole
+    # upstream pair-generation plan (plus the semi-joins) from scratch
+    edges, eheld = _ckpt(edges)
     labels = vertices.select(F.col(id_col).alias("id"),
                              F.col(id_col).alias("comp"))
-    labels = labels.localCheckpoint(eager=True)
+    labels, held = _ckpt(labels)
     for _ in range(max_iters):
         msgs = (edges.join(labels.withColumnRenamed("id", "src"), "src")
-                .select(F.col("dst").alias("id"), "comp"))
+                .select(F.col("dst").alias("id"), "comp",
+                        F.lit(None).cast(comp_type).alias("old")))
         # pointer jump: vertex v with label c learns c's current label
         jump = (labels.join(labels.select(F.col("id").alias("comp"),
                                           F.col("comp").alias("jcomp")),
                             "comp")
-                .select("id", F.col("jcomp").alias("comp")))
-        new_labels = (labels.unionByName(msgs).unionByName(jump)
-                      .groupBy("id").agg(F.min("comp").alias("comp"))
-                      .localCheckpoint(eager=True))
-        changed = (new_labels.join(labels.withColumnRenamed("comp", "old"),
-                                   "id")
-                   .filter(F.col("comp") != F.col("old")).count())
-        labels = new_labels
-        if changed == 0:
+                .select("id", F.col("jcomp").alias("comp"),
+                        F.lit(None).cast(comp_type).alias("old")))
+        own = labels.select("id", "comp", F.col("comp").alias("old"))
+        new_labels, new_held = _ckpt(
+            own.unionByName(msgs).unionByName(jump)
+            .groupBy("id").agg(F.min("comp").alias("comp"),
+                               F.max("old").alias("old"))
+            .select("id", "comp", (F.col("comp") < F.col("old")).alias("chg")))
+        _release(held)
+        labels, held = new_labels.select("id", "comp"), new_held
+        if new_labels.filter("chg").isEmpty():
             break
     else:
+        _release(eheld)
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} rounds "
             f"(component diameter > 2^{max_iters}?)")
+    _release(eheld)
     return labels
 
 

@@ -145,7 +145,10 @@ def root_probes(url_redirects) -> dict:
     ``F.max(when(is_root, coalesce(redirect_to, '')))``."""
     probes: dict = {}
     for url, redirect_to in url_redirects:
-        host = urlparse(url).netloc
+        # key normalization mirrors the engine's probe aggregation exactly:
+        # lowercased authority with userinfo stripped, port kept — netloc
+        # alone diverges from Spark's parse on ports/userinfo/case
+        host = urlparse(url).netloc.rpartition("@")[2].lower()
         p = probes.setdefault(host, {"root": False, "redirect": ""})
         if is_root_url(url):
             p["root"] = True

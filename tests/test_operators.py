@@ -399,3 +399,31 @@ def test_connected_components_long_chain_converges_logarithmically(spark):
                                   "a long, b long")
     out = dedup.connected_components(docs, pairs, "doc_id")
     assert {r["comp"] for r in out.collect()} == {0}
+
+
+def test_connected_components_ignores_foreign_pair_endpoints(spark):
+    # a pair endpoint absent from the vertex set must neither appear in
+    # the output nor win the min-label race (id -5 < every vertex id)
+    docs = spark.createDataFrame([(i, "x") for i in range(3, 8)],
+                                 "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(3, 4), (-5, 4), (6, 99)], "a long, b long")
+    out = {r["id"]: r["comp"]
+           for r in dedup.connected_components(docs, pairs, "doc_id").collect()}
+    assert out == {3: 3, 4: 3, 5: 5, 6: 6, 7: 7}
+
+
+def test_connected_components_releases_superseded_checkpoints(spark):
+    # each round's labels supersede the previous round's localCheckpoint;
+    # the superseded blocks must be unpersisted as the loop advances, so
+    # the run ends holding only the final label table (<= 2 during it)
+    sc = spark.sparkContext
+    base = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    docs = spark.createDataFrame([(i, "x") for i in range(40)],
+                                 "doc_id long, text string")
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(39)],
+                                  "a long, b long")
+    out = dedup.connected_components(docs, pairs, "doc_id")
+    held = set(sc._jsc.getPersistentRDDs().keySet().toArray()) - base
+    assert len(held) <= 1, f"superseded CC checkpoints leaked: {held}"
+    assert {r["comp"] for r in out.collect()} == {0}
