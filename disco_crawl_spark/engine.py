@@ -91,10 +91,19 @@ class CrawlEngine:
         self.t_log = self.cat.table("crawl_log")
         self.t_metrics = self.cat.table("metrics")
         self.robots_allow = udfs.make_robots_allow(spark, robots_corpus)
-        # per-round deltas are small: one file per commit minimizes
-        # committer overhead locally and avoids the small-file problem at
-        # scale (raise for clusters where a delta exceeds a few hundred MB)
-        self._commit_files = int(os.environ.get("DISCO_COMMIT_FILES", "1"))
+        # Delta commits write at the job's NATURAL parallelism (0 = no
+        # coalesce, the default). The previous one-file-per-commit
+        # coalesce(1) was measured to be the round loop's scaling killer:
+        # coalesce collapses everything after the delta plan's last
+        # exchange — the fetch-parse UDF, the frontier window — into ONE
+        # task, a serial term that grows linearly with round width
+        # (BENCH/BASELINE.md §3: efficiency pinned at ~0.2 across 1x-16x
+        # round sizes until this fix). Small files per round are the
+        # correct Iceberg-shaped trade; compaction (compact_seen) is the
+        # remedy, never a serial write path. Set DISCO_COMMIT_FILES=N to
+        # force small fixed fan-in where a tiny corpus makes file-count
+        # dominate.
+        self._commit_files = int(os.environ.get("DISCO_COMMIT_FILES", "0"))
         if "redirect_to" not in pages.columns:
             pages = pages.withColumn("redirect_to", F.lit(None).cast("string"))
         if pages_bucketed:
@@ -245,8 +254,9 @@ class CrawlEngine:
         # must be seeded from the committed parquet history, not from this
         # delta alone (reading after the append would double-count it).
         cur = self._view(name)
-        _, data_dir = self._table(name).append(
-            delta.coalesce(self._commit_files), self.round_no)
+        if self._commit_files:
+            delta = delta.coalesce(self._commit_files)
+        _, data_dir = self._table(name).append(delta, self.round_no)
         delta_view = self.spark.read.parquet(data_dir)
         self._mem[name] = (delta_view if cur is None
                            else cur.unionByName(delta_view))
@@ -698,16 +708,17 @@ class CrawlEngine:
         # persist the metrics + domain-event tables (queryable forms of the
         # per-round stats carried in the state snapshots; events mirror the
         # reference's domain-lifecycle ES index, worker.py:535-547)
+        # driver-built frames are small: always a single file each
         if self.metrics:
             self.t_metrics.overwrite(
                 self.spark.createDataFrame(self.metrics)
-                .coalesce(self._commit_files), self.round_no)
+                .coalesce(1), self.round_no)
         if self.events:
             self.cat.table("domain_events").overwrite(
                 self.spark.createDataFrame(
                     [(r, h, m) for r, h, m in self.events],
                     "round int, host string, event string")
-                .coalesce(self._commit_files), self.round_no)
+                .coalesce(1), self.round_no)
         # drop cached deltas; later reads come from the committed snapshots
         self._release()
         return {"rounds": self.round_no,

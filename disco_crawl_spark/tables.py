@@ -33,6 +33,35 @@ import pyarrow.dataset as pads
 import pyarrow.parquet as papq
 
 
+def _footer_stats(md) -> dict:
+    """JSON-storable per-file column min/max, merged across row groups.
+    Only string/int columns are recorded (the table keys — host, url_key,
+    session, gen — are these; floats/binaries don't drive point lookups).
+    A column with any stats-less or non-storable chunk is omitted, which
+    read-side pruning treats as "may contain anything" (fail-safe)."""
+    out: dict = {}
+    bad: set = set()
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name or name in bad:      # nested: skip
+                continue
+            st = col.statistics
+            if (st is None or not st.has_min_max
+                    or not isinstance(st.min, (str, int))
+                    or isinstance(st.min, bool)):
+                bad.add(name)
+                out.pop(name, None)
+                continue
+            lo, hi = st.min, st.max
+            if name in out:
+                lo, hi = min(lo, out[name][0]), max(hi, out[name][1])
+            out[name] = [lo, hi]
+    return out
+
+
 class Table:
     def __init__(self, root: str, name: str):
         self.name = name
@@ -78,14 +107,19 @@ class Table:
         rel = f"data/r{round_no:05d}-{uuid.uuid4().hex[:8]}"
         out = os.path.join(self.path, rel)
         df.write.mode("overwrite").parquet(out)
-        # per-file lineage from parquet footers — no extra Spark job
+        # per-file lineage + column min/max from parquet footers — no
+        # extra Spark job. The stats are what Iceberg keeps per data file
+        # in its manifests; ``read(..., eq=...)`` uses them to skip files
+        # at planning time (manifest-level pruning), the layout feature a
+        # per-host point query at 10 TB lives on.
         files = []
         try:
             ds = pads.dataset(out, format="parquet")
             for f in ds.files:
                 md = papq.ParquetFile(f).metadata
                 files.append({"file": os.path.relpath(f, self.path),
-                              "rows": md.num_rows})
+                              "rows": md.num_rows,
+                              "stats": _footer_stats(md)})
         except Exception:
             pass
         return rel, files
@@ -135,15 +169,50 @@ class Table:
                                   "state", cur["files"] if cur else [], state)
 
     # -- reads --------------------------------------------------------
-    def read(self, spark, snapshot_id: "int | None" = None):
+    def read(self, spark, snapshot_id: "int | None" = None,
+             eq: "dict | None" = None):
         """DataFrame of the table at a snapshot (default: current).
-        Returns None when the table has no data yet."""
+        Returns None when the table has no data yet.
+
+        ``eq`` ({column: value}, all conjunctive) enables manifest-level
+        file skipping: only data files whose footer [min, max] range can
+        contain every value are scanned — the Iceberg manifest-pruning
+        behavior, so a per-host point query over a long-lived table reads
+        a handful of files instead of every delta. Files with no recorded
+        stats for a column are kept (fail-safe), and the caller still
+        applies the actual filter — pruning is a scan reduction, never a
+        semantic one."""
         snap = (self.snapshot(snapshot_id) if snapshot_id is not None
                 else self.current_snapshot())
         if not snap or not snap["data"]:
             return None
-        dirs = [os.path.join(self.path, d) for d in snap["data"]]
-        return spark.read.parquet(*dirs)
+        if not eq or not snap.get("files"):
+            # no predicate, or file lineage unavailable: full snapshot scan
+            dirs = [os.path.join(self.path, d) for d in snap["data"]]
+            return spark.read.parquet(*dirs)
+        files = self.prune_files(snap, eq)
+        if not files:
+            # no file can contain the values: an empty frame with the
+            # table's schema (read metadata only, skip all rows)
+            dirs = [os.path.join(self.path, d) for d in snap["data"]]
+            return spark.read.parquet(*dirs).limit(0)
+        return spark.read.parquet(*files)
+
+    def prune_files(self, snap: dict, eq: dict) -> list:
+        """Absolute paths of the snapshot's data files whose stats ranges
+        may contain every {column: value} in ``eq``."""
+        kept = []
+        for f in snap.get("files", []):
+            stats = f.get("stats") or {}
+            keep = True
+            for col, val in eq.items():
+                rng = stats.get(col)
+                if rng is not None and not (rng[0] <= val <= rng[1]):
+                    keep = False
+                    break
+            if keep:
+                kept.append(os.path.join(self.path, f["file"]))
+        return kept
 
     def rollback(self, snapshot_id: "int | None"):
         """Iceberg ``rollback_to_snapshot`` equivalent: make snapshot_id the

@@ -3,7 +3,7 @@ overwrite snapshots, time travel, state commits, lineage counts, GC."""
 
 import os
 
-from disco_crawl_spark.tables import Catalog
+from disco_crawl_spark.tables import Catalog, Table
 
 
 def test_append_overwrite_timetravel(spark, tmp_warehouse):
@@ -45,3 +45,35 @@ def test_atomic_manifest_swap(spark, tmp_warehouse):
     # no temp manifests left behind
     leftovers = [f for f in os.listdir(t.path) if ".tmp." in f]
     assert leftovers == []
+
+
+def test_manifest_minmax_file_skipping(spark, tmp_warehouse):
+    # round-3 VERDICT order #5: per-file min/max ride the snapshot
+    # manifest, and an eq-read scans fewer files than the table holds
+    t = Table(tmp_warehouse, "events")
+    for batch in range(3):
+        df = (spark.range(batch * 100, batch * 100 + 100)
+              .selectExpr("concat('h', lpad(cast(id as string), 4, '0')) as host",
+                          "id as n"))
+        # range-partitioned so each commit's files carry disjoint host ranges
+        t.append(df.repartitionByRange(2, "host"), round_no=batch)
+    snap = t.current_snapshot()
+    n_files = len(snap["files"])
+    assert n_files >= 6
+    assert all(f.get("stats", {}).get("host") for f in snap["files"])
+
+    target = "h0042"
+    pruned = t.prune_files(snap, {"host": target})
+    assert 0 < len(pruned) < n_files  # skipped most files via manifest alone
+
+    got = t.read(spark, eq={"host": target}).filter(f"host = '{target}'")
+    assert [r["n"] for r in got.collect()] == [42]
+    # the pruned plan really reads fewer files than the full snapshot
+    assert len(got.inputFiles()) < n_files
+
+    # a value outside every range: zero files, empty frame, schema kept
+    none = t.read(spark, eq={"host": "zzz"})
+    assert none.count() == 0 and set(none.columns) == {"host", "n"}
+
+    # integer stats prune too
+    assert 0 < len(t.prune_files(snap, {"n": 250})) < n_files
