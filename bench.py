@@ -94,6 +94,103 @@ def run_crawl(master: str, corpus_obj=None, max_rounds: int = 30,
         spark.stop()
 
 
+def synth_crawl_pages(spark, n_hosts: int, sections: int = 8,
+                      leaves: int = 50):
+    """A CRAWLABLE corpus synthesized entirely JVM-side (no driver upload,
+    so it scales to millions of pages): every host serves a root page
+    linking to ``sections`` section indexes, each linking to ``leaves``
+    leaf pages — three-generation sites whose leaf generation sustains a
+    round width of n_hosts x page budget for leaves/budget rounds. Same
+    schema as the python-built bench corpus; links are absolute-path
+    hrefs the normal parse/normalize/domainize chain resolves."""
+    from pyspark.sql import functions as F
+    host = F.concat(F.lit("site"), F.col("h"), F.lit(".gov.au"))
+    base = F.concat(F.lit("https://"), host)
+    ts = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    para = ("Strategic priorities deliver accessible information services "
+            "for citizens across the digital government program. ")
+    hosts = spark.range(n_hosts).select(F.col("id").alias("h"))
+    root_anchors = "".join(f'<a href="/s{k}/">section {k}</a>\n'
+                           for k in range(sections))
+    roots = hosts.select(
+        F.concat(base, F.lit("/")).alias("url"), ts.alias("warc_ts"),
+        F.encode(F.concat(
+            F.lit("<html><head><title>Agency "), F.col("h"),
+            F.lit("</title></head><body><h1>Home</h1>\n" + root_anchors
+                  + "<p>" + para * 5 + "</p></body></html>")),
+            "utf-8").alias("html"))
+    secs = hosts.select(
+        "h", F.explode(F.sequence(F.lit(0), F.lit(sections - 1))).alias("k"))
+    leaf_anchors = F.concat_ws("", F.transform(
+        F.sequence(F.lit(0), F.lit(leaves - 1)),
+        lambda j: F.concat(F.lit('<a href="/s'), F.col("k"), F.lit('/p'),
+                           j, F.lit('.html">leaf</a>\n'))))
+    sec_pages = secs.select(
+        F.concat(base, F.lit("/s"), F.col("k"), F.lit("/")).alias("url"),
+        ts.alias("warc_ts"),
+        F.encode(F.concat(
+            F.lit("<html><head><title>Section "), F.col("k"),
+            F.lit("</title></head><body>\n"), leaf_anchors,
+            F.lit("<p>" + para * 5 + "</p></body></html>")),
+            "utf-8").alias("html"))
+    leafs = secs.select(
+        "h", "k", F.explode(F.sequence(F.lit(0), F.lit(leaves - 1))).alias("j"))
+    leaf_pages = leafs.select(
+        F.concat(base, F.lit("/s"), F.col("k"), F.lit("/p"), F.col("j"),
+                 F.lit(".html")).alias("url"),
+        ts.alias("warc_ts"),
+        F.encode(F.concat(
+            F.lit("<html><head><title>Doc "), F.col("j"),
+            F.lit("</title></head><body><h1>Report</h1><p>" + para * 15
+                  + "</p></body></html>")), "utf-8").alias("html"))
+    out = roots.unionByName(sec_pages).unionByName(leaf_pages)
+    return out.select(
+        "url", "warc_ts", "html", F.lit(None).cast("string").alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit(None).cast("string").alias("redirect_to"))
+
+
+def run_crawl_wide(master: str, n_hosts: int, sections: int = 8,
+                   leaves: int = 50, max_rounds: int = 10,
+                   shuffle_partitions: "int | None" = None) -> dict:
+    """The round loop over the JVM-side corpus: round widths of 10^5+ URLs
+    (n_hosts x 50/round once the leaf generation is reached) — the regime
+    a cluster crawl runs in and the one where per-round fixed cost
+    actually amortizes. run_crawl's python-built corpus caps ~100x
+    narrower (driver createDataFrame upload)."""
+    from disco_crawl_spark.engine import CrawlEngine
+    from disco_crawl_spark.refsim import SimConfig
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
+    if shuffle_partitions:
+        # production-faithful N->4N form: shuffle partitioning is sized to
+        # the DATA and held IDENTICAL across cluster sizes, so the job is
+        # byte-identical and only resources change (core-count-derived
+        # partitioning conflates task-dispatch overhead with parallelism)
+        from disco_crawl_spark.session import build_session
+        spark = build_session("disco-bench", master=master,
+                              shuffle_partitions=shuffle_partitions)
+    else:
+        spark = _spark(master)
+    wh = tempfile.mkdtemp(prefix="disco_wide_wh_")
+    try:
+        pages = synth_crawl_pages(spark, n_hosts, sections, leaves)
+        seeds = [f"site{h}.gov.au" for h in range(n_hosts)]
+        eng = CrawlEngine(spark, pages, {}, {}, wh,
+                          config=SimConfig(steward_batch=2 * n_hosts),
+                          seeds=seeds)
+        eng.pages.count()  # build the url-partitioned cache, untimed
+        t0 = time.time()
+        eng.run(max_rounds=max_rounds)
+        secs_w = time.time() - t0
+        urls = sum(m["scheduled"] for m in eng.metrics)
+        return {"urls": urls, "secs": round(secs_w, 2),
+                "urls_per_sec": round(urls / secs_w, 2),
+                "rounds": eng.round_no, "master": master}
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+        spark.stop()
+
+
 def run_bulk(master: str, n_pages: int = BULK_PAGES, repeats: int = 3) -> dict:
     """The crawl hot path as one bulk job: synthesize n_pages HTML pages
     JVM-side, then fetch-parse (pandas UDF) → explode links → canonicalize →
@@ -350,7 +447,10 @@ def main_scaling():
 # after 1-2 generations and the later rounds collapse back to the
 # dispatch-bound regime; scaling depth with hosts keeps every round at
 # ~hosts x budget URLs — the sustained width a cluster crawl runs at
-ROUNDSCALE_SIZES = ((1, 1), (2, 2), (4, 4), (8, 4))
+ROUNDSCALE_SIZES = ((1, 1), (4, 4), (8, 4))
+# JVM-side corpus rungs (synth_crawl_pages): hosts x 50-URL budget per
+# round once the leaf generation is live — 2000 hosts ~ 100k URLs/round
+ROUNDSCALE_WIDE_HOSTS = (2000, 4000)
 
 
 def main_roundscale():
@@ -369,8 +469,27 @@ def main_roundscale():
     from disco_crawl_spark import corpus as corpus_mod
     sizes = []
     m1_pages = None
+
+    def measure(label, n_hosts, n_pages, runner):
+        runs, hw = {}, {}
+        for master, procs in (("local[4]", 4), ("local[16]", 16)):
+            hw[procs] = hw_calibration(procs)
+            print(f"# roundscale m={label} hw {procs}p: "
+                  f"{hw[procs]/1e6:.2f}M ops/s", file=sys.stderr)
+            runs[master] = runner(master)
+            print(f"# roundscale m={label} {master}: {runs[master]}",
+                  file=sys.stderr)
+        c4, c16 = runs["local[4]"], runs["local[16]"]
+        eff = round((c16["urls_per_sec"] / c4["urls_per_sec"]) / 4, 3)
+        hw_eff = round((hw[16] / hw[4]) / 4, 3)
+        sizes.append({
+            "m": label, "hosts": n_hosts, "pages": n_pages,
+            "urls_per_round": round(c4["urls"] / c4["rounds"], 1),
+            "c4": c4, "c16": c16, "eff": eff, "hw_eff": hw_eff,
+            "eff_vs_hw": round(min(1.0, eff / hw_eff), 3) if hw_eff else None,
+        })
+
     for hm, dm in ROUNDSCALE_SIZES:
-        m = f"{hm}xh·{dm}xd"
         kw = dict(BENCH_CORPUS_KW,
                   n_agencies=BENCH_CORPUS_KW["n_agencies"] * hm,
                   n_seeds=BENCH_CORPUS_KW["n_seeds"] * hm,
@@ -379,24 +498,16 @@ def main_roundscale():
         if (hm, dm) == (1, 1):
             m1_pages = len(c.pages)
         batch = max(500, 4 * kw["n_agencies"])
-        runs, hw = {}, {}
-        for master, procs in (("local[4]", 4), ("local[16]", 16)):
-            hw[procs] = hw_calibration(procs)
-            print(f"# roundscale m={m} hw {procs}p: "
-                  f"{hw[procs]/1e6:.2f}M ops/s", file=sys.stderr)
-            runs[master] = run_crawl(master, corpus_obj=c, max_rounds=8,
-                                     steward_batch=batch)
-            print(f"# roundscale m={m} {master}: {runs[master]}",
-                  file=sys.stderr)
-        c4, c16 = runs["local[4]"], runs["local[16]"]
-        eff = round((c16["urls_per_sec"] / c4["urls_per_sec"]) / 4, 3)
-        hw_eff = round((hw[16] / hw[4]) / 4, 3)
-        sizes.append({
-            "m": m, "hosts": kw["n_agencies"], "pages": len(c.pages),
-            "urls_per_round": round(c4["urls"] / c4["rounds"], 1),
-            "c4": c4, "c16": c16, "eff": eff, "hw_eff": hw_eff,
-            "eff_vs_hw": round(min(1.0, eff / hw_eff), 3) if hw_eff else None,
-        })
+        measure(f"{hm}xh·{dm}xd", kw["n_agencies"], len(c.pages),
+                lambda master, c=c, batch=batch: run_crawl(
+                    master, corpus_obj=c, max_rounds=8, steward_batch=batch))
+
+    # the wide rungs: JVM-side corpus, 10^5+ URLs/round — the cluster
+    # regime the N->4N criterion is actually about
+    for n_hosts in ROUNDSCALE_WIDE_HOSTS:
+        measure(f"wide-{n_hosts}h", n_hosts, n_hosts * 409,
+                lambda master, n=n_hosts: run_crawl_wide(
+                    master, n, max_rounds=10))
     rec = {"ts": time.strftime("%Y-%m-%d %H:%M"), "sizes": sizes}
     bdir = os.path.join(REPO, "BENCH")
     os.makedirs(bdir, exist_ok=True)

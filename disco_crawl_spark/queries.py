@@ -447,12 +447,18 @@ def dedup_token_jaccard(spark, sf):
                                      id_cap=200)
 
 
-def _minhash_lsh_oracle_sql() -> str:
+def _minhash_lsh_oracle_sql(wrap_cc: bool = False) -> str:
     """Exact SQL mirror of the full minhash near-dup pipeline: the seeded
     (a, b) hash family is embedded as literals; shingle hashing (md5 token
     fold, 32-bit mask), 32-row signatures, 8-band bucketing with the same
     md5 bucket string Spark builds, the bucket-size bound, and the exact
-    string-shingle Jaccard verify are all reproduced in DuckDB."""
+    string-shingle Jaccard verify are all reproduced in DuckDB.
+
+    ``wrap_cc=True`` composes the clustering stage on top: the pair set
+    becomes a CTE and a recursive walk labels every document with its
+    component minimum — the oracle for ``dedup_keep`` over the REAL
+    minhash pairs (round-3 VERDICT order #8), not the capped
+    token-Jaccard variant."""
     import numpy as np
     rng = np.random.RandomState(42)
     a = rng.randint(1, 1 << 31, size=32, dtype=np.int64)
@@ -460,7 +466,7 @@ def _minhash_lsh_oracle_sql() -> str:
     A = "[" + ", ".join(str(int(x)) for x in a) + "]"
     B = "[" + ", ".join(str(int(x)) for x in b) + "]"
     P, W, M = 1099511628211, 1 << 64, (1 << 61) - 1
-    return rf"""
+    sql = rf"""
 WITH toks AS (
   SELECT doc_id,
     list_filter(string_split_regex(lower(coalesce(text,'')), '\s+'),
@@ -525,6 +531,23 @@ FROM cands c JOIN grams ga ON ga.doc_id = c.a JOIN grams gb ON gb.doc_id = c.b
 WHERE (CASE WHEN len(list_distinct(list_concat(ga.g, gb.g))) = 0 THEN 0.0
        ELSE len(list_intersect(ga.g, gb.g))::DOUBLE
             / len(list_distinct(list_concat(ga.g, gb.g))) END) >= 0.5"""
+    if not wrap_cc:
+        return sql
+    head, final = sql.rsplit("SELECT c.a, c.b,", 1)
+    return (head.rstrip().rstrip(")") + "),\n"
+            ).replace("WITH toks AS", "WITH RECURSIVE toks AS", 1) + (
+            "mh AS (\nSELECT c.a, c.b," + final + """),
+edges AS (
+  SELECT a AS src, b AS dst FROM mh
+  UNION ALL SELECT b, a FROM mh),
+walk AS (
+  SELECT doc_id AS id, doc_id AS comp FROM documents
+  UNION
+  SELECT e.dst AS id, w.comp
+  FROM walk w JOIN edges e ON e.src = w.id)
+SELECT id AS doc_id, min(comp) AS keep_id,
+       (min(comp) = id) AS is_canonical
+FROM walk GROUP BY id""")
 
 
 @q("dedup_minhash_lsh", _minhash_lsh_oracle_sql())
@@ -532,6 +555,18 @@ def dedup_minhash_lsh(spark, sf):
     d = _t(spark, sf, "documents")
     return dedup.minhash_dedup_pairs(d, "text", "doc_id", threshold=0.5,
                                      num_hashes=32, bands=8)
+
+
+@q("dedup_keep_minhash", _minhash_lsh_oracle_sql(wrap_cc=True))
+def dedup_keep_minhash(spark, sf):
+    """Canonical-document selection over the FULL minhash pair set (every
+    document, no cap) — connected components on the pipeline's real input,
+    so the bench measures the CC operator where a training-corpus dedup
+    actually runs it (round-3 VERDICT order #8)."""
+    d = _t(spark, sf, "documents")
+    pairs = dedup.minhash_dedup_pairs(d, "text", "doc_id", threshold=0.5,
+                                      num_hashes=32, bands=8)
+    return dedup.dedup_keep(d, pairs, "doc_id")
 
 
 @q("dedup_simhash", r"""
@@ -799,6 +834,78 @@ def ann_lsh_bucketed(spark, sf):
     indexed, H = similarity.lsh_index(e, "embedding", dim=64, planes=8)
     return similarity.lsh_query(indexed, H, "embedding", "vec_id",
                                 QUERY_VEC, k=20, probes=4)
+
+
+def _ann_batch_oracle_sql(planes: int = 8, dim: int = 64, nq: int = 8,
+                          probes: int = 3, topk: int = 5) -> str:
+    """Exact SQL mirror of the batched multi-query ANN: the seeded
+    hyperplane family is embedded as literals; per-query multi-probe
+    (base bucket + flips of the ``probes-1`` lowest-|margin| planes,
+    stable tie-break on plane index, identical to
+    ``make_probe_buckets_udf``) is computed IN SQL, since the query
+    vectors come from the data and are unknown at oracle-build time."""
+    import numpy as np
+    rng = np.random.RandomState(42)
+    H = rng.normal(size=(planes, dim)).astype(np.float64)
+    hlits = ["[" + ", ".join(repr(float(x)) for x in row) + "]::DOUBLE[]"
+             for row in H]
+
+    def bexpr(col):
+        return "\n    + ".join(
+            f"(CASE WHEN list_dot_product({col}, {hlits[i]}) > 0"
+            f" THEN {1 << i} ELSE 0 END)" for i in range(planes))
+
+    margins_union = "\n  UNION ALL\n".join(
+        f"  SELECT qid, {i} AS i, list_dot_product(qemb, {hlits[i]}) AS mg"
+        f" FROM q" for i in range(planes))
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings),
+b AS (SELECT vec_id, emb, {bexpr("emb")} AS bucket FROM e),
+q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < {nq}),
+m AS (
+{margins_union}),
+qb AS (SELECT qid, {bexpr("qemb")} AS base FROM q),
+fl AS (SELECT qid, i,
+              row_number() OVER (PARTITION BY qid ORDER BY abs(mg), i) AS rk
+       FROM m),
+pr AS (
+  SELECT qid, base AS bucket FROM qb
+  UNION ALL
+  SELECT f.qid, xor(qb.base, 1 << f.i) AS bucket
+  FROM fl f JOIN qb ON f.qid = qb.qid WHERE f.rk <= {probes - 1}),
+cand AS (
+  SELECT pr.qid, b.vec_id, b.emb, q.qemb
+  FROM pr JOIN b ON b.bucket = pr.bucket JOIN q ON q.qid = pr.qid),
+scored AS (
+  SELECT qid AS query_id, vec_id,
+         round(list_dot_product(emb, qemb)
+               / (sqrt(list_dot_product(emb, emb))
+                  * sqrt(list_dot_product(qemb, qemb))), 6) AS cosine
+  FROM cand)
+SELECT query_id, vec_id, cosine, "rank" FROM (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS "rank"
+  FROM scored)
+WHERE "rank" <= {topk}
+"""
+
+
+@q("ann_batch_queries", _ann_batch_oracle_sql())
+def ann_batch_queries(spark, sf):
+    """Batched many-queries ANN (round-3 VERDICT order #4): a queries
+    DataFrame (the first 8 vectors, self-retrieval) against the
+    hyperplane-LSH index in one job — explode per-query probe buckets,
+    static bucket pruning + broadcast join, per-query top-k window."""
+    e = _t(spark, sf, "embeddings")
+    e = e.withColumn("embedding",
+                     F.transform("embedding", lambda x: x.cast("double")))
+    indexed, H = similarity.lsh_index(e, "embedding", dim=64, planes=8)
+    queries_df = e.filter(F.col("vec_id") < 8)
+    return similarity.lsh_batch_query(indexed, H, queries_df, "embedding",
+                                      "vec_id", "vec_id", k=5, probes=3)
 
 
 @q("similarity_pairs_topk", f"""

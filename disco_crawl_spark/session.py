@@ -29,13 +29,17 @@ def build_session(
         .config("spark.default.parallelism", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # coalesce post-shuffle partitions purely by size: without this AQE
-        # refuses to go below defaultParallelism and tiny state-table
-        # shuffles become 32-task storms whose dispatch latency dominates
-        # crawl-round time (the same setting avoids tiny-task storms on a
-        # real cluster)
+        # parallelism-first coalescing (Spark's default, made explicit):
+        # post-shuffle stages keep >= default-parallelism partitions when
+        # the data supports it, while sub-minPartitionSize shuffles still
+        # collapse to one task (no tiny-task storms). The previous
+        # size-only setting (parallelismFirst=false) capped every
+        # post-shuffle stage at data/64MB partitions, which at 10^5-URL
+        # crawl rounds pinned the parse/window stages to ~4 tasks no
+        # matter the core count — measured as flat N->4N round-loop
+        # efficiency in BENCH/BASELINE.md §3 until this change.
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-                "false")
+                "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

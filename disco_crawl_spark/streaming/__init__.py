@@ -115,19 +115,25 @@ def run_seen_filter_stream(
     micro-batch rewrites a constant-size value — a 10^10-key group would
     overflow any exact GroupState.
 
-    Error direction matters: a Bloom false positive here would DROP a
-    never-seen URL, and nothing downstream can resurrect a row that was
-    never emitted. Two defenses keep that loss negligible-to-zero:
-    (a) while a group holds ≤ ``max_keys`` keys (default sized so the
-    false-positive rate stays ≤ ~1e-4: n = m/38 ⇒ fill ≈ 10%, fp ≈
-    (1-e^(-kn/m))^k = 0.1^4; at 10^4 keys in a 2^20-bit filter fp ≈
-    2e-6), maybe-seen rows are dropped — at those fill levels they are
-    overwhelmingly true duplicates; (b) past ``max_keys`` the filter is
-    saturating, so the operator FAILS OPEN: every row passes through
-    (at-least-once emission) and exact dedup belongs to the batch engine's
-    bucketed anti-join downstream, which CAN remove re-emitted duplicates
-    — the recoverable error direction. Same index derivation as the batch
-    Bloom sidecar (operators/bloom.py): md5-hex key material sliced
+    Error direction matters: a Bloom false positive here could only ever
+    misclassify, never lose, a row — the operator is LOSSLESS (round-3
+    ADVICE; the prior fail-open design still dropped sub-saturation FP
+    rows, the unrecoverable direction). Mirroring the batch sidecar's
+    ``bloom.screen()`` contract, every first in-batch occurrence of a key
+    is emitted exactly once, tagged by a ``verdict`` column:
+
+    - ``new`` — no Bloom bit was set: PROVABLY first-seen, no downstream
+      check needed;
+    - ``maybe_seen`` — all bits set (a true duplicate or a false
+      positive), or the filter is saturated (> ``max_keys``, default
+      sized so fp ≤ ~1e-4 at ~10% fill): the exact, bucketed batch
+      anti-join downstream decides — the recoverable direction, since it
+      can remove re-emitted duplicates but could never resurrect a
+      dropped row.
+
+    Repeated keys within one micro-batch are exact in-batch duplicates
+    (no FP involved) and are still dropped. Same index derivation as the
+    batch Bloom sidecar (operators/bloom.py): md5-hex key material sliced
     directly, no rehash."""
     import numpy as np
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -152,24 +158,25 @@ def run_seen_filter_stream(
             if not len(pdf):
                 continue
             if n_keys > max_keys:
-                # saturated: fail open (pass everything; exactness lives in
-                # the batch anti-join) rather than silently dropping novel
-                # URLs at a climbing false-positive rate
-                yield pdf[["host_group", "url_key", "url"]]
+                # saturated: no inserts, nothing provable — everything
+                # passes as maybe_seen for the exact anti-join downstream
+                yield pdf[["host_group", "url_key", "url"]].assign(
+                    verdict="maybe_seen")
                 continue
             idx = _indexes(list(pdf["url_key"]), bloom_bits, bloom_k)
             fresh = ~(((bm[idx // 8] >> (idx % 8)) & 1).all(axis=1))
-            out = pdf[fresh]
             fi = idx[fresh].ravel()
             np.bitwise_or.at(bm, fi // 8, (1 << (fi % 8)).astype(np.uint8))
             n_keys += int(fresh.sum())
-            if len(out):
-                yield out[["host_group", "url_key", "url"]]
+            out = pdf[["host_group", "url_key", "url"]].assign(
+                verdict=np.where(fresh, "new", "maybe_seen"))
+            yield out
         state.update((bytearray(bm.tobytes()), n_keys))
 
     out = src.groupBy("host_group").applyInPandasWithState(
         dedup,
-        outputStructType="host_group string, url_key string, url string",
+        outputStructType=("host_group string, url_key string, url string, "
+                          "verdict string"),
         stateStructType="filter binary, n_keys long",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,

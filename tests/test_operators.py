@@ -427,3 +427,38 @@ def test_connected_components_releases_superseded_checkpoints(spark):
     held = set(sc._jsc.getPersistentRDDs().keySet().toArray()) - base
     assert len(held) <= 1, f"superseded CC checkpoints leaked: {held}"
     assert {r["comp"] for r in out.collect()} == {0}
+
+
+def test_lsh_batch_query_prunes_and_matches_per_query_path(spark, tmp_path):
+    # round-3 VERDICT order #4: a whole queries DataFrame against the
+    # bucketed index in one job; the index scan must stay partition-pruned
+    # and each query's top-k must equal the single-query path's
+    import os
+    from disco_crawl_spark import plans
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb = emb.withColumn("embedding",
+                         F.transform("embedding", lambda x: x.cast("double")))
+    dim = len(emb.select("embedding").first()[0])
+    path = str(tmp_path / "lsh_index")
+    H = similarity.write_lsh_index(emb, "embedding", dim, path, planes=6)
+    idx = similarity.read_lsh_index(spark, path)
+    queries_df = emb.filter(F.col("vec_id") < 4)
+    out = similarity.lsh_batch_query(idx, H, queries_df, "embedding",
+                                     "vec_id", "vec_id", k=5, probes=2)
+    pf = plans.partition_filters(out)
+    assert "bucket" in pf  # index side partition-pruned, not scanned whole
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["vec_id"], r["cosine"]))
+    assert set(got) == {0, 1, 2, 3}
+    for qr in emb.filter(F.col("vec_id") < 4).collect():
+        single = similarity.lsh_query(
+            idx, H, "embedding", "vec_id",
+            list(qr["embedding"]), k=5, probes=2).collect()
+        expect = [(i + 1, r["vec_id"], r["cosine"])
+                  for i, r in enumerate(single)]
+        assert sorted(got[qr["vec_id"]]) == expect
+    # self-retrieval sanity: every query's rank-1 is itself
+    for qid, rows in got.items():
+        assert min(rows)[1] == qid
