@@ -359,6 +359,49 @@ def _emit(payload: dict):
     os._exit(0)
 
 
+def _sub(kind: str, **kw) -> dict:
+    """Run ONE measurement in a FRESH python interpreter (its own JVM).
+
+    PySpark reuses a single JVM across sequential SparkSessions in one
+    process; a second session inherits the first one's grown heap, GC
+    debt, and a broken PythonAccumulatorV2 server — measured as the
+    SECOND-measured parallelism level running ~2x slower than the same
+    level in a fresh process (339 s vs 164 s on the wide-1000h loop) and
+    Broken-pipe accumulator stack-trace storms serializing the
+    DAGScheduler event loop. Subprocess-per-measurement removes the
+    contamination; it is also how a real cluster submission behaves (one
+    driver JVM per job)."""
+    import subprocess
+    p = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--_worker", kind,
+         json.dumps(kw)],
+        capture_output=True, text=True, timeout=3600)
+    for line in reversed(p.stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except json.JSONDecodeError:
+            continue
+    raise RuntimeError(
+        f"worker {kind} produced no JSON (rc={p.returncode}): "
+        f"{p.stderr[-800:]}")
+
+
+def _worker_main(kind: str, kw: dict):
+    if kind == "bulk":
+        res = run_bulk(**kw)
+    elif kind == "crawl":
+        from disco_crawl_spark import corpus as corpus_mod
+        ckw = kw.pop("corpus_kw", None)
+        if ckw is not None:
+            kw["corpus_obj"] = corpus_mod.generate(**ckw)
+        res = run_crawl(**kw)
+    elif kind == "crawl_wide":
+        res = run_crawl_wide(**kw)
+    else:
+        raise ValueError(kind)
+    _emit(res)
+
+
 def _hw_work(n):
     import hashlib
     h = b"x" * 64
@@ -404,11 +447,12 @@ def main_scaling():
                 hw[procs] = w
             print(f"# pass{_pass} hw {procs}p: {w/1e6:.2f}M ops/s",
                   file=sys.stderr)
-            b = run_bulk(master, n_pages=scaling_pages)
+            b = _sub("bulk", master=master, n_pages=scaling_pages)
             if master not in bulk or b["pages_per_sec"] > bulk[master]["pages_per_sec"]:
                 bulk[master] = b
             print(f"# pass{_pass} bulk {master}: {b}", file=sys.stderr)
-            cr = run_crawl(master, corpus_obj=c, max_rounds=8)
+            cr = _sub("crawl", master=master, corpus_kw=BENCH_CORPUS_KW,
+                      max_rounds=8)
             if master not in crawl or cr["urls_per_sec"] > crawl[master]["urls_per_sec"]:
                 crawl[master] = cr
             print(f"# pass{_pass} crawl {master}: {cr}", file=sys.stderr)
@@ -499,15 +543,16 @@ def main_roundscale():
             m1_pages = len(c.pages)
         batch = max(500, 4 * kw["n_agencies"])
         measure(f"{hm}xh·{dm}xd", kw["n_agencies"], len(c.pages),
-                lambda master, c=c, batch=batch: run_crawl(
-                    master, corpus_obj=c, max_rounds=8, steward_batch=batch))
+                lambda master, kw=kw, batch=batch: _sub(
+                    "crawl", master=master, corpus_kw=kw, max_rounds=8,
+                    steward_batch=batch))
 
     # the wide rungs: JVM-side corpus, 10^5+ URLs/round — the cluster
     # regime the N->4N criterion is actually about
     for n_hosts in ROUNDSCALE_WIDE_HOSTS:
         measure(f"wide-{n_hosts}h", n_hosts, n_hosts * 409,
-                lambda master, n=n_hosts: run_crawl_wide(
-                    master, n, max_rounds=10))
+                lambda master, n=n_hosts: _sub(
+                    "crawl_wide", master=master, n_hosts=n, max_rounds=10))
     rec = {"ts": time.strftime("%Y-%m-%d %H:%M"), "sizes": sizes}
     bdir = os.path.join(REPO, "BENCH")
     os.makedirs(bdir, exist_ok=True)
@@ -694,6 +739,13 @@ def _capture_stderr():
 
 
 if __name__ == "__main__":
+    if "--_worker" in sys.argv:
+        # measurement worker (fresh interpreter): fd 2 is inherited from
+        # the parent bench process (already routed to the log); the one
+        # JSON result line goes to stdout for the parent to parse
+        i = sys.argv.index("--_worker")
+        _worker_main(sys.argv[i + 1], json.loads(sys.argv[i + 2]))
+        raise SystemExit(0)
     _capture_stderr()
     try:
         if "--scaling" in sys.argv:

@@ -114,8 +114,16 @@ class CrawlEngine:
             # repartition+persist below is the small-corpus convenience.
             self.pages = pages
         else:
-            # partitioned by the join key once, reused every round
-            self.pages = pages.repartition(F.col("url")).persist()
+            # partitioned AND sorted by the join key once, reused every
+            # round: InMemoryTableScan propagates the cached ordering, so
+            # the per-round fetch SortMergeJoin needs NO sort of the pages
+            # side. Without the sortWithinPartitions every round re-ran an
+            # external sort over the full corpus' html payloads inside
+            # each task — measured as the round loop's scaling ceiling
+            # (spill-bound: ~11 s/round at ANY core count on a 409k-page
+            # corpus; sorted cache: 5.4 s at 4 cores, 2.6 s at 16).
+            self.pages = (pages.repartition(F.col("url"))
+                          .sortWithinPartitions("url").persist())
         # Index-probe state for the domain-start gauntlet (dual-domain +
         # index HEAD, worker.py:283-353,636-644) is LAZY: no Spark work at
         # init. On the first steward batch that needs it, one O(hosts)
@@ -138,6 +146,10 @@ class CrawlEngine:
         self.dom: dict = {}          # host -> driver state dict
         self.events: list = []       # (round, host, event)
         self.metrics: list = []      # per-round per-host fetch/parse stats
+        # checkpoint watermarks: events/metrics below these indexes are
+        # already committed in earlier state snapshots (deltas only)
+        self._ckpt_events = 0
+        self._ckpt_metrics = 0
         self.round_no = 0
         # In-run views of the state tables: each committed delta's parquet
         # files are read back and unioned here (flat lineage, no recompute).
@@ -569,6 +581,10 @@ class CrawlEngine:
 
         # -- snapshot the driver state (the round checkpoint) ----------
         self.t_log.commit_state(rnd, self._state_dict())
+        # watermarks advance only after the checkpoint LANDS: a failed
+        # commit leaves the deltas pending for the next attempt
+        self._ckpt_events = len(self.events)
+        self._ckpt_metrics = len(self.metrics)
         _mark("commit_state")
         if _prof:
             parts = " ".join(
@@ -583,6 +599,16 @@ class CrawlEngine:
     def _build_generations(self, hosts: list, schedule: "DataFrame | None"):
         """SURVEY.md §8.3 frontier-update rule, one distributed pass for all
         generation-ending hosts."""
+        import time as _time
+        _prof = os.environ.get("DISCO_PROFILE") == "1"
+        _t = _time.time()
+
+        def _mark(lbl):
+            nonlocal _t
+            if _prof:
+                now = _time.time()
+                print(f"#   build_gen {lbl}={now - _t:.2f}", flush=True)
+                _t = now
         sess = self.spark.createDataFrame(
             [(h, self.dom[h]["session"], self.dom[h]["gen"],
               self.dom[h]["scheme"]) for h in hosts],
@@ -640,6 +666,7 @@ class CrawlEngine:
                 cand = cand.join(seg_seen, ["host", "url_key"], "left_anti")
         # within-batch key dedup: first raw link per key wins (the oracle
         # marks keys sequentially in sorted order)
+        _mark("plan_cand")
         wk = Window.partitionBy("host", "url_key").orderBy("link")
         cand = (cand.withColumn("rn", F.row_number().over(wk))
                 .filter(F.col("rn") == 1).drop("rn").persist())
@@ -649,6 +676,7 @@ class CrawlEngine:
         new_seen = (cand.join(F.broadcast(sess.select("host", "session")), "host")
                     .select("host", "session", "host_group", "url_key"))
         self._append("url_seen", new_seen)
+        _mark("seen_append")
         nxt = cand.withColumn("link_raw", udfs.domainize(
             F.col("host"), F.col("link"), F.col("scheme")))
         if schedule is not None:
@@ -664,6 +692,7 @@ class CrawlEngine:
                .select("host", "session", "gen", "ord", "link_raw"))
         nxt = nxt.persist()
         prepared_delta = self._append("frontier", self._prepare(nxt))
+        _mark("frontier_append")
         # one collect for both counts: raw next-gen size (finish decision —
         # an all-robots-filtered gen still stays active one round, like the
         # reference) and prepared size (the schedule cursor bound)
@@ -672,6 +701,7 @@ class CrawlEngine:
                        .agg(F.count(F.lit(1)).alias("prep_n")),
                        "host", "full_outer")
                  .collect())
+        _mark("counts_collect")
         raw_counts = {r["host"]: (r["raw_n"] or 0) for r in stats}
         counts = {r["host"]: (r["prep_n"] or 0) for r in stats}
         cand.unpersist()
@@ -689,9 +719,18 @@ class CrawlEngine:
     # run / resume / results
     # ------------------------------------------------------------------
     def _state_dict(self) -> dict:
+        """Round-checkpoint payload. ``dom`` is the full mutable state
+        (O(active + seen hosts), compact 3-field entries for inactive
+        hosts); events/metrics are PER-ROUND DELTAS — serializing the
+        full accumulated lists made the checkpoint an O(rounds x hosts)
+        serial term that grew every round (measured 0.1 -> 6 s/round
+        over a 10-round 1000-host crawl). ``resume`` replays the deltas
+        of every state snapshot in commit order, so the reconstructed
+        lists are identical to the in-memory ones."""
         return {"round": self.round_no, "dom": self.dom,
-                "events": [list(e) for e in self.events],
-                "metrics": self.metrics}
+                "events_delta": [list(e) for e in
+                                 self.events[self._ckpt_events:]],
+                "metrics_delta": self.metrics[self._ckpt_metrics:]}
 
     def run(self, max_rounds: "int | None" = None) -> dict:
         max_rounds = max_rounds or self.cfg.max_rounds
@@ -749,8 +788,25 @@ class CrawlEngine:
         st = ckpt["state"]
         eng.round_no = st["round"] + 1 if "round" in st else 0
         eng.dom = st["dom"]
-        eng.events = [tuple(e) for e in st.get("events", [])]
-        eng.metrics = st.get("metrics", [])
+        # events/metrics are per-round deltas (one per state snapshot):
+        # replay every checkpoint up to and including the chosen one, in
+        # commit order. Old-style full-list keys ("events"/"metrics")
+        # replace instead of extend, so pre-delta checkpoints still load.
+        eng.events, eng.metrics = [], []
+        for s in eng.t_log.history():
+            if s["op"] != "state" or not s.get("state"):
+                continue
+            if s["id"] > ckpt["id"]:
+                break
+            ss = s["state"]
+            if "events" in ss:
+                eng.events = [tuple(e) for e in ss["events"]]
+            eng.events.extend(tuple(e) for e in ss.get("events_delta", []))
+            if "metrics" in ss:
+                eng.metrics = list(ss["metrics"])
+            eng.metrics.extend(ss.get("metrics_delta", []))
+        eng._ckpt_events = len(eng.events)
+        eng._ckpt_metrics = len(eng.metrics)
         ckpt_round = st.get("round", -1)
         for name in ("frontier", "url_seen", "crawl_log"):
             t = eng._table(name)
