@@ -256,6 +256,9 @@ class CrawlEngine:
                 "crawl_log": self.t_log}[name]
 
     def _append(self, name: str, delta: DataFrame):
+        import time as _time
+        _prof = os.environ.get("DISCO_PROFILE") == "1"
+        _t0 = _time.time()
         # Commit the delta to parquet (ONE Spark action), then use the
         # written files as the in-run view. Reading back the files both
         # truncates lineage (without this, every round's plan nests the
@@ -268,10 +271,16 @@ class CrawlEngine:
         cur = self._view(name)
         if self._commit_files:
             delta = delta.coalesce(self._commit_files)
+        _t1 = _time.time()
         _, data_dir = self._table(name).append(delta, self.round_no)
+        _t2 = _time.time()
         delta_view = self.spark.read.parquet(data_dir)
         self._mem[name] = (delta_view if cur is None
                            else cur.unionByName(delta_view))
+        if _prof:
+            print(f"#   append[{name}] view={_t1 - _t0:.2f} "
+                  f"write={_t2 - _t1:.2f} reread={_time.time() - _t2:.2f}",
+                  flush=True)
         return delta_view
 
     def _view(self, name: str) -> "DataFrame | None":
@@ -313,7 +322,8 @@ class CrawlEngine:
         # an overwrite snapshot: the compacted dir replaces the delta chain
         # (same rows, bucketed layout) — time travel to older snapshots and
         # resume both keep working through the ordinary read path
-        self.t_seen._new_snapshot([rel], self.round_no, "compact", [], None)
+        self.t_seen._new_snapshot([rel], self.round_no, "compact", [], None,
+                                  files_reset=True)
         self._seen_base = self.spark.table(name)
         self._mem["url_seen"] = None  # tail restarts empty (guarded above)
 
@@ -733,7 +743,9 @@ class CrawlEngine:
                 "metrics_delta": self.metrics[self._ckpt_metrics:]}
 
     def run(self, max_rounds: "int | None" = None) -> dict:
+        import time as _time
         max_rounds = max_rounds or self.cfg.max_rounds
+        self.round_walls: list = []   # (round_no, wall_secs) per step
         while self.round_no < max_rounds:
             states = {h: d["state"] for h, d in self.dom.items()}
             groups = {h: d["group"] for h, d in self.dom.items()}
@@ -743,7 +755,9 @@ class CrawlEngine:
                 self.round_no, self.cfg.steward_batch)
             if not active and not startable:
                 break
+            _t0 = _time.time()
             self.step()
+            self.round_walls.append((self.round_no - 1, _time.time() - _t0))
         # persist the metrics + domain-event tables (queryable forms of the
         # per-round stats carried in the state snapshots; events mirror the
         # reference's domain-lifecycle ES index, worker.py:535-547)
@@ -785,7 +799,7 @@ class CrawlEngine:
             for name in ("frontier", "url_seen", "crawl_log"):
                 eng._table(name).rollback(None)
             return eng
-        st = ckpt["state"]
+        st = eng.t_log.load_state(ckpt["state"])
         eng.round_no = st["round"] + 1 if "round" in st else 0
         eng.dom = st["dom"]
         # events/metrics are per-round deltas (one per state snapshot):

@@ -21,7 +21,7 @@ def build_session(
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
     master = master or f"local[{cpus}]"
     shuffle = shuffle_partitions or cpus
-    return (
+    b = (
         SparkSession.builder
         .appName(app)
         .master(master)
@@ -49,5 +49,13 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .getOrCreate()
     )
+    # diagnostic escape hatch: JSON dict of extra spark confs (e.g.
+    # '{"spark.eventLog.enabled": "true", ...}') — lets profiling runs
+    # attach event logs without changing call sites
+    extra = os.environ.get("DISCO_SPARK_EXTRA")
+    if extra:
+        import json
+        for k, v in json.loads(extra).items():
+            b = b.config(k, v)
+    return b.getOrCreate()

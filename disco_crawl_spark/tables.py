@@ -87,26 +87,61 @@ class Table:
 
     # -- inspection ---------------------------------------------------
     def history(self) -> list:
+        """Raw snapshot records (file lineage stored as per-commit DELTAS:
+        ``files_delta`` + ``files_reset``; use ``snapshot()`` /
+        ``current_snapshot()`` for a record with the full ``files`` list
+        materialized). Storing full lists per snapshot made _meta.json —
+        rewritten on EVERY commit — grow O(commits^2): measured as the
+        round checkpoint cost climbing every crawl round."""
         return self._load_meta()["snapshots"]
+
+    @staticmethod
+    def _files_at(snapshots: list, snapshot_id: int) -> list:
+        """Replay file-lineage deltas up to and including snapshot_id.
+        Legacy records carry a full ``files`` list and behave as a reset."""
+        cur: list = []
+        for s in snapshots:
+            if s["id"] > snapshot_id:
+                break
+            if "files" in s:                      # legacy full-list record
+                cur = list(s["files"])
+            elif s.get("files_reset"):
+                cur = list(s.get("files_delta") or [])
+            else:
+                cur = cur + list(s.get("files_delta") or [])
+        return cur
+
+    def _hydrated(self, meta: dict, snap: "dict | None") -> "dict | None":
+        if snap is None:
+            return None
+        out = dict(snap)
+        if "files" not in out:
+            out["files"] = self._files_at(meta["snapshots"], snap["id"])
+        return out
 
     def current_snapshot(self) -> "dict | None":
         m = self._load_meta()
         for s in m["snapshots"]:
             if s["id"] == m["current"]:
-                return s
+                return self._hydrated(m, s)
         return None
 
     def snapshot(self, snapshot_id: int) -> "dict | None":
-        for s in self._load_meta()["snapshots"]:
+        m = self._load_meta()
+        for s in m["snapshots"]:
             if s["id"] == snapshot_id:
-                return s
+                return self._hydrated(m, s)
         return None
 
     # -- writes -------------------------------------------------------
     def _write_data(self, df, round_no: int) -> "tuple[str, list]":
+        import time as _time
+        _prof = os.environ.get("DISCO_PROFILE") == "1"
         rel = f"data/r{round_no:05d}-{uuid.uuid4().hex[:8]}"
         out = os.path.join(self.path, rel)
+        _t0 = _time.time()
         df.write.mode("overwrite").parquet(out)
+        _t1 = _time.time()
         # per-file lineage + column min/max from parquet footers — no
         # extra Spark job. The stats are what Iceberg keeps per data file
         # in its manifests; ``read(..., eq=...)`` uses them to skip files
@@ -122,20 +157,49 @@ class Table:
                               "stats": _footer_stats(md)})
         except Exception:
             pass
+        if _prof:
+            print(f"#     table[{self.name}] job={_t1 - _t0:.2f} "
+                  f"footers={_time.time() - _t1:.2f} n={len(files)}",
+                  flush=True)
         return rel, files
 
     def _new_snapshot(self, data_dirs: list, round_no: int, op: str,
-                      files: list, state: "dict | None") -> int:
+                      files_delta: list, state: "dict | None",
+                      files_reset: bool = False) -> int:
+        """Commit a snapshot. ``files_delta`` lists only the files THIS
+        commit adds (``files_reset`` starts the lineage over — overwrite /
+        compaction); the full list is replayed on read (``_files_at``).
+        A ``state`` payload's ``dom`` dict is externalized to one
+        write-once JSON file per checkpoint and referenced as
+        ``dom_ref`` — _meta.json is rewritten on every commit, so holding
+        every round's O(hosts) dict inline made the per-round commit cost
+        O(rounds x hosts) (measured growing every round); the small
+        events/metrics deltas stay inline."""
         meta = self._load_meta()
-        sid = (meta["snapshots"][-1]["id"] + 1) if meta["snapshots"] else 0
+        last = meta["snapshots"][-1] if meta["snapshots"] else None
+        sid = (last["id"] + 1) if last else 0
+        if files_reset:
+            rows = sum(f["rows"] for f in files_delta) if files_delta else None
+        else:
+            rows = ((last.get("rows") or 0) if last else 0) + \
+                sum(f["rows"] for f in files_delta)
+        if state and "dom" in state:
+            dom_rel = f"state/s{sid:06d}.json"
+            dom_abs = os.path.join(self.path, dom_rel)
+            os.makedirs(os.path.dirname(dom_abs), exist_ok=True)
+            with open(dom_abs, "w") as f:
+                json.dump({"dom": state["dom"]}, f)
+            state = {k: v for k, v in state.items() if k != "dom"}
+            state["dom_ref"] = dom_rel
         snap = {
             "id": sid,
             "parent": meta["current"],
             "round": round_no,
             "op": op,
             "data": data_dirs,
-            "files": files,
-            "rows": sum(f["rows"] for f in files) if files else None,
+            "files_delta": files_delta,
+            "files_reset": files_reset,
+            "rows": rows,
             "state": state or {},
         }
         meta["snapshots"].append(snap)
@@ -143,30 +207,42 @@ class Table:
         self._commit(meta)
         return sid
 
+    def load_state(self, snap_state: dict) -> dict:
+        """Materialize a snapshot's state payload (resolving ``dom_ref``)."""
+        st = dict(snap_state)
+        ref = st.pop("dom_ref", None)
+        if ref is not None:
+            with open(os.path.join(self.path, ref)) as f:
+                st["dom"] = json.load(f)["dom"]
+        return st
+
     def append(self, df, round_no: int = 0,
                state: "dict | None" = None) -> "tuple[int, str]":
         """Commit an append snapshot; returns (snapshot_id, new data dir) so
         callers can cheaply re-read just the delta."""
-        cur = self.current_snapshot()
-        prev_dirs = cur["data"] if cur else []
-        prev_files = cur["files"] if cur else []
+        meta = self._load_meta()
+        last = meta["snapshots"][-1] if meta["snapshots"] else None
+        prev_dirs = last["data"] if last else []
         rel, files = self._write_data(df, round_no)
         sid = self._new_snapshot(prev_dirs + [rel], round_no, "append",
-                                 prev_files + files, state)
+                                 files, state)
         return sid, os.path.join(self.path, rel)
 
     def overwrite(self, df, round_no: int = 0,
                   state: "dict | None" = None) -> "tuple[int, str]":
         rel, files = self._write_data(df, round_no)
-        sid = self._new_snapshot([rel], round_no, "overwrite", files, state)
+        sid = self._new_snapshot([rel], round_no, "overwrite", files, state,
+                                 files_reset=True)
         return sid, os.path.join(self.path, rel)
 
     def commit_state(self, round_no: int, state: dict) -> int:
         """Metadata-only snapshot (no data change) — used for driver-side
-        domain-state checkpoints."""
-        cur = self.current_snapshot()
-        return self._new_snapshot(cur["data"] if cur else [], round_no,
-                                  "state", cur["files"] if cur else [], state)
+        domain-state checkpoints. Inherits the parent's data/file lineage
+        without copying it."""
+        meta = self._load_meta()
+        last = meta["snapshots"][-1] if meta["snapshots"] else None
+        return self._new_snapshot(last["data"] if last else [], round_no,
+                                  "state", [], state)
 
     # -- reads --------------------------------------------------------
     def read(self, spark, snapshot_id: "int | None" = None,
