@@ -515,8 +515,12 @@ def main_scaling():
 # ~hosts x budget URLs — the sustained width a cluster crawl runs at
 ROUNDSCALE_SIZES = ((1, 1), (4, 4))
 # JVM-side corpus rungs (synth_crawl_pages): hosts x 50-URL budget per
-# round once the leaf generation is live — 2000 hosts ~ 100k URLs/round
-ROUNDSCALE_WIDE_HOSTS = (2000, 4000)
+# round once the leaf generation is live — 2000 hosts ~ 100k URLs/round.
+# The 8000-host rung (~327k URLs/round, ~8 GB corpus cache) is where the
+# parse work is wide enough to dominate the ~2-3 s/round of
+# parallelism-independent job overhead this sandbox carries (stage
+# dispatch + commit); cluster rounds are wider still
+ROUNDSCALE_WIDE_HOSTS = (2000, 4000, 8000)
 
 
 def main_roundscale():

@@ -274,7 +274,10 @@ class CrawlEngine:
         _t1 = _time.time()
         _, data_dir = self._table(name).append(delta, self.round_no)
         _t2 = _time.time()
-        delta_view = self.spark.read.parquet(data_dir)
+        # explicit schema: parquet reads without one spend a driver job on
+        # footer/schema inference — at round-loop cadence that is one
+        # wasted dispatch per append (3/round), pure serial cost
+        delta_view = self.spark.read.schema(delta.schema).parquet(data_dir)
         self._mem[name] = (delta_view if cur is None
                            else cur.unionByName(delta_view))
         if _prof:
@@ -540,31 +543,24 @@ class CrawlEngine:
             )
             results = self._append("crawl_log", results)
             _mark("fetch_parse_log")
-            # one collect drives BOTH new-domain discovery and the per-host
-            # fetch/parse metrics (statsd-counter taxonomy of worker.py:
-            # 466,492,499-501), recorded in the round-state snapshot
-            stats_rows = (results.groupBy("host").agg(
+            # one aggregation drives BOTH new-domain discovery and the
+            # per-host fetch/parse metrics (statsd-counter taxonomy of
+            # worker.py:466,492,499-501), recorded in the round-state
+            # snapshot. NOT collected here: when a generation ends this
+            # round, _build_generations folds it into its own counts
+            # collect — one driver action per round instead of two (the
+            # per-action dispatch latency is the round loop's serial
+            # floor)
+            stats_df = results.groupBy("host").agg(
                 F.count(F.lit(1)).alias("scheduled"),
                 F.sum(F.when(F.col("status") == 200, 1).otherwise(0))
                  .alias("fetched_200"),
                 F.sum(F.size("links")).alias("internal_links"),
                 F.sum(F.size("external_links")).alias("external_links"),
                 F.flatten(F.collect_set("discovered")).alias("discovered"),
-            ).collect())
-            discovered_all = set()
-            for r in stats_rows:
-                self.metrics.append({
-                    "round": rnd, "host": r["host"],
-                    "scheduled": r["scheduled"],
-                    "fetched_200": int(r["fetched_200"]),
-                    "fetched_404": r["scheduled"] - int(r["fetched_200"]),
-                    "internal_links": int(r["internal_links"]),
-                    "external_links": int(r["external_links"]),
-                })
-                discovered_all.update(r["discovered"])
-            for d in sorted(discovered_all):
-                self._seen_host(d, rnd)
-        _mark("stats_collect")
+            )
+        else:
+            stats_df = None
 
         # -- driver cursor/crawl accounting ----------------------------
         ended = []
@@ -586,8 +582,31 @@ class CrawlEngine:
         for h in capped:
             self.dom[h]["state"] = "seen"  # cap exit: NOT finished
         if build:
-            self._build_generations(build, schedule)
+            stats_rows = self._build_generations(build, schedule, stats_df)
+        elif stats_df is not None:
+            stats_rows = stats_df.collect()
+        else:
+            stats_rows = []
         _mark("build_generations")
+
+        # -- per-host fetch/parse metrics + new-domain discovery -------
+        discovered_all = set()
+        for r in stats_rows:
+            sch = r["scheduled"] if "scheduled" in r else None
+            if sch is None:
+                continue
+            self.metrics.append({
+                "round": rnd, "host": r["host"],
+                "scheduled": sch,
+                "fetched_200": int(r["fetched_200"]),
+                "fetched_404": sch - int(r["fetched_200"]),
+                "internal_links": int(r["internal_links"]),
+                "external_links": int(r["external_links"]),
+            })
+            discovered_all.update(r["discovered"])
+        for d in sorted(discovered_all):
+            self._seen_host(d, rnd)
+        _mark("stats_rows")
 
         # -- snapshot the driver state (the round checkpoint) ----------
         self.t_log.commit_state(rnd, self._state_dict())
@@ -606,9 +625,14 @@ class CrawlEngine:
                 self.round_no % self.compact_seen_every == 0:
             self.compact_seen()
 
-    def _build_generations(self, hosts: list, schedule: "DataFrame | None"):
+    def _build_generations(self, hosts: list, schedule: "DataFrame | None",
+                           stats_df: "DataFrame | None" = None):
         """SURVEY.md §8.3 frontier-update rule, one distributed pass for all
-        generation-ending hosts."""
+        generation-ending hosts. ``stats_df`` (the round's per-host
+        fetch/parse aggregation) rides along in the counts collect so the
+        whole round runs ONE driver action beyond its three table
+        commits; returns the collected rows for the caller's metrics
+        accounting."""
         import time as _time
         _prof = os.environ.get("DISCO_PROFILE") == "1"
         _t = _time.time()
@@ -703,14 +727,18 @@ class CrawlEngine:
         nxt = nxt.persist()
         prepared_delta = self._append("frontier", self._prepare(nxt))
         _mark("frontier_append")
-        # one collect for both counts: raw next-gen size (finish decision —
-        # an all-robots-filtered gen still stays active one round, like the
-        # reference) and prepared size (the schedule cursor bound)
-        stats = (nxt.groupBy("host").agg(F.count(F.lit(1)).alias("raw_n"))
-                 .join(prepared_delta.groupBy("host")
-                       .agg(F.count(F.lit(1)).alias("prep_n")),
-                       "host", "full_outer")
-                 .collect())
+        # ONE collect for everything the driver needs this round: raw
+        # next-gen size (finish decision — an all-robots-filtered gen
+        # still stays active one round, like the reference), prepared
+        # size (the schedule cursor bound), and — when the caller hands
+        # one in — the round's per-host fetch/parse stats
+        counts_df = (nxt.groupBy("host").agg(F.count(F.lit(1)).alias("raw_n"))
+                     .join(prepared_delta.groupBy("host")
+                           .agg(F.count(F.lit(1)).alias("prep_n")),
+                           "host", "full_outer"))
+        if stats_df is not None:
+            counts_df = stats_df.join(counts_df, "host", "full_outer")
+        stats = counts_df.collect()
         _mark("counts_collect")
         raw_counts = {r["host"]: (r["raw_n"] or 0) for r in stats}
         counts = {r["host"]: (r["prep_n"] or 0) for r in stats}
@@ -724,6 +752,7 @@ class CrawlEngine:
             else:
                 d.update(gen=d["gen"] + 1, cursor=0,
                          gen_size=counts.get(h, 0))
+        return stats
 
     # ------------------------------------------------------------------
     # run / resume / results
