@@ -310,6 +310,10 @@ def _record_history(payload: dict):
     """Append this run to BENCH/history.jsonl and regenerate the per-round
     headline-query drift table (BENCH/HISTORY.md) so round-over-round
     movement is visible without artifact archaeology."""
+    if str(payload.get("sf")) != "0.1":
+        # the drift table compares like with like: ad-hoc sf0.01 dev
+        # runs have 10x less data and would read as phantom speedups
+        return
     bdir = os.path.join(REPO, "BENCH")
     os.makedirs(bdir, exist_ok=True)
     hist_path = os.path.join(bdir, "history.jsonl")
@@ -320,7 +324,7 @@ def _record_history(payload: dict):
         # a line truncated by a killed run must not freeze regeneration of
         # the table forever — skip it, keep every parseable row
         try:
-            if l.strip():
+            if l.strip() and json.loads(l).get("sf") == "0.1":
                 rows.append(json.loads(l))
         except ValueError:
             continue
