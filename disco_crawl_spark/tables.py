@@ -290,6 +290,34 @@ class Table:
                 kept.append(os.path.join(self.path, f["file"]))
         return kept
 
+    def compact(self, spark, round_no: int = 0,
+                target_files: "int | None" = None,
+                sort_cols: "list | None" = None) -> "int | None":
+        """Iceberg ``rewrite_data_files`` equivalent: rewrite the current
+        snapshot's accumulated delta files (one dir per append at the
+        writing job's parallelism — many small files over a long-lived
+        table) into one fresh data dir, committed as a ``compact``
+        snapshot with the file lineage reset. Same rows, new layout;
+        time travel to pre-compaction snapshots and ``rollback`` keep
+        working because old data dirs are only removed by an explicit
+        ``expire_before``. ``sort_cols`` sorts within output files so the
+        per-file min/max footer stats become selective for ``read(eq=)``
+        manifest pruning (the Iceberg sort-order + rewrite recipe).
+        Returns the new snapshot id, or None for an empty table."""
+        cur = self.current_snapshot()
+        if not cur or not cur["data"]:
+            return None
+        df = spark.read.parquet(
+            *[os.path.join(self.path, d) for d in cur["data"]])
+        if target_files:
+            df = (df.repartitionByRange(target_files, *sort_cols)
+                  if sort_cols else df.repartition(target_files))
+        if sort_cols:
+            df = df.sortWithinPartitions(*sort_cols)
+        rel, files = self._write_data(df, round_no)
+        return self._new_snapshot([rel], round_no, "compact", files, None,
+                                  files_reset=True)
+
     def rollback(self, snapshot_id: "int | None"):
         """Iceberg ``rollback_to_snapshot`` equivalent: make snapshot_id the
         head again, drop newer snapshots, and GC their orphaned data dirs.

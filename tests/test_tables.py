@@ -77,3 +77,40 @@ def test_manifest_minmax_file_skipping(spark, tmp_warehouse):
 
     # integer stats prune too
     assert 0 < len(t.prune_files(snap, {"n": 250})) < n_files
+
+
+def test_compact_rewrites_small_files(spark, tmp_warehouse):
+    # Iceberg rewrite_data_files parity: many per-append delta files
+    # collapse to target_files, rows identical, history/time travel
+    # intact, and sort_cols makes the compacted footer stats selective
+    t = Table(tmp_warehouse, "log")
+    for batch in range(4):
+        df = (spark.range(batch * 50, batch * 50 + 50)
+              .selectExpr("concat('h', lpad(cast(id as string), 4, '0')) as host",
+                          "id as n")
+              .repartition(4))  # 4 files per append, like a wide writer
+        t.append(df, round_no=batch)
+    pre = t.current_snapshot()
+    assert len(pre["files"]) == 16
+    rows_pre = {(r["host"], r["n"]) for r in t.read(spark).collect()}
+    sid = t.compact(spark, round_no=4, target_files=2, sort_cols=["host"])
+    snap = t.current_snapshot()
+    assert snap["id"] == sid and snap["op"] == "compact"
+    assert len(snap["files"]) == 2          # lineage reset to the rewrite
+    assert snap["rows"] == 200
+    rows_post = {(r["host"], r["n"]) for r in t.read(spark).collect()}
+    assert rows_post == rows_pre
+    # time travel to the pre-compaction snapshot still reads the old files
+    assert t.read(spark, snapshot_id=pre["id"]).count() == 200
+    # range-partition + sort makes per-file host ranges disjoint, so an
+    # eq-read prunes to a single file
+    assert len(t.prune_files(snap, {"host": "h0003"})) == 1
+    # expire pre-compaction history: compacted head survives, old dirs GC'd
+    t.expire_before(sid)
+    assert t.read(spark).count() == 200
+    assert [s["op"] for s in t.history()] == ["compact"]
+
+
+def test_compact_empty_table_noop(spark, tmp_warehouse):
+    t = Table(tmp_warehouse, "empty")
+    assert t.compact(spark) is None
