@@ -475,8 +475,18 @@ class CrawlEngine:
                 bounds_rows,
                 "host string, session int, gen int, lo int, hi int, scheme string")
             frontier = self._view("frontier")
+            # generation pushdown: the frontier view unions every
+            # generation's delta files, but a round only schedules from
+            # the handful of generations active hosts sit in. The isin
+            # filter reaches the parquet scan (each delta dir holds one
+            # generation, so min(gen)==max(gen) per file and row-group
+            # stats skip WHOLE dead-generation files) — without it a
+            # long-lived crawl re-reads its entire frontier history
+            # every round just to join-discard it
+            active_gens = sorted({g for _, _, g, _, _, _ in bounds_rows})
             schedule = (
-                frontier.join(F.broadcast(bounds), ["host", "session", "gen"])
+                frontier.filter(F.col("gen").isin(active_gens))
+                .join(F.broadcast(bounds), ["host", "session", "gen"])
                 .filter((F.col("pos") >= F.col("lo")) & (F.col("pos") < F.col("hi")))
                 .withColumn("seq", F.col("pos") - F.col("lo"))
                 .withColumn("fetch_url", udfs.domainize(
