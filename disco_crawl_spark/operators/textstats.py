@@ -11,7 +11,7 @@ from __future__ import annotations
 import hashlib
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (ArrayType, IntegerType, LongType, StringType,
                                StructField, StructType)
@@ -44,10 +44,13 @@ def bpe_ish_token_count(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.select(F.col(id_col), F.size(pieces).alias("n_bpe_tokens"))
 
 
-def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def quality_score(df: DataFrame, text_col: str, id_col: str,
+                  keep_cols: "tuple | list" = ()) -> DataFrame:
     """Heuristic quality features + composite score, all built-ins: length,
     mean word length, punctuation ratio, stopword ratio, uppercase ratio.
-    Mirrors common crawl-corpus quality filters (C4-style)."""
+    Mirrors common crawl-corpus quality filters (C4-style). ``keep_cols``
+    pass-through columns ride along (e.g. the domain key for
+    ``domain_quality_gate``) so callers avoid a re-join on ``id_col``."""
     t = F.col(text_col)
     toks = F.split(t, " ")
     n_tok = F.size(toks)
@@ -77,7 +80,45 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.col(id_col), n_tok.alias("n_tokens"), mean_wl.alias("mean_word_len"),
         punct_ratio.alias("punct_ratio"), stop_ratio.alias("stopword_ratio"),
         upper_ratio.alias("upper_ratio"), score.alias("quality"),
+        *[F.col(c) for c in keep_cols],
     )
+
+
+def domain_quality_gate(df: DataFrame, text_col: str, id_col: str,
+                        domain_col: str,
+                        min_avg_quality: "float | None" = None,
+                        top_k: "int | None" = None) -> DataFrame:
+    """Domain-level quality gating (the FineWeb/C4 'bad domain' filter):
+    score every document, aggregate the mean score per domain, and keep
+    documents from domains that clear the gate — either an absolute
+    ``min_avg_quality`` threshold or the ``top_k`` domains ranked by
+    (mean quality desc, domain asc) (deterministic tie-break).
+
+    Scale shape: one narrow (domain, quality) shuffle with map-side
+    partial aggregation builds the domain table — domains are orders of
+    magnitude fewer than documents, so the surviving-domain list is
+    broadcast back and the gate join never shuffles the document side.
+    The top_k rank is a window over the DOMAIN table only (bounded; at
+    10^8+ domains switch to an approx-quantile threshold instead). The
+    scored projection is pure Catalyst (no UDF), so computing it on both
+    sides of the plan is a re-scan of pruned columns, not cached python
+    work. Domain means round to 4dp before the gate so the keep-set is
+    stable under aggregation order."""
+    if (min_avg_quality is None) == (top_k is None):
+        raise ValueError("exactly one of min_avg_quality / top_k required")
+    scored = quality_score(df, text_col, id_col, keep_cols=[domain_col]) \
+        .select(id_col, domain_col, "quality")
+    dom = (scored.groupBy(domain_col)
+           .agg(F.round(F.avg("quality"), 4).alias("domain_quality"),
+                F.count(F.lit(1)).alias("domain_docs")))
+    if top_k is not None:
+        w = Window.orderBy(F.col("domain_quality").desc(), F.col(domain_col))
+        good = (dom.withColumn("rnk", F.row_number().over(w))
+                .filter(F.col("rnk") <= top_k).drop("rnk"))
+    else:
+        good = dom.filter(F.col("domain_quality") >= min_avg_quality)
+    return scored.join(F.broadcast(good), domain_col).select(
+        id_col, domain_col, "quality", "domain_quality", "domain_docs")
 
 
 # ---------------------------------------------------------------------------

@@ -993,6 +993,49 @@ def quality_score(spark, sf):
     return textstats.quality_score(d, "text", "doc_id")
 
 
+@q("domain_quality_gate", """
+WITH s AS (
+  SELECT doc_id, source,
+         len(string_split(text, ' ')) AS n_tok,
+         length(text) AS n_chars,
+         len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+             ['the','a','an','and','or','of','to','in','is','are','was',
+              'were','be','been','it','this','that','for','on','with','as',
+              'at','by','from'])) AS n_stop,
+         length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+           AS n_punct,
+         len(list_distinct(string_split(lower(text), ' '))) AS n_dtok
+  FROM documents),
+scored AS (
+  SELECT doc_id, source,
+         round(CASE WHEN n_tok >= 10 THEN 1.0 ELSE 0.0 END
+               + CASE WHEN (n_chars - n_tok + 1) / nullif(n_tok, 0)
+                           BETWEEN 3 AND 10 THEN 1.0 ELSE 0.0 END
+               + CASE WHEN n_punct / nullif(n_chars, 0) <= 0.1
+                      THEN 1.0 ELSE 0.0 END
+               + coalesce(n_stop / nullif(n_dtok, 0), 0), 6) AS quality
+  FROM s),
+dom AS (
+  SELECT source, round(avg(quality), 4) AS domain_quality,
+         count(*) AS domain_docs
+  FROM scored GROUP BY source),
+good AS (
+  SELECT * FROM dom
+  ORDER BY domain_quality DESC, source LIMIT 10)
+SELECT sc.doc_id, sc.source, sc.quality, g.domain_quality, g.domain_docs
+FROM scored sc JOIN good g USING (source)
+""")
+def domain_quality_gate(spark, sf):
+    """FineWeb/C4-style domain-level quality gate over `documents`
+    (`source` is the domain key): keep docs from the top-10 domains by
+    mean quality, deterministic (quality desc, source asc) tie-break.
+    See operators/textstats.py for the 100 TB shape: narrow per-domain
+    agg + broadcast gate join."""
+    d = _t(spark, sf, "documents")
+    return textstats.domain_quality_gate(d, "text", "doc_id", "source",
+                                         top_k=10)
+
+
 @q("lang_id", """
 WITH t AS (SELECT doc_id, lower(coalesce(text,'')) AS s FROM documents),
 sc AS (SELECT doc_id,

@@ -137,6 +137,30 @@ def test_quality_and_tokens(spark, docs):
     assert t[0]["n_tokens"] == 9 and t[0]["n_distinct_tokens"] == 8
 
 
+def test_domain_quality_gate(spark):
+    import pytest
+    rows = [
+        # domain "good": long prose with stopwords -> high score
+        (1, "good", "the quick brown fox jumps over the lazy dog and runs on"),
+        (2, "good", "this is a long and sensible sentence with many words in it"),
+        # domain "bad": degenerate junk -> low score
+        (3, "bad", "!!! ??? ,,,"),
+        (4, "bad", "x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, src string, text string")
+    out = textstats.domain_quality_gate(
+        df, "text", "doc_id", "src", top_k=1).collect()
+    assert {r["doc_id"] for r in out} == {1, 2}
+    assert all(r["src"] == "good" and r["domain_docs"] == 2 for r in out)
+    # absolute-threshold form keeps only domains clearing the bar
+    thr = textstats.domain_quality_gate(
+        df, "text", "doc_id", "src", min_avg_quality=2.0).collect()
+    assert {r["src"] for r in thr} == {"good"}
+    # exactly one gate mode must be chosen
+    with pytest.raises(ValueError):
+        textstats.domain_quality_gate(df, "text", "doc_id", "src")
+
+
 def test_lang_id(spark, docs):
     langs = {r["doc_id"]: r["lang_guess"] for r in
              textstats.language_id(docs, "text", "doc_id").collect()}
