@@ -662,9 +662,20 @@ def _write_scaling_report(this_run: "dict | None", corpus_pages: int,
         rs_rows = "\n".join(
             f"| {s['m']} | {s['hosts']} | {s['urls_per_round']} | "
             f"{_rate(s['c4'])} | {_rate(s['c16'])} | "
-            f"{s['eff']} | {s['hw_eff']} | {s['eff_vs_hw']} |"
+            f"{s['eff']} | {s['hw_eff']} | {s['eff_vs_hw']} | "
+            f"{s.get('passes', 2)} |"
             for s in rs["sizes"])
         big = rs["sizes"][-1]
+        provenance = ""
+        if rs.get("salvaged_from"):
+            provenance = (
+                f"\nProvenance: this record was reconstructed from the "
+                f"per-pass stderr log `BENCH/{rs['salvaged_from']}` of a "
+                f"run whose harness process was killed after the last "
+                f"logged measurement (scripts/salvage_roundscale.py "
+                f"re-applies measure()'s exact best-of-pass aggregation); "
+                f"the passes column shows how many interleaved passes "
+                f"each rung completed before the kill.\n")
         roundscale_section = f"""
 ## 3. Round-loop amortization, measured ({rs['ts']})
 
@@ -678,10 +689,10 @@ best MEDIAN-round urls/s (box noise bursts hit single rounds 10-70x;
 medians across 8-10 equal-width rounds are burst-robust — run totals
 are kept in roundscale_history.jsonl):
 
-| corpus scale (hosts·depth) | hosts | URLs/round | local[4] URLs/s (med) | local[16] URLs/s (med) | eff raw | hw ceiling | eff vs hw |
-|---|---|---|---|---|---|---|---|
+| corpus scale (hosts·depth) | hosts | URLs/round | local[4] URLs/s (med) | local[16] URLs/s (med) | eff raw | hw ceiling | eff vs hw | passes |
+|---|---|---|---|---|---|---|---|---|
 {rs_rows}
-
+{provenance}
 **At the largest width the round loop reaches {big['eff']} raw /
 {big['eff_vs_hw']} hardware-normalized efficiency.** Measuring this
 curve is what exposed (and fixed) the round loop's four serial-term

@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""Top up specific roundscale rungs with fresh interleaved passes.
+
+The 2026-08-17 14:18 roundscale run was killed after wide-8000h pass 0
+(salvaged by scripts/salvage_roundscale.py).  This script re-measures the
+named wide rungs with the full two-interleaved-pass policy of
+``bench.main_roundscale`` — fresh interpreter/JVM per measurement,
+interleaved hw calibration, best median-round rate per level — then MERGES
+the new measurements with the latest history record (best rate per master,
+best hw per process count, exactly what measure() would have produced had
+every pass run in one process) and appends the merged record, regenerating
+BENCH/BASELINE.md.
+
+Usage: python scripts/roundscale_topup.py 8000 [4000 ...] [--passes 2]
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import bench
+
+
+def rate(run: dict) -> float:
+    return run.get("urls_per_sec_median") or run["urls_per_sec"]
+
+
+def measure_wide(n_hosts: int, passes: int) -> dict:
+    runs, hw = {}, {}
+    for p in range(passes):
+        for master, procs in (("local[4]", 4), ("local[16]", 16)):
+            w = bench.hw_calibration(procs)
+            hw[procs] = max(hw.get(procs, 0.0), w)
+            print(f"# topup wide-{n_hosts}h p{p} hw {procs}p: "
+                  f"{w/1e6:.2f}M ops/s", file=sys.stderr, flush=True)
+            r = bench._sub("crawl_wide", master=master, n_hosts=n_hosts,
+                           max_rounds=10)
+            if master not in runs or rate(r) > rate(runs[master]):
+                runs[master] = r
+            print(f"# topup wide-{n_hosts}h p{p} {master}: {r}",
+                  file=sys.stderr, flush=True)
+    return {"runs": runs, "hw": hw, "passes": passes}
+
+
+def main(argv: list) -> None:
+    hosts = [int(a) for a in argv if a.isdigit()] or [8000]
+    passes = 2
+    if "--passes" in argv:
+        passes = int(argv[argv.index("--passes") + 1])
+
+    bdir = os.path.join(REPO, "BENCH")
+    hist_path = os.path.join(bdir, "roundscale_history.jsonl")
+    prev = bench._read_jsonl(hist_path)[-1]
+
+    merged_sizes = []
+    fresh = {n: measure_wide(n, passes) for n in hosts}
+    for s in prev["sizes"]:
+        s = dict(s)
+        lbl = s["m"]
+        n = int(lbl[5:-1]) if lbl.startswith("wide-") else None
+        if n in fresh:
+            f = fresh[n]
+            c4, c16 = dict(s["c4"]), dict(s["c16"])
+            if rate(f["runs"]["local[4]"]) > rate(c4):
+                c4 = f["runs"]["local[4]"]
+            if rate(f["runs"]["local[16]"]) > rate(c16):
+                c16 = f["runs"]["local[16]"]
+            # prior record stores only the hw RATIO; merge at the ratio
+            # level and keep the HIGHER ceiling (the conservative choice:
+            # it can only lower the reported eff_vs_hw, never inflate it)
+            fresh_hw_eff = round((f["hw"][16] / f["hw"][4]) / 4, 3)
+            hw_eff = max(s["hw_eff"], fresh_hw_eff)
+            eff = round((rate(c16) / rate(c4)) / 4, 3)
+            s.update({
+                "c4": c4, "c16": c16, "eff": eff, "hw_eff": hw_eff,
+                "eff_vs_hw": round(min(1.0, eff / hw_eff), 3),
+                "passes": s.get("passes", 2) + passes,
+                "topup_hw": {str(k): round(v / 1e6, 2)
+                             for k, v in f["hw"].items()},
+            })
+        merged_sizes.append(s)
+
+    rec = {"ts": time.strftime("%Y-%m-%d %H:%M"),
+           "merged_from": prev["ts"],
+           "topup_hosts": hosts,
+           "sizes": merged_sizes}
+    with open(hist_path, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    bench._write_scaling_report(None, 5514)
+    print(json.dumps({"rungs": [(s["m"], s["eff"], s["eff_vs_hw"],
+                                 s.get("passes", 2))
+                                for s in merged_sizes]}))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
