@@ -447,3 +447,75 @@ def token_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
             .withColumn("jaccard", F.round(inter / union, 6))
             .filter(F.col("jaccard") >= threshold)
             .select("a", "b", "jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# passage-level exact dedup (CCNet-style paragraph dedup, generalized)
+# ---------------------------------------------------------------------------
+
+
+def passage_dedup(df: DataFrame, text_col: str, id_col: str,
+                  k_tokens: int = 32,
+                  segmenter: str = "tokens") -> DataFrame:
+    """Remove every repeated PASSAGE across the corpus, keeping its first
+    occurrence, and reconstruct each document from its surviving passages
+    — the passage-level exact dedup CCNet/FineWeb run before document-level
+    near-dup (CCNet deduplicates SHA1-hashed paragraphs corpus-wide; docs
+    whose every passage was seen elsewhere vanish entirely).
+
+    Segmenters (one deterministic rule per run, mirrored in the oracle):
+      * ``"tokens"`` (default): fixed ``k_tokens``-token blocks — the
+        uniform rule that stays meaningful on single-line text (newline-
+        free corpora make newline paragraphs degenerate: 1 passage = the
+        whole doc = plain exact dedup).
+      * ``"newline"``: split on ``\\n`` — classic paragraph dedup for
+        corpora that carry real line structure.
+
+    First occurrence = minimum ``(doc_id, passage_idx)`` over the md5 of
+    the passage text; a doc re-assembles as its kept passages joined in
+    original order (space for "tokens", newline for "newline").
+
+    Scale shape (100 TB): one hash-partitioned aggregation to elect
+    winners — ``min(struct(id, idx))`` is algebraic, so a boilerplate
+    passage repeated 10^9 times partial-aggregates map-side instead of
+    flooding one reducer — then one join back on the hash (AQE skew-join
+    splits the hot hashes) and one per-doc aggregation to reconstruct.
+    No windows: a window over the passage hash would SORT the hot groups
+    a partial agg never materializes.
+    """
+    if segmenter == "tokens":
+        toks = F.split(F.col(text_col), " ")
+        n_seg = F.ceil(F.size(toks) / F.lit(k_tokens)).cast("int")
+        seg_arr = F.transform(
+            F.sequence(F.lit(0), n_seg - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * k_tokens + 1, k_tokens), " "))
+        joiner = " "
+    elif segmenter == "newline":
+        seg_arr = F.split(F.col(text_col), "\n")
+        n_seg = F.size(seg_arr)
+        joiner = "\n"
+    else:
+        raise ValueError(f"unknown segmenter {segmenter!r}")
+
+    segs = (df.select(F.col(id_col).alias("__id"),
+                      F.posexplode(seg_arr).alias("seg_idx", "seg"))
+            .withColumn("h", F.md5(F.col("seg"))))
+    winners = segs.groupBy("h").agg(
+        F.min(F.struct(F.col("__id"), F.col("seg_idx"))).alias("w"))
+    kept = (segs.join(winners, "h")
+            .filter((F.col("__id") == F.col("w.__id"))
+                    & (F.col("seg_idx") == F.col("w.seg_idx"))))
+    return (kept.groupBy("__id")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct("seg_idx", "seg"))),
+                         lambda s: s["seg"]),
+                     joiner).alias("text_kept"))
+            .join(df.select(F.col(id_col).alias("__id"),
+                            n_seg.cast("long").alias("n_segments")),
+                  "__id")
+            .select(F.col("__id").alias(id_col), "n_segments", "n_kept",
+                    "text_kept"))

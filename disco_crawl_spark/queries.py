@@ -429,6 +429,39 @@ def dedup_exact(spark, sf):
     return dedup.exact_dedup(d, "text", "doc_id")
 
 
+@q("dedup_passages", """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), segs0 AS (
+  SELECT doc_id,
+         list_transform(range(CAST(ceil(len(t) / 32.0) AS BIGINT)),
+                        i -> array_to_string(t[(i*32+1):((i+1)*32)], ' ')) AS segl
+  FROM toks
+), segs AS (
+  SELECT doc_id, generate_subscripts(segl, 1) - 1 AS seg_idx,
+         unnest(segl) AS seg, CAST(len(segl) AS BIGINT) AS n_segments
+  FROM segs0
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY md5(seg)
+                               ORDER BY doc_id, seg_idx) AS rn
+  FROM segs
+)
+SELECT doc_id, min(n_segments) AS n_segments, count(*) AS n_kept,
+       string_agg(seg, ' ' ORDER BY seg_idx) AS text_kept
+FROM ranked WHERE rn = 1
+GROUP BY doc_id
+""")
+def dedup_passages(spark, sf):
+    # CCNet-style passage-level exact dedup (32-token blocks; the corpus is
+    # newline-free, so fixed blocks are the non-degenerate segmenter): keep
+    # each passage's first (doc_id, idx) occurrence corpus-wide, rebuild
+    # docs from surviving passages. Oracle mirrors the winner rule as a
+    # row_number()=1 window; the engine elects winners with an algebraic
+    # min(struct) agg instead (partial-agg handles boilerplate-passage skew).
+    d = _t(spark, sf, "documents")
+    return dedup.passage_dedup(d, "text", "doc_id", k_tokens=32)
+
+
 @q("dedup_token_jaccard", """
 WITH toks AS (
   SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS tk

@@ -486,3 +486,41 @@ def test_lsh_batch_query_prunes_and_matches_per_query_path(spark, tmp_path):
     # self-retrieval sanity: every query's rank-1 is itself
     for qid, rows in got.items():
         assert min(rows)[1] == qid
+
+
+def test_passage_dedup_tokens(spark, docs):
+    out = {r["doc_id"]: r
+           for r in dedup.passage_dedup(docs, "text", "doc_id",
+                                        k_tokens=4).collect()}
+    # doc 1 duplicates doc 0 exactly: every 4-token block loses its
+    # first-occurrence election to doc 0, so the doc vanishes entirely —
+    # the CCNet behavior (docs whose every paragraph was seen disappear)
+    assert 1 not in out
+    assert out[0]["n_kept"] == out[0]["n_segments"] == 3
+    assert out[0]["text_kept"] == "the quick brown fox jumps over the lazy dog"
+    # doc 2 shares blocks 0-1 with doc 0 and keeps only its tail block
+    assert (out[2]["n_segments"], out[2]["n_kept"]) == (3, 1)
+    assert out[2]["text_kept"] == "cat"
+    # doc 4 = doc 3 plus a trailing token: block 0 is removed, the changed
+    # tail block survives
+    assert out[4]["text_kept"] == "spark engines !"
+    # unique docs pass through whole
+    assert out[3]["n_kept"] == out[3]["n_segments"]
+    assert out[6]["text_kept"] == "short"
+
+
+def test_passage_dedup_newline_and_partition_invariance(spark):
+    rows = [(0, "para one\npara two"),
+            (1, "para one\npara three"),
+            (2, "para one\npara two")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    def run(d):
+        return sorted(
+            (r["doc_id"], r["n_segments"], r["n_kept"], r["text_kept"])
+            for r in dedup.passage_dedup(d, "text", "doc_id",
+                                         segmenter="newline").collect())
+    got = run(df)
+    assert got == [(0, 2, 2, "para one\npara two"),
+                   (1, 2, 1, "para three")]   # doc 2 fully deduped away
+    # winner election is min(doc_id, idx): invariant under physical layout
+    assert run(df.repartition(7)) == got
