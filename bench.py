@@ -666,6 +666,32 @@ def _write_scaling_report(this_run: "dict | None", corpus_pages: int,
             f"{s.get('passes', 2)} |"
             for s in rs["sizes"])
         big = rs["sizes"][-1]
+        # every record that measured the largest rung, so a weather-split
+        # window can't silently become the headline (nor silently vanish)
+        big_windows = ""
+        seen_windows = [
+            (r["ts"], s["eff"], s["eff_vs_hw"], s.get("passes", 2))
+            for r in rs_recs for s in r["sizes"] if s["m"] == big["m"]]
+        big_line = (f"**At the largest width the round loop reaches "
+                    f"{big['eff']} raw / {big['eff_vs_hw']} "
+                    f"hardware-normalized efficiency.**")
+        if len(seen_windows) > 1:
+            big_windows = ("\nThe largest rung across every recorded "
+                           "measurement window (box weather moves single "
+                           "windows substantially — compare rungs within "
+                           "one window where possible; per-window notes in "
+                           "BENCH/CRAWL_BISECT.md):\n\n"
+                           "| window | eff raw | eff vs hw | passes |\n"
+                           "|---|---|---|---|\n" + "\n".join(
+                               f"| {ts} | {e} | {ev} | {p} |"
+                               for ts, e, ev, p in seen_windows) + "\n")
+            lo = min(w[1] for w in seen_windows)
+            hi = max(w[1] for w in seen_windows)
+            lov = min(w[2] for w in seen_windows)
+            hiv = max(w[2] for w in seen_windows)
+            big_line = (f"**At the largest width the round loop reaches "
+                        f"{lo}-{hi} raw / {lov}-{hiv} hardware-normalized "
+                        f"efficiency across recorded windows.**")
         provenance = ""
         if rs.get("salvaged_from"):
             provenance = (
@@ -692,9 +718,8 @@ are kept in roundscale_history.jsonl):
 | corpus scale (hosts·depth) | hosts | URLs/round | local[4] URLs/s (med) | local[16] URLs/s (med) | eff raw | hw ceiling | eff vs hw | passes |
 |---|---|---|---|---|---|---|---|---|
 {rs_rows}
-{provenance}
-**At the largest width the round loop reaches {big['eff']} raw /
-{big['eff_vs_hw']} hardware-normalized efficiency.** Measuring this
+{provenance}{big_windows}
+{big_line} Measuring this
 curve is what exposed (and fixed) the round loop's four serial-term
 defects — coalesce(1) delta commits, the unsorted pages cache re-sorted
 by every round's fetch join, O(rounds x hosts) checkpoint manifests,
