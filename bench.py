@@ -35,7 +35,7 @@ HEADLINE = [
     "dedup_exact", "dedup_passages", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_embedding_cosine", "dedup_clusters", "dedup_keep_minhash",
     "repetition_stats", "corpus_mix_sample", "token_count", "quality_score",
-    "domain_quality_gate",
+    "domain_quality_gate", "decontaminate", "stratified_sample", "pack_chunks",
     "ann_cosine_topk", "ann_batch_queries", "steward_hash_order",
     "json_extract",
 ]

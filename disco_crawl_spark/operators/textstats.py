@@ -209,6 +209,122 @@ def weighted_sample(df: DataFrame, group_col: str, weights: dict,
     return df.filter(u < w)
 
 
+def stratified_sample(df: DataFrame, group_col: str, quota: int,
+                      id_col: str, seed: int = 42) -> DataFrame:
+    """Exact per-group quota sampling (the complement of ``weighted_sample``:
+    Bernoulli gives unbiased FRACTIONS, a training-mix spec often wants
+    exact per-source COUNTS). Rank rows inside each group by
+    md5(seed|id) — a pure hash, so the selected set is identical across
+    retries, repartitions, and cluster sizes — and keep the first
+    ``quota``. Ties are impossible (id breaks them deterministically).
+
+    Scale shape: one shuffle on ``group_col``; the per-partition sort is
+    over (group, hash) so each group's work is bounded by its own size.
+    A group so skewed that one task can't sort it calls for the two-phase
+    variant (salted local row_number keeping ``quota`` per salt, then this
+    exact pass over the ≤ salt·quota survivors) — at a typical
+    domains-as-groups corpus the plain form is the right default."""
+    key = F.md5(F.concat_ws(
+        "|", F.lit(str(seed)), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(key, F.col(id_col))
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= int(quota)).drop("_rn"))
+
+
+# ---------------------------------------------------------------------------
+# decontamination (eval-set n-gram overlap) and sequence packing
+# ---------------------------------------------------------------------------
+
+
+def _gram_array(toks, n: int):
+    """Array of space-joined token ``n``-grams (empty when len(toks) < n).
+    Built-ins only: transform(sequence) + slice — row-local, no UDF."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - n + 1),
+                    lambda i: F.array_join(F.slice(toks, i, n), " "))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(df: DataFrame, text_col: str, id_col: str,
+                  bench_df: DataFrame, bench_text_col: "str | None" = None,
+                  ngram: int = 4) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 §2.2 / PaLM-style filter): count,
+    per training document, the token ``ngram``-gram occurrences that also
+    appear anywhere in the evaluation corpus ``bench_df``. Returns
+    (id, n_hits, contaminated) — callers drop ``contaminated = 1`` rows or
+    route them to audit.
+
+    Scale shape: the eval side is grams→distinct→broadcast (benchmark
+    suites are ~10^6-10^7 distinct n-grams — broadcastable by
+    construction); the document side explodes grams and probes the
+    broadcast hash map with NO shuffle, then aggregates (id, hit-count)
+    with map-side combine — the only exchange moves one int64 per
+    document. Documents shorter than ``ngram`` tokens contribute a single
+    null sentinel gram (matches nothing) so every input id survives to the
+    output without a join-back."""
+    bench_text_col = bench_text_col or text_col
+    bench_grams = (bench_df.select(F.explode(_gram_array(
+        F.split(F.lower(F.col(bench_text_col)), " "), ngram)).alias("g"))
+        .distinct().withColumn("_hit", F.lit(1)))
+    grams = _gram_array(F.split(F.lower(F.col(text_col)), " "), ngram)
+    doc_grams = df.select(
+        F.col(id_col),
+        F.explode(F.when(F.size(grams) > 0, grams)
+                  .otherwise(F.array(F.lit(None).cast("string")))).alias("g"))
+    n_hits = F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+    return (doc_grams.join(F.broadcast(bench_grams), "g", "left")
+            .groupBy(id_col)
+            .agg(n_hits.alias("n_hits"))
+            .select(F.col(id_col), F.col("n_hits"),
+                    (F.col("n_hits") > 0).cast("int").alias("contaminated")))
+
+
+def pack_chunks(df: DataFrame, text_col: str, id_col: str, ctx: int = 512,
+                buckets: int = 32) -> DataFrame:
+    """Sequence packing for LLM pretraining (concat-and-chunk): lay every
+    document's tokens end-to-end in ``id_col`` order and cut the stream
+    into fixed ``ctx``-token windows. Returns per document
+    (id, n_tokens, start_offset, chunk_id, n_chunks_spanned) — the exact
+    global token offset each doc starts at, and which training windows it
+    lands in.
+
+    The naive plan is one GLOBAL window cumsum — a single-task sort at any
+    scale. This implements the scalable two-level scan instead:
+    range-partition by id into ``buckets``, per-partition cumsum (parallel
+    window over spark_partition_id), then collect only the B partition
+    totals (driver data is O(buckets), not O(rows)) and add each
+    partition's exclusive prefix back as a broadcast map literal. The
+    partitioned frame is pinned with localCheckpoint first because
+    RangePartitioner samples boundaries per job — the totals collect and
+    the final projection must see the SAME partitioning."""
+    base = df.select(F.col(id_col),
+                     F.size(F.split(F.col(text_col), " ")).alias("n_tokens"))
+    parts = (base.repartitionByRange(buckets, F.col(id_col))
+             .withColumn("_pid", F.spark_partition_id())
+             .localCheckpoint(eager=True))
+    w = (Window.partitionBy("_pid").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    local = parts.withColumn("_end", F.sum("n_tokens").over(w))
+    totals = {r["_pid"]: r["tot"] for r in
+              local.groupBy("_pid").agg(F.max("_end").alias("tot")).collect()}
+    offsets, running = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = running
+        running += totals[pid]
+    off = (F.coalesce(F.create_map(
+        *[F.lit(v) for pid_off in sorted(offsets.items()) for v in pid_off]
+    )[F.col("_pid")], F.lit(0)) if offsets else F.lit(0))
+    start = (F.col("_end") - F.col("n_tokens") + off).cast("long")
+    first = F.floor(start / ctx).cast("long")
+    last = F.floor((start + F.col("n_tokens") - 1) / ctx).cast("long")
+    return local.select(
+        F.col(id_col), F.col("n_tokens"), start.alias("start_offset"),
+        first.alias("chunk_id"),
+        F.when(F.col("n_tokens") > 0, last - first + 1).otherwise(F.lit(0))
+        .cast("long").alias("n_chunks_spanned"))
+
+
 # ---------------------------------------------------------------------------
 # language id (character n-gram heuristic)
 # ---------------------------------------------------------------------------

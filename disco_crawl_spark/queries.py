@@ -1069,6 +1069,70 @@ def domain_quality_gate(spark, sf):
                                          top_k=10)
 
 
+@q("decontaminate", """
+WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+             FROM documents),
+grams AS (SELECT doc_id, array_to_string(list_slice(toks, i, i+3), ' ') AS g
+          FROM tok, unnest(generate_series(1, greatest(len(toks)-3, 0)))
+               AS t(i)),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 37 = 0),
+hits AS (SELECT doc_id, count(b.g) AS n_hits
+         FROM grams LEFT JOIN bench b USING (g)
+         WHERE doc_id % 37 <> 0 GROUP BY doc_id)
+SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+       CAST(coalesce(h.n_hits, 0) > 0 AS INT) AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 37 <> 0
+""")
+def decontaminate(spark, sf):
+    """Benchmark decontamination (GPT-3 §2.2-style 13-gram filter, n=4 at
+    corpus scale): a deterministic slice of `documents` (doc_id % 37 = 0)
+    plays the held-out eval suite; every other doc is scored by how many
+    of its token 4-grams appear in the eval set. Eval grams broadcast;
+    the doc side never shuffles strings (see operators/textstats.py)."""
+    d = _t(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 37 == 0)
+    train = d.filter(F.col("doc_id") % 37 != 0)
+    return textstats.decontaminate(train, "text", "doc_id", bench, ngram=4)
+
+
+@q("stratified_sample", """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source, row_number() OVER (
+    PARTITION BY source
+    ORDER BY md5('42|' || doc_id::VARCHAR), doc_id) AS rn
+  FROM documents) WHERE rn <= 20
+""")
+def stratified_sample(spark, sf):
+    """Exact per-source quota sampling (20 docs/source) ranked by a pure
+    hash of the id — the deterministic complement of corpus_mix_sample's
+    Bernoulli fractions; identical selection at any parallelism."""
+    d = _t(spark, sf, "documents")
+    return (textstats.stratified_sample(d, "source", 20, "doc_id", seed=42)
+            .select("doc_id", "source"))
+
+
+@q("pack_chunks", """
+SELECT doc_id, n_tokens,
+       (cum - n_tokens) AS start_offset,
+       (cum - n_tokens) // 512 AS chunk_id,
+       ((cum - 1) // 512) - ((cum - n_tokens) // 512) + 1
+         AS n_chunks_spanned
+FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+             sum(len(string_split(text, ' '))) OVER
+               (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      FROM documents)
+""")
+def pack_chunks(spark, sf):
+    """GPT-style concat-and-chunk sequence packing: global token offsets
+    in doc_id order, cut into 512-token training windows. The oracle is
+    the naive single global window; the Spark plan is the scalable
+    two-level scan (per-range-partition cumsum + O(buckets) driver
+    offsets) — same numbers, no single-task sort."""
+    d = _t(spark, sf, "documents")
+    return textstats.pack_chunks(d, "text", "doc_id", ctx=512, buckets=16)
+
+
 @q("lang_id", """
 WITH t AS (SELECT doc_id, lower(coalesce(text,'')) AS s FROM documents),
 sc AS (SELECT doc_id,

@@ -524,3 +524,60 @@ def test_passage_dedup_newline_and_partition_invariance(spark):
                    (1, 2, 1, "para three")]   # doc 2 fully deduped away
     # winner election is min(doc_id, idx): invariant under physical layout
     assert run(df.repartition(7)) == got
+
+
+def test_decontaminate_counts_and_sentinel_path(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id int, text string")
+    train = spark.createDataFrame(
+        [(0, "x alpha beta gamma delta y alpha beta gamma delta z"),  # 2 hits
+         (1, "alpha beta gamma nope"),                                # 0 (3<4)
+         (2, "to sh"),                                                # < ngram
+         (3, "beta gamma delta epsilon tail")],                       # 1 hit
+        "doc_id int, text string")
+    out = {r["doc_id"]: (r["n_hits"], r["contaminated"])
+           for r in textstats.decontaminate(
+               train, "text", "doc_id", bench, ngram=4).collect()}
+    # every input id survives, including the shorter-than-ngram doc
+    assert out == {0: (2, 1), 1: (0, 0), 2: (0, 0), 3: (1, 1)}
+
+
+def test_stratified_sample_quota_and_determinism(spark):
+    rows = [(i, "g1" if i < 30 else "g2") for i in range(35)]
+    df = spark.createDataFrame(rows, "doc_id int, source string")
+    out = textstats.stratified_sample(df, "source", 10, "doc_id").collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["source"], set()).add(r["doc_id"])
+    assert len(by_g["g1"]) == 10
+    assert by_g["g2"] == set(range(30, 35))      # quota > group: whole group
+    # pure-hash ranking: identical selection at any physical layout
+    out2 = textstats.stratified_sample(
+        df.repartition(7), "source", 10, "doc_id").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_pack_chunks_matches_naive_and_bucket_invariant(spark):
+    import random
+    rng = random.Random(7)
+    rows = [(i, " ".join("w%d" % rng.randrange(50)
+                         for _ in range(rng.randrange(1, 40))))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    def run(buckets):
+        return sorted(map(tuple, textstats.pack_chunks(
+            df, "text", "doc_id", ctx=64, buckets=buckets).collect()))
+
+    got = run(8)
+    # two-level scan == naive python prefix sum over id order
+    cum, expect = 0, []
+    for i, text in rows:
+        n = len(text.split(" "))
+        first, last = cum // 64, (cum + n - 1) // 64
+        expect.append((i, n, cum, first, last - first + 1))
+        cum += n
+    assert got == sorted(expect)
+    # offsets are exact for ANY bucketing, incl. a single range partition
+    assert run(1) == got
+    assert run(37) == got
