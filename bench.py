@@ -36,8 +36,8 @@ HEADLINE = [
     "dedup_embedding_cosine", "dedup_clusters", "dedup_keep_minhash",
     "repetition_stats", "corpus_mix_sample", "token_count", "quality_score",
     "domain_quality_gate", "decontaminate", "stratified_sample", "pack_chunks",
-    "ann_cosine_topk", "ann_batch_queries", "steward_hash_order",
-    "json_extract",
+    "ann_cosine_topk", "ann_batch_queries", "link_pagerank",
+    "anchor_text_agg", "steward_hash_order", "json_extract",
 ]
 
 # bench corpus: ~130 crawlable hosts, ALL seeded so parallelism is maximal

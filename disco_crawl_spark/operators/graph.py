@@ -1,0 +1,139 @@
+"""Link-graph operators: PageRank over the outlink graph and anchor-text
+aggregation — the two classic web-corpus graph computations a crawl
+pipeline runs between rounds (frontier prioritization by authority, and
+per-target anchor summaries for indexing).
+
+The reference crawler orders its frontier by discovery generation +
+per-host budget only (worker.py:563-640 hash-ordered steward batches); a
+web-scale crawl additionally prioritizes by link authority. ``pagerank``
+supplies that signal as a first-class DataFrame operator so the scheduler
+can join it into the priority expression.
+
+Scale notes (the 100 TB reading):
+
+* ``pagerank`` is the standard synchronous power iteration expressed as
+  DataFrame joins: each round is ONE shuffle on ``src`` (contributions)
+  plus one hash aggregation on ``dst``; the edge table is repartitioned by
+  ``src`` and persisted ONCE so every round's rank-join co-locates against
+  the same layout instead of re-shuffling the (much larger) edge side.
+  Ranks are a narrow (node, rank) table — the only thing that moves per
+  round. Dangling mass is folded in via a broadcast of a 1-row aggregate,
+  never a driver collect.
+* Each round's ranks are ``localCheckpoint``-ed: the rank plan is
+  referenced three times per iteration (contributions, dangling mass,
+  the outer node join), so without lineage truncation the logical plan
+  grows ~3^k and planning itself becomes the bottleneck — the same
+  failure mode measured for connected_components (dedup.py). Superseded
+  checkpoints are unpersisted explicitly.
+* ``anchor_text_agg`` is two map-side-combinable hash aggregations and
+  nothing else — no window, no sort: the per-target winner is elected
+  with ``max(struct(cnt, anchor))`` exactly like the passage-dedup winner
+  election, so one exchange on the target key is the whole job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["pagerank", "anchor_text_agg"]
+
+
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             iters: int = 5, damping: float = 0.85,
+             dedup_edges: bool = True) -> DataFrame:
+    """Power-iteration PageRank over an edge table; returns (node, pagerank).
+
+    Semantics (the textbook formulation, so the DuckDB oracle can unroll
+    it exactly):
+
+    * node set = distinct union of src and dst endpoints
+    * r0(v) = 1/N for every node
+    * r_{t+1}(v) = (1-d)/N + d * (sum_{u->v} r_t(u)/outdeg(u) + D_t/N)
+      where D_t = total rank mass on dangling nodes (no out-edges)
+    * exactly ``iters`` synchronous rounds, no convergence test — the
+      caller picks the round count (rank deltas decay ~d^t).
+
+    Multi-edges are collapsed first when ``dedup_edges`` (a crawl link
+    graph counts a link once per (src, dst) page pair); self-loops are
+    kept as ordinary edges if present upstream — filter before calling if
+    the graph semantics exclude them.
+    """
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
+    if dedup_edges:
+        e = e.distinct()
+    nodes = (e.select(F.col("src").alias("n"))
+             .union(e.select(F.col("dst").alias("n")))
+             .distinct())
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double")
+                               .alias("outdeg"))
+    # one edge-side shuffle for the whole run: pre-joined with outdeg,
+    # laid out by src so every round's rank join is exchange-free on the
+    # (big) edge side
+    contrib_edges = (e.join(deg, "src")
+                     .repartition("src")
+                     .sortWithinPartitions("src")
+                     .persist())
+    n_nodes = nodes.count()  # bounded driver scalar (one long), like the
+    # IVF training-sample bound — NOT a per-row collect
+
+    # checkpoint bookkeeping mirrors dedup.connected_components: track the
+    # persistent-RDD ids each localCheckpoint registers and release the
+    # superseded round's blocks explicitly (DataFrame.unpersist alone does
+    # not free a checkpoint RDD), so at most two rank tables are ever live
+    sc = edges.sparkSession.sparkContext
+
+    def _ckpt(df):
+        before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+        out = df.localCheckpoint(eager=True)
+        new = set(sc._jsc.getPersistentRDDs().keySet().toArray()) - before
+        return out, new
+
+    def _release(rdd_ids):
+        jmap = sc._jsc.getPersistentRDDs()
+        for i in rdd_ids:
+            if jmap.containsKey(i):
+                jmap.get(i).unpersist()
+
+    ranks = nodes.select("n", F.lit(1.0 / n_nodes).alias("r"))
+    base = (1.0 - damping) / n_nodes
+    held = set()
+    for _ in range(iters):
+        r_src = ranks.select(F.col("n").alias("src"), "r")
+        contrib = (contrib_edges.join(r_src, "src")
+                   .groupBy("dst")
+                   .agg(F.sum(F.col("r") / F.col("outdeg")).alias("contrib")))
+        dangling = (ranks.join(deg, ranks["n"] == deg["src"], "left_anti")
+                    .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dmass")))
+        new_ranks = (nodes.join(contrib, nodes["n"] == contrib["dst"], "left")
+                     .crossJoin(F.broadcast(dangling))
+                     .select(nodes["n"],
+                             (F.lit(base) + F.lit(damping)
+                              * (F.coalesce(F.col("contrib"), F.lit(0.0))
+                                 + F.col("dmass") / F.lit(float(n_nodes))))
+                             .alias("r")))
+        ranks, new_held = _ckpt(new_ranks)
+        _release(held)
+        held = new_held
+    contrib_edges.unpersist()
+    return ranks.select(F.col("n").alias("node"), F.col("r").alias("pagerank"))
+
+
+def anchor_text_agg(links: DataFrame, target: str = "target",
+                    anchor: str = "anchor") -> DataFrame:
+    """Per-target anchor-text summary: total in-links, distinct anchors,
+    and the modal anchor text (ties broken toward the lexicographically
+    LARGEST anchor so the winner is deterministic on both engines).
+
+    Returns (target, n_links, n_anchors, top_anchor). Two hash
+    aggregations, both map-side combinable; the winner election is
+    ``max(struct(cnt, anchor))`` — no window, no per-target sort.
+    """
+    per_anchor = (links.groupBy(F.col(target).alias("target"),
+                                F.col(anchor).alias("anchor"))
+                  .agg(F.count(F.lit(1)).alias("cnt")))
+    return (per_anchor.groupBy("target")
+            .agg(F.sum("cnt").alias("n_links"),
+                 F.count(F.lit(1)).alias("n_anchors"),
+                 F.max(F.struct("cnt", "anchor")).alias("_w"))
+            .select("target", "n_links", "n_anchors",
+                    F.col("_w.anchor").alias("top_anchor")))

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from . import functions as cf
-from .operators import dedup, similarity, textstats
+from .operators import dedup, graph, similarity, textstats
 
 QUERY_VEC = [1.0 if i % 3 == 0 else (0.5 if i % 3 == 1 else -0.25)
              for i in range(64)]
@@ -1563,6 +1563,90 @@ def approx_distinct_monitor(spark, sf):
     return e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"))
+
+
+# ===========================================================================
+# link graph: PageRank (frontier authority) + anchor-text aggregation
+# ===========================================================================
+
+
+def _pagerank_oracle_sql(n_mod: int = 200, iters: int = 5,
+                         damping: float = 0.85) -> str:
+    """Exact SQL mirror of ``graph.pagerank``: the synchronous power
+    iteration is data-dependent, so (like the IVF Lloyd unroll above) the
+    fixed round count runs INSIDE the SQL as chained CTEs — each round is
+    the contribution aggregation, the dangling-mass scalar, and the
+    teleport blend, all in DOUBLE so both engines execute the identical
+    float ops. The synthetic link graph derives deterministically from
+    ``events`` (src = user_id mod n, dst = event_id mod n, self-loops
+    dropped, multi-edges collapsed)."""
+    head = f"""WITH edges AS (
+  SELECT DISTINCT user_id % {n_mod} AS src, event_id % {n_mod} AS dst
+  FROM events WHERE user_id % {n_mod} <> event_id % {n_mod}),
+nodes AS (SELECT src AS n FROM edges UNION SELECT dst AS n FROM edges),
+nn AS (SELECT count(*)::DOUBLE AS cnt FROM nodes),
+deg AS (SELECT src, count(*)::DOUBLE AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT n, (SELECT 1.0::DOUBLE / cnt FROM nn) AS r FROM nodes)"""
+    rounds = []
+    for t in range(1, iters + 1):
+        rounds.append(f""",
+r{t} AS (
+  SELECT nd.n,
+         (1.0::DOUBLE - {damping}::DOUBLE) / nn.cnt
+         + {damping}::DOUBLE * (coalesce(c.contrib, 0.0::DOUBLE)
+                                + dang.dmass / nn.cnt) AS r
+  FROM nodes nd
+  CROSS JOIN nn
+  CROSS JOIN (SELECT coalesce(sum(p.r), 0.0::DOUBLE) AS dmass
+              FROM r{t - 1} p LEFT JOIN deg d ON p.n = d.src
+              WHERE d.src IS NULL) dang
+  LEFT JOIN (SELECT e.dst AS n, sum(p.r / d.outdeg) AS contrib
+             FROM edges e
+             JOIN r{t - 1} p ON p.n = e.src
+             JOIN deg d ON d.src = e.src
+             GROUP BY e.dst) c ON c.n = nd.n)""")
+    tail = f"""
+SELECT n AS node, round(r, 6) AS pagerank FROM r{iters}"""
+    return head + "".join(rounds) + tail
+
+
+@q("link_pagerank", _pagerank_oracle_sql())
+def link_pagerank(spark, sf):
+    # frontier authority: 5 synchronous power-iteration rounds over the
+    # outlink graph (graph.pagerank — edge side shuffled once, ranks
+    # checkpointed per round)
+    e = _t(spark, sf, "events")
+    edges = (e.select((F.col("user_id") % 200).alias("src"),
+                      (F.col("event_id") % 200).alias("dst"))
+             .filter(F.col("src") != F.col("dst")))
+    ranks = graph.pagerank(edges, iters=5, damping=0.85)
+    return ranks.select("node", F.round("pagerank", 6).alias("pagerank"))
+
+
+@q("anchor_text_agg", """
+WITH links AS (
+  SELECT event_id % 500 AS target, event_type AS anchor FROM events),
+per AS (
+  SELECT target, anchor, count(*) AS cnt FROM links GROUP BY target, anchor),
+tot AS (
+  SELECT target, sum(cnt)::BIGINT AS n_links, count(*)::BIGINT AS n_anchors
+  FROM per GROUP BY target),
+win AS (
+  SELECT target, anchor AS top_anchor FROM (
+    SELECT target, anchor,
+           row_number() OVER (PARTITION BY target
+                              ORDER BY cnt DESC, anchor DESC) AS rn
+    FROM per) WHERE rn = 1)
+SELECT t.target, t.n_links, t.n_anchors, w.top_anchor
+FROM tot t JOIN win w USING (target)
+""")
+def anchor_text_agg_q(spark, sf):
+    # per-target anchor summary (indexing input): two hash aggs, winner by
+    # max(struct) — the oracle's window is only oracle-side
+    e = _t(spark, sf, "events")
+    links = e.select((F.col("event_id") % 500).alias("target"),
+                     F.col("event_type").alias("anchor"))
+    return graph.anchor_text_agg(links)
 
 
 # ===========================================================================

@@ -581,3 +581,70 @@ def test_pack_chunks_matches_naive_and_bucket_invariant(spark):
     # offsets are exact for ANY bucketing, incl. a single range partition
     assert run(1) == got
     assert run(37) == got
+
+
+def _numpy_pagerank(edges, iters=5, d=0.85):
+    """Independent dense-matrix PageRank: synchronous power iteration with
+    dangling-mass redistribution — the exact spec graph.pagerank claims."""
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out = {}
+    for a, b in edges:
+        out.setdefault(a, set()).add(b)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        nxt = np.full(n, (1.0 - d) / n)
+        dang = sum(r[idx[v]] for v in nodes if v not in out)
+        nxt += d * dang / n
+        for a, targets in out.items():
+            share = r[idx[a]] / len(targets)
+            for b in targets:
+                nxt[idx[b]] += d * share
+        r = nxt
+    return {nodes[i]: r[i] for i in range(n)}
+
+
+def test_pagerank_matches_numpy_and_conserves_mass(spark):
+    from disco_crawl_spark.operators import graph
+    # a graph with a dangling node (3), a hub (0), and a 2-cycle
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (2, 1), (2, 3), (4, 0)]
+    edf = spark.createDataFrame(edges, "src int, dst int")
+    got = {r["node"]: r["pagerank"]
+           for r in graph.pagerank(edf, iters=5).collect()}
+    want = _numpy_pagerank(edges, iters=5)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12, (k, got[k], want[k])
+    # total rank mass is conserved (teleport + dangling redistribution)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_collapses_multi_edges_and_releases_checkpoints(spark):
+    from disco_crawl_spark.operators import graph
+    # multi-edge (0,1)x3 must count once; iters=6 leaves exactly ONE live
+    # checkpointed rank table (superseded rounds unpersisted)
+    edges = [(0, 1), (0, 1), (0, 1), (1, 0), (1, 2)]
+    edf = spark.createDataFrame(edges, "src int, dst int")
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    got = {r["node"]: r["pagerank"]
+           for r in graph.pagerank(edf, iters=6).collect()}
+    want = _numpy_pagerank([(0, 1), (1, 0), (1, 2)], iters=6)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12
+    after = len(spark.sparkContext._jsc.getPersistentRDDs())
+    assert after - before <= 1
+
+
+def test_anchor_text_agg_winner_tiebreak(spark):
+    from disco_crawl_spark.operators import graph
+    rows = [(1, "home"), (1, "home"), (1, "start"), (1, "start"),  # tie 2-2
+            (2, "docs"), (2, "api"), (2, "docs"),
+            (3, "x")]
+    links = spark.createDataFrame(rows, "target int, anchor string")
+    got = {r["target"]: (r["n_links"], r["n_anchors"], r["top_anchor"])
+           for r in graph.anchor_text_agg(links).collect()}
+    # tie at target 1 → lexicographically larger anchor wins
+    assert got[1] == (4, 2, "start")
+    assert got[2] == (3, 2, "docs")
+    assert got[3] == (1, 1, "x")
