@@ -32,7 +32,8 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
 HEADLINE = [
     "tpch_q1", "tpch_q3_topk", "tpch_q5_join_chain", "agg_counts",
     "window_budget_rank", "sessionize_lag", "seen_anti_join",
-    "dedup_exact", "dedup_passages", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_exact", "dedup_passages", "substring_dedup", "dedup_minhash_lsh",
+    "dedup_simhash",
     "dedup_embedding_cosine", "dedup_clusters", "dedup_keep_minhash",
     "repetition_stats", "corpus_mix_sample", "token_count", "quality_score",
     "domain_quality_gate", "decontaminate", "stratified_sample", "pack_chunks",

@@ -519,3 +519,66 @@ def passage_dedup(df: DataFrame, text_col: str, id_col: str,
                   "__id")
             .select(F.col("__id").alias(id_col), "n_segments", "n_kept",
                     "text_kept"))
+
+
+def substring_dedup(df: DataFrame, text_col: str, id_col: str,
+                    k: int = 20) -> DataFrame:
+    """Exact duplicated-substring removal (the ExactSubstr dedup of Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models Better"):
+    any k-token window whose exact token sequence occurs MORE THAN ONCE in
+    the corpus (in another document or elsewhere in the same one) is
+    removed from every document carrying it; the surviving tokens are
+    re-joined with single spaces. Returns
+    (id, clean_text, n_tokens, n_removed).
+
+    The reference paper builds a corpus-wide suffix array; that is a
+    single-machine construction. The Spark-native equivalent keys on the
+    k-token window directly:
+
+    * tokenize + window generation are pure Catalyst lambdas (no UDF, no
+      shuffle): each doc emits its ``n-k+1`` windows as
+      ``substr(md5(gram), 1, 16)`` — a 64-bit hex key, so the corpus-wide
+      frequency shuffle moves 16-char keys, never the gram text itself;
+    * ONE hash aggregation finds keys with count > 1 (map-side combinable;
+      the duplicate-key table is the only thing reshuffled);
+    * a semi join tags each doc's duplicated window starts, one groupBy
+      collects them per doc (bounded by doc token count), and the span
+      surgery (drop token j iff some duplicated window s covers it,
+      s <= j < s+k) runs row-local as an ``exists`` lambda — no further
+      exchange.
+
+    At 100 TB the frequency agg is the cost center and it is already
+    minimal: fixed-width keys, partial aggregation, no window functions.
+    Docs shorter than k tokens emit no windows and pass through intact.
+    md5-64 collisions (~2^-64 per pair) can only over-delete a span and
+    are the same approximation the oracle applies, so parity is exact."""
+    tok_expr = (f"filter(split(lower(coalesce({text_col}, '')), '\\\\s+'),"
+                " x -> x != '')")
+    toks = df.select(F.col(id_col).alias("__id"),
+                     F.expr(tok_expr).alias("t"))
+    win_expr = (f"CASE WHEN size(t) >= {k} THEN "
+                f"transform(sequence(0, size(t) - {k}), i -> "
+                f"struct(i AS pos, substring(md5(concat_ws(' ', "
+                f"slice(t, i + 1, {k}))), 1, 16) AS g)) "
+                "ELSE array() END")
+    wins = (toks.select("__id", F.explode(F.expr(win_expr)).alias("w"))
+            .select("__id", F.col("w.pos").alias("pos"),
+                    F.col("w.g").alias("g")))
+    dup_keys = (wins.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+                .filter(F.col("c") > 1).select("g"))
+    starts = (wins.join(dup_keys, "g", "semi")
+              .groupBy("__id")
+              .agg(F.array_sort(F.collect_list("pos")).alias("starts")))
+    out = (toks.join(starts, "__id", "left")
+           .withColumn("starts", F.coalesce(
+               F.col("starts"), F.expr("array()").cast("array<int>"))))
+    keep_expr = (f"filter(transform(t, (x, j) -> struct(x AS x, j AS j)), "
+                 f"s -> NOT exists(starts, st -> st <= s.j "
+                 f"AND s.j < st + {k}))")
+    return (out.select(
+        F.col("__id").alias(id_col),
+        F.array_join(F.transform(F.expr(keep_expr), lambda s: s["x"]), " ")
+        .alias("clean_text"),
+        F.size("t").cast("long").alias("n_tokens"),
+        (F.size("t") - F.size(F.expr(keep_expr))).cast("long")
+        .alias("n_removed")))

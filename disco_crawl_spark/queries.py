@@ -1565,6 +1565,51 @@ def approx_distinct_monitor(spark, sf):
         F.countDistinct("user_id").alias("exact_users"))
 
 
+_SUBSTR_K = 8
+
+
+@q("substring_dedup", rf"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(coalesce(text,'')), '\s+'),
+                x -> x <> '') AS t
+  FROM documents),
+idx AS (
+  SELECT unnest(range((SELECT max(len(t)) FROM toks))) AS pos),
+wins AS (
+  SELECT doc_id, pos,
+         substr(md5(array_to_string(list_slice(t, pos + 1,
+                                               pos + {_SUBSTR_K}), ' ')),
+                1, 16) AS g
+  FROM toks, idx WHERE pos <= len(t) - {_SUBSTR_K}),
+dup AS (SELECT g FROM wins GROUP BY g HAVING count(*) > 1),
+starts AS (
+  SELECT doc_id, pos FROM wins WHERE g IN (SELECT g FROM dup)),
+tokpos AS (
+  SELECT doc_id, pos AS j, t[pos + 1] AS x
+  FROM toks, idx WHERE pos < len(t)),
+kept AS (
+  SELECT tp.doc_id, tp.j, tp.x FROM tokpos tp
+  WHERE NOT EXISTS (
+    SELECT 1 FROM starts s
+    WHERE s.doc_id = tp.doc_id AND s.pos <= tp.j
+      AND tp.j < s.pos + {_SUBSTR_K})),
+rebuilt AS (
+  SELECT doc_id, string_agg(x, ' ' ORDER BY j) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id)
+SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text,
+       len(t.t)::BIGINT AS n_tokens,
+       (len(t.t) - coalesce(r.n_kept, 0))::BIGINT AS n_removed
+FROM toks t LEFT JOIN rebuilt r USING (doc_id)
+""")
+def substring_dedup_q(spark, sf):
+    # ExactSubstr span removal (Lee et al. 2022): every k-token window
+    # occurring >1x corpus-wide is cut from every doc carrying it
+    d = _t(spark, sf, "documents")
+    return dedup.substring_dedup(d, "text", "doc_id", k=_SUBSTR_K)
+
+
 # ===========================================================================
 # link graph: PageRank (frontier authority) + anchor-text aggregation
 # ===========================================================================

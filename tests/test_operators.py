@@ -648,3 +648,45 @@ def test_anchor_text_agg_winner_tiebreak(spark):
     assert got[1] == (4, 2, "start")
     assert got[2] == (3, 2, "docs")
     assert got[3] == (1, 1, "x")
+
+
+def _py_substring_dedup(texts, k):
+    """Independent recomputation of ExactSubstr removal."""
+    toks = {i: (t or "").lower().split() for i, t in texts.items()}
+    from collections import Counter
+    freq = Counter()
+    for t in toks.values():
+        for p in range(len(t) - k + 1):
+            freq[" ".join(t[p:p + k])] += 1
+    out = {}
+    for i, t in toks.items():
+        starts = [p for p in range(len(t) - k + 1)
+                  if freq[" ".join(t[p:p + k])] > 1]
+        removed = set()
+        for s in starts:
+            removed.update(range(s, s + k))
+        kept = [x for j, x in enumerate(t) if j not in removed]
+        out[i] = (" ".join(kept), len(t), len(removed))
+    return out
+
+
+def test_substring_dedup_matches_python_oracle(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    texts = {
+        0: f"intro one two {shared} tail A B",
+        1: f"different start {shared} and a different ending here",
+        2: "nothing in common with anything else at all today",
+        3: "tiny doc",                          # shorter than k → intact
+        4: "rep rep rep rep rep rep rep rep rep rep",  # self-repetition
+        5: "",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id int, text string")
+    got = {r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+           for r in dedup.substring_dedup(df, "text", "doc_id", k=8).collect()}
+    want = _py_substring_dedup(texts, k=8)
+    assert got == want
+    # the planted 8-token span is gone from BOTH carriers, short doc intact
+    assert "gamma" not in got[0][0] and "gamma" not in got[1][0]
+    assert got[3] == ("tiny doc", 2, 0)
+    assert got[4][2] == 10          # fully self-repetitive → all removed
+    assert got[2][2] == 0
