@@ -575,10 +575,12 @@ def substring_dedup(df: DataFrame, text_col: str, id_col: str,
     keep_expr = (f"filter(transform(t, (x, j) -> struct(x AS x, j AS j)), "
                  f"s -> NOT exists(starts, st -> st <= s.j "
                  f"AND s.j < st + {k}))")
-    return (out.select(
-        F.col("__id").alias(id_col),
-        F.array_join(F.transform(F.expr(keep_expr), lambda s: s["x"]), " ")
-        .alias("clean_text"),
-        F.size("t").cast("long").alias("n_tokens"),
-        (F.size("t") - F.size(F.expr(keep_expr))).cast("long")
-        .alias("n_removed")))
+    return (out.withColumn("kept", F.expr(keep_expr))  # evaluate the span
+            # surgery ONCE per row; both outputs derive from it
+            .select(
+                F.col("__id").alias(id_col),
+                F.array_join(F.transform("kept", lambda s: s["x"]), " ")
+                .alias("clean_text"),
+                F.size("t").cast("long").alias("n_tokens"),
+                (F.size("t") - F.size("kept")).cast("long")
+                .alias("n_removed")))

@@ -459,3 +459,32 @@ def redact_pii(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     for _name, pat, tok in PII_PATTERNS:
         col = F.regexp_replace(col, pat, tok)
     return df.select(F.col(id_col), col.alias("text_redacted"))
+
+
+def inverted_index_stats(df: DataFrame, text_col: str, id_col: str,
+                         min_df: int = 1) -> DataFrame:
+    """Per-term postings statistics — the Spark-side expression of the
+    indexing stage the reference delegates to Elasticsearch (es_mapping.py
+    text fields; postprocessor push at process_es.py): document frequency,
+    total term frequency, and the highest-tf document per term (ties
+    toward the SMALLEST doc id, the ES-scoring-style deterministic pick).
+
+    Returns (term, doc_freq, total_tf, top_doc). Two hash aggregations —
+    (term, doc) tf then per-term rollup — both map-side combinable, the
+    winner elected with ``max(struct(tf, -id))`` so no window or sort
+    appears anywhere; the only shuffles move (term, id, tf) triples then
+    per-term scalars. ``min_df`` prunes hapax terms AFTER aggregation
+    (a HAVING, not a pre-shuffle filter — tf is needed to decide)."""
+    toks = F.filter(F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                            r"\s+"), lambda x: x != "")
+    tf = (df.select(F.col(id_col).alias("__id"),
+                    F.explode(toks).alias("term"))
+          .groupBy("term", "__id").agg(F.count(F.lit(1)).alias("tf")))
+    return (tf.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("doc_freq"),
+                 F.sum("tf").alias("total_tf"),
+                 F.max(F.struct(F.col("tf"),
+                                (-F.col("__id")).alias("negid"))).alias("_w"))
+            .filter(F.col("doc_freq") >= min_df)
+            .select("term", "doc_freq", "total_tf",
+                    (-F.col("_w.negid")).alias("top_doc")))

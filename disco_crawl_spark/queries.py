@@ -1565,6 +1565,33 @@ def approx_distinct_monitor(spark, sf):
         F.countDistinct("user_id").alias("exact_users"))
 
 
+@q("inverted_postings", r"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(coalesce(text,'')), '\s+'),
+                x -> x <> '') AS t
+  FROM documents),
+tf AS (
+  SELECT doc_id, u.term, count(*) AS tf
+  FROM toks, unnest(t) AS u(term) GROUP BY doc_id, u.term),
+agg AS (
+  SELECT term, count(*)::BIGINT AS doc_freq, sum(tf)::BIGINT AS total_tf
+  FROM tf GROUP BY term),
+win AS (
+  SELECT term, doc_id AS top_doc FROM (
+    SELECT term, doc_id, row_number() OVER (
+      PARTITION BY term ORDER BY tf DESC, doc_id ASC) AS rn
+    FROM tf) WHERE rn = 1)
+SELECT a.term, a.doc_freq, a.total_tf, w.top_doc
+FROM agg a JOIN win w USING (term) WHERE a.doc_freq >= 2
+""")
+def inverted_postings(spark, sf):
+    # the ES-indexing stage as a first-class Spark op: per-term postings
+    # stats, winner by max(struct) — the oracle's window is oracle-side only
+    d = _t(spark, sf, "documents")
+    return textstats.inverted_index_stats(d, "text", "doc_id", min_df=2)
+
+
 _SUBSTR_K = 8
 
 

@@ -48,10 +48,13 @@ def measure_wide(n_hosts: int, passes: int) -> dict:
 
 
 def main(argv: list) -> None:
-    hosts = [int(a) for a in argv if a.isdigit()] or [8000]
     passes = 2
     if "--passes" in argv:
-        passes = int(argv[argv.index("--passes") + 1])
+        i = argv.index("--passes")
+        passes = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]   # consume the flag AND its value —
+        # a bare isdigit() scan would read the "2" of "--passes 2" as a rung
+    hosts = [int(a) for a in argv if a.isdigit()] or [8000]
 
     bdir = os.path.join(REPO, "BENCH")
     hist_path = os.path.join(bdir, "roundscale_history.jsonl")

@@ -690,3 +690,20 @@ def test_substring_dedup_matches_python_oracle(spark):
     assert got[3] == ("tiny doc", 2, 0)
     assert got[4][2] == 10          # fully self-repetitive → all removed
     assert got[2][2] == 0
+
+
+def test_inverted_index_stats_counts_and_tiebreak(spark):
+    rows = [(1, "a a b"), (2, "a a c b"), (3, "b b b"), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["term"]: (r["doc_freq"], r["total_tf"], r["top_doc"])
+           for r in textstats.inverted_index_stats(
+               df, "text", "doc_id", min_df=1).collect()}
+    # term a: tf 2 in doc 1 and doc 2 → tie broken toward SMALLER id
+    assert got["a"] == (2, 4, 1)
+    assert got["b"] == (3, 5, 3)
+    assert got["c"] == (1, 1, 2)
+    assert set(got) == {"a", "b", "c"}   # None text emits nothing
+    # min_df prunes hapax terms
+    pruned = {r["term"] for r in textstats.inverted_index_stats(
+        df, "text", "doc_id", min_df=2).collect()}
+    assert pruned == {"a", "b"}
