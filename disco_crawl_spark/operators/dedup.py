@@ -275,10 +275,6 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str, id_col: str,
     ``max_bucket``, same contract as ``lsh_candidate_pairs``."""
     from pyspark.sql import Window
     sh = make_simhash_udf()
-    # deliberately NOT persisted: both join branches re-run the vectorized
-    # simhash UDF (~0.3 s/pass at bench scale) — cheaper than the ~4 ms/row
-    # cache build of a pandas-UDF plan (see parallelize_input); write a
-    # signature table at 10^9-doc scale
     f = (parallelize_input(df)
          .select(F.col(id_col), sh(F.col(text_col)).alias("sim")))
     chunks = f.select(
@@ -290,8 +286,15 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str, id_col: str,
             for i in range(4)])).alias("c"),
     ).select(id_col, "sim", F.col("c.chunk"), F.col("c.val"))
     bcount = F.count(F.lit(1)).over(Window.partitionBy("chunk", "val"))
-    chunks = chunks.withColumn("__n", bcount).filter(
-        F.col("__n") <= max_bucket).drop("__n")
+    # eager checkpoint of the bounded chunk table (4 narrow rows/doc): both
+    # join branches read it, so the simhash UDF and the bucket-bound window
+    # execute ONCE instead of once per branch.  NOT a persist of the
+    # pandas-UDF plan (the ~4 ms/row cache-build trap — parallelize_input
+    # docstring); checkpoint materializes the already-computed rows.  At
+    # 10^9 docs write a persistent signature table instead (same reason).
+    chunks = (chunks.withColumn("__n", bcount)
+              .filter(F.col("__n") <= max_bucket).drop("__n")
+              .localCheckpoint(eager=True))
     left = chunks.select(F.col(id_col).alias("a"), F.col("sim").alias("sa"),
                          "chunk", "val")
     right = chunks.select(F.col(id_col).alias("b"), F.col("sim").alias("sb"),
