@@ -38,8 +38,8 @@ HEADLINE = [
     "repetition_stats", "corpus_mix_sample", "token_count", "quality_score",
     "domain_quality_gate", "decontaminate", "stratified_sample", "pack_chunks",
     "ann_cosine_topk", "ann_batch_queries", "link_pagerank",
-    "anchor_text_agg", "inverted_postings", "steward_hash_order",
-    "json_extract",
+    "anchor_text_agg", "inverted_postings", "tfidf_top_terms",
+    "steward_hash_order", "json_extract",
 ]
 
 # bench corpus: ~130 crawlable hosts, ALL seeded so parallelism is maximal

@@ -488,3 +488,40 @@ def inverted_index_stats(df: DataFrame, text_col: str, id_col: str,
             .filter(F.col("doc_freq") >= min_df)
             .select("term", "doc_freq", "total_tf",
                     (-F.col("_w.negid")).alias("top_doc")))
+
+
+def tfidf_top_terms(df: DataFrame, text_col: str, id_col: str,
+                    k: int = 3) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document — the per-doc keyword signal an
+    indexing/retrieval pipeline derives right after postings (score =
+    tf · ln(N/df), the classic smooth-free form). Returns
+    (id, term, tfidf), ≤ k rows per doc, ranked (tfidf desc, term asc)
+    with the score rounded to 6dp BEFORE ranking so ties are stable
+    across engines and partitionings.
+
+    Scale shape: one (term, doc) tf aggregation, one per-term df rollup,
+    N as a broadcast 1-row aggregate (never a driver collect), and the
+    per-doc top-k via ``slice(array_sort(collect_list(...)))`` inside the
+    doc-keyed aggregation — no window over the (huge) scored table, so
+    the only exchanges move (term, id, tf) triples and per-doc arrays
+    bounded by the doc's distinct-term count."""
+    toks = F.filter(F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                            r"\s+"), lambda x: x != "")
+    tf = (df.select(F.col(id_col).alias("__id"),
+                    F.explode(toks).alias("term"))
+          .groupBy("term", "__id").agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    score = F.round(F.col("tf")
+                    * F.log(F.col("n_docs") / F.col("doc_freq")), 6)
+    scored = (tf.join(dfreq, "term")
+              .crossJoin(F.broadcast(n_docs))
+              .select("__id", "term", score.alias("tfidf")))
+    return (scored.groupBy("__id")
+            .agg(F.slice(F.array_sort(F.collect_list(
+                F.struct((-F.col("tfidf")).alias("neg"), F.col("term")))),
+                1, k).alias("top"))
+            .select(F.col("__id").alias(id_col),
+                    F.explode("top").alias("t"))
+            .select(id_col, F.col("t.term").alias("term"),
+                    (-F.col("t.neg")).alias("tfidf")))

@@ -1592,6 +1592,35 @@ def inverted_postings(spark, sf):
     return textstats.inverted_index_stats(d, "text", "doc_id", min_df=2)
 
 
+@q("tfidf_top_terms", r"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(coalesce(text,'')), '\s+'),
+                x -> x <> '') AS t
+  FROM documents),
+tf AS (
+  SELECT doc_id, u.term, count(*) AS tf
+  FROM toks, unnest(t) AS u(term) GROUP BY doc_id, u.term),
+dfreq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY term),
+nd AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln(nd.n_docs / dfreq.doc_freq), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN nd),
+ranked AS (
+  SELECT doc_id, term, tfidf, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
+  FROM scored)
+SELECT doc_id, term, tfidf FROM ranked WHERE rn <= 3
+""")
+def tfidf_top_terms_q(spark, sf):
+    # per-doc keyword extraction: tf·ln(N/df), top-3 per doc via
+    # slice(array_sort(collect_list)) inside the doc agg — no window over
+    # the scored table (the oracle's window is oracle-side only)
+    d = _t(spark, sf, "documents")
+    return textstats.tfidf_top_terms(d, "text", "doc_id", k=3)
+
+
 _SUBSTR_K = 8
 
 

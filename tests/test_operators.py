@@ -707,3 +707,21 @@ def test_inverted_index_stats_counts_and_tiebreak(spark):
     pruned = {r["term"] for r in textstats.inverted_index_stats(
         df, "text", "doc_id", min_df=2).collect()}
     assert pruned == {"a", "b"}
+
+
+def test_tfidf_top_terms_against_manual(spark):
+    import math
+    rows = [(1, "cat cat dog"), (2, "dog fish"), (3, "cat bird bird")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in textstats.tfidf_top_terms(df, "text", "doc_id", k=2).collect():
+        got.setdefault(r["doc_id"], []).append((r["term"], r["tfidf"]))
+    n = 3.0
+    def s(tf, dfq):
+        return round(tf * math.log(n / dfq), 6)
+    # doc 1: cat tf2 df2 → 2*ln(1.5); dog tf1 df2 → ln(1.5): top2 order
+    assert got[1] == [("cat", s(2, 2)), ("dog", s(1, 2))]
+    # doc 2: dog ln(1.5) vs fish ln(3) → fish first
+    assert got[2] == [("fish", s(1, 1)), ("dog", s(1, 2))]
+    # doc 3: bird 2*ln(3) > cat ln(1.5)
+    assert got[3] == [("bird", s(2, 1)), ("cat", s(1, 2))]
