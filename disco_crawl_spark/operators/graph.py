@@ -28,7 +28,11 @@ Scale notes (the 100 TB reading):
 * ``anchor_text_agg`` is two map-side-combinable hash aggregations and
   nothing else — no window, no sort: the per-target winner is elected
   with ``max(struct(cnt, anchor))`` exactly like the passage-dedup winner
-  election, so one exchange on the target key is the whole job.
+  election. Two narrow exchanges ((target, anchor) counts, then the
+  per-target rollup), both behind partial aggregation — deliberately NOT
+  collapsed to one by pre-partitioning on target, which would shuffle
+  raw link rows uncombined (anchor text repeats massively on the web;
+  the map-side combine is worth the second exchange).
 """
 
 from __future__ import annotations

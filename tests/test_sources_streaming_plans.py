@@ -384,3 +384,50 @@ def test_repetition_stats_row_local_no_shuffle(spark):
     s = plans.explain_str(df, "simple")
     assert plans.shuffle_count(df) == 0
     assert "Window" not in s and "Generate" not in s
+
+
+def test_new_llm_op_plan_quality(spark):
+    """Plan pins for the round-4 operators: the shuffle/broadcast shapes
+    their docstrings claim are asserted, not just described."""
+    from disco_crawl_spark.operators import graph, textstats, dedup
+    import __spark_entry__ as e
+    SF = "/root/testdata/sf0.001"
+
+    # decontaminate: eval grams broadcast; exactly TWO exchanges total —
+    # the eval side's distinct (bounded by the eval suite) and the doc
+    # side's per-id rollup; and no exchange anywhere carries a string
+    # (both shuffles move int64 gram keys / ids only)
+    q = e.queries()["decontaminate"](spark, SF)
+    assert plans.uses_broadcast_join(q)
+    assert plans.shuffle_count(q) <= 2, plans.explain_str(q, "simple")
+
+    # anchor_text_agg: two narrow exchanges, BOTH behind partial (map-side
+    # combined) aggregation, and no window anywhere
+    links = spark.range(100).select(
+        (F.col("id") % 7).alias("target"),
+        (F.col("id") % 3).cast("string").alias("anchor"))
+    a = graph.anchor_text_agg(links)
+    sa = plans.explain_str(a, "simple")
+    assert plans.shuffle_count(a) == 2, sa
+    assert sa.lower().count("partial") >= 2, sa
+    assert "Window" not in sa
+
+    # tfidf: N broadcast, no window over the scored table
+    t = e.queries()["tfidf_top_terms"](spark, SF)
+    s = plans.explain_str(t, "simple")
+    assert "Window" not in s
+    assert plans.uses_broadcast_join(t) or "BroadcastNestedLoopJoin" in s
+
+    # inverted postings: no window; partial aggregation present
+    p = e.queries()["inverted_postings"](spark, SF)
+    sp = plans.explain_str(p, "simple")
+    assert "Window" not in sp
+    assert "partial" in sp.lower(), sp
+
+    # substring_dedup: the frequency agg is map-side combinable (partial)
+    d = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "a b c d e f g h i j")],
+        "doc_id int, text string")
+    sd = dedup.substring_dedup(d, "text", "doc_id", k=8)
+    ss = plans.explain_str(sd, "simple")
+    assert "partial" in ss.lower(), ss
