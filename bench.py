@@ -39,6 +39,8 @@ HEADLINE = [
     "domain_quality_gate", "decontaminate", "stratified_sample", "pack_chunks",
     "ann_cosine_topk", "ann_batch_queries", "link_pagerank",
     "anchor_text_agg", "inverted_postings", "tfidf_top_terms",
+    "crawl_delta", "dedup_cross_corpus", "ccnet_perplexity",
+    "bpe_pair_stats",
     "steward_hash_order", "json_extract",
 ]
 

@@ -140,10 +140,13 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
     return df.select(F.col(id_col), mh(F.col(text_col)).alias("sig"))
 
 
-def lsh_candidate_pairs(sig_df: DataFrame, id_col: str, bands: int = 16,
-                        max_bucket: int = 1000) -> DataFrame:
-    """Band the signature, bucket by (band, band-hash), self-join buckets.
-    Returns distinct candidate pairs (a, b) with a < b."""
+def _band_buckets(sig_df: DataFrame, id_col: str, bands: int,
+                  max_bucket: int) -> DataFrame:
+    """Band a signature table into bounded (id, band, bucket) rows: bucket
+    = md5 over the band's signature slice; buckets larger than
+    ``max_bucket`` are dropped (pathological duplicate clusters). The
+    bound's window count reuses the same (band, bucket) shuffle the
+    downstream bucket join needs — one exchange, not groupBy+join-back."""
     banded = sig_df.select(
         id_col, "sig",
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"))
@@ -153,14 +156,18 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str, bands: int = 16,
         F.md5(F.concat_ws(
             ",", F.col("band"),
             F.slice("sig", F.col("band") * rows_per_band + 1, rows_per_band))))
-    # bound pathological buckets (giant duplicate clusters) — a window count
-    # over (band, bucket) reuses the same shuffle the self-join needs,
-    # instead of a separate groupBy+join-back (one exchange saved)
     from pyspark.sql import Window
     wcount = F.count(F.lit(1)).over(
         Window.partitionBy("band", "bucket"))
-    banded = (banded.withColumn("count", wcount)
-              .filter(F.col("count") <= max_bucket))
+    return (banded.withColumn("count", wcount)
+            .filter(F.col("count") <= max_bucket))
+
+
+def lsh_candidate_pairs(sig_df: DataFrame, id_col: str, bands: int = 16,
+                        max_bucket: int = 1000) -> DataFrame:
+    """Band the signature, bucket by (band, band-hash), self-join buckets.
+    Returns distinct candidate pairs (a, b) with a < b."""
+    banded = _band_buckets(sig_df, id_col, bands, max_bucket)
     left = banded.select(F.col(id_col).alias("a"), "band", "bucket")
     right = banded.select(F.col(id_col).alias("b"), "band", "bucket")
     return (left.join(right, ["band", "bucket"])
@@ -422,6 +429,56 @@ def dedup_keep(df: DataFrame, pairs: DataFrame, id_col: str,
     return (df.join(comps, df[id_col] == comps["id"])
             .select(F.col(id_col), F.col("comp").alias("keep_id"),
                     (F.col("comp") == F.col(id_col)).alias("is_canonical")))
+
+
+def cross_corpus_dedup(new_df: DataFrame, ref_df: DataFrame, text_col: str,
+                       id_col: str, threshold: float = 0.5,
+                       num_hashes: int = 32, bands: int = 8,
+                       shingle_len: int = 3, seed: int = 42,
+                       max_bucket: int = 1000) -> DataFrame:
+    """Dedup a NEW corpus against an existing REFERENCE corpus (the
+    incremental-ingest form of near-dup removal: this month's crawl vs the
+    corpus already trained on). Returns, per new-side document that
+    near-matches any reference document,
+    ``(id, best_ref, best_jaccard, n_ref_matches)`` — the rows a pipeline
+    anti-joins away (or routes to audit) before appending the rest.
+
+    Same seeded MinHash family and banding as ``minhash_dedup_pairs``, so
+    a signature table written once for the reference corpus
+    (``write_lsh_index``-style) is reusable across every incremental
+    batch. The bucket join is new-side×ref-side on (band, bucket) — never
+    a self-join of the union, so the (huge) reference corpus never pairs
+    with itself; both sides carry the ``max_bucket`` bound. The verify
+    stage re-reads only the candidate pairs' texts; the winner per new doc
+    is elected with one ``max(struct)`` aggregation (highest Jaccard, ties
+    to the smallest reference id) — no window, map-side combinable.
+    """
+    sig_new = minhash_signatures(parallelize_input(new_df), text_col, id_col,
+                                 num_hashes, shingle_len, seed)
+    sig_ref = minhash_signatures(parallelize_input(ref_df), text_col, id_col,
+                                 num_hashes, shingle_len, seed)
+    bn = (_band_buckets(sig_new, id_col, bands, max_bucket)
+          .select(F.col(id_col).alias("a"), "band", "bucket"))
+    br = (_band_buckets(sig_ref, id_col, bands, max_bucket)
+          .select(F.col(id_col).alias("b"), "band", "bucket"))
+    cands = (bn.join(br, ["band", "bucket"])
+             .select("a", "b").distinct().localCheckpoint(eager=True))
+    tn = new_df.select(F.col(id_col).alias("a"),
+                       F.col(text_col).alias("ta"))
+    tr = ref_df.select(F.col(id_col).alias("b"),
+                       F.col(text_col).alias("tb"))
+    verify = jaccard_verify_udf(shingle_len)
+    scored = (cands.join(tn, "a").join(tr, "b")
+              .withColumn("_j", verify(F.col("ta"), F.col("tb")))
+              .filter(F.col("_j") >= threshold)
+              .withColumn("jaccard", F.round("_j", 6)))
+    best = F.max(F.struct(F.col("jaccard"), (-F.col("b")).alias("nb")))
+    return (scored.groupBy(F.col("a").alias(id_col))
+            .agg(F.count(F.lit(1)).alias("n_ref_matches"),
+                 best.alias("_best"))
+            .select(id_col, (-F.col("_best.nb")).alias("best_ref"),
+                    F.col("_best.jaccard").alias("best_jaccard"),
+                    "n_ref_matches"))
 
 
 # ---------------------------------------------------------------------------

@@ -236,6 +236,109 @@ def stratified_sample(df: DataFrame, group_col: str, quota: int,
 # ---------------------------------------------------------------------------
 
 
+def _ws_tokens(col):
+    """Lowercased whitespace tokens with empties dropped — the shared
+    tokenization of the dedup/LM operators (mirrors the oracle CTEs'
+    ``string_split_regex(lower(text), '\\s+')`` + non-empty filter)."""
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda x: x != "")
+
+
+def lm_perplexity(df: DataFrame, text_col: str, id_col: str,
+                  ref_df: "DataFrame | None" = None,
+                  approx: bool = False) -> DataFrame:
+    """CCNet-style language-model quality bucketing: score every document
+    by unigram cross-entropy under an add-one-smoothed LM trained on a
+    reference corpus, then split the corpus into ``head`` / ``middle`` /
+    ``tail`` tertiles (CCNet trains KenLM on Wikipedia and buckets Common
+    Crawl by perplexity; the unigram LM is the deterministic,
+    oracle-checkable stand-in — the bucketing machinery is identical).
+
+    Returns (id, n_tokens, cross_entropy, perplexity, bucket).
+
+    * LM: p(tok) = (cnt + 1) / (T + V + 1) over ``ref_df`` (defaults to
+      ``df`` itself); unseen tokens get the floor 1 / (T + V + 1).
+    * cross_entropy = -mean log p (nats), rounded 6dp; empty docs → 0.
+    * buckets: exact tertile cut points of the rounded cross-entropy
+      (lower = more fluent = head).
+
+    Scale shape: the LM is a (token, count) table — web vocab is ~10^7
+    rows, broadcastable; the document side explodes tokens, probes the
+    broadcast, and aggregates (id, Σlog p, n) with map-side combine — one
+    narrow exchange. T/V and the tertile cut points ride in as broadcast
+    1-row aggregates (no driver collect). The exact percentile gathers the
+    per-doc entropy column onto one reducer — fine to ~10^8 docs; pass
+    ``approx=True`` at 10^9+ to use ``approx_percentile`` (t-digest,
+    fully distributed) at the cost of oracle-exactness of the cut points.
+    """
+    ref = ref_df if ref_df is not None else df
+    counts = (ref.select(F.explode(_ws_tokens(F.col(text_col))).alias("tok"))
+              .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")))
+    tv = counts.agg(F.sum("cnt").alias("_t"),
+                    F.count(F.lit(1)).alias("_v"))
+    doc_toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.when(F.size(_ws_tokens(F.col(text_col))) > 0,
+                   _ws_tokens(F.col(text_col)))
+            .otherwise(F.array(F.lit(None).cast("string")))).alias("tok"))
+    scored = (doc_toks.join(F.broadcast(counts), "tok", "left")
+              .crossJoin(F.broadcast(tv)))
+    logp = F.log((F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1))
+                 / (F.col("_t") + F.col("_v") + F.lit(1)))
+    per_doc = (scored.groupBy(id_col)
+               .agg(F.sum(F.when(F.col("tok").isNotNull(), logp))
+                    .alias("_slp"),
+                    F.count(F.col("tok")).alias("n_tokens")))
+    h = F.round(F.coalesce(F.try_divide(-F.col("_slp"),
+                                        F.col("n_tokens")),
+                           F.lit(0.0)), 6)
+    per_doc = per_doc.select(F.col(id_col), F.col("n_tokens"),
+                             h.alias("cross_entropy"))
+    pct = (F.approx_percentile if approx else F.percentile)
+    cuts = per_doc.agg(
+        pct(F.col("cross_entropy"),
+            F.lit([0.3333333333333333, 0.6666666666666666])).alias("_q"))
+    bucket = (F.when(F.col("cross_entropy") <= F.col("_q")[0], "head")
+              .when(F.col("cross_entropy") <= F.col("_q")[1], "middle")
+              .otherwise("tail"))
+    return (per_doc.crossJoin(F.broadcast(cuts))
+            .select(id_col, "n_tokens", "cross_entropy",
+                    F.round(F.exp(F.col("cross_entropy")), 3)
+                    .alias("perplexity"),
+                    bucket.alias("bucket")))
+
+
+def bpe_pair_stats(df: DataFrame, text_col: str,
+                   top_k: int = 50) -> DataFrame:
+    """First-iteration BPE merge statistics: corpus-wide frequency of every
+    adjacent character-symbol pair (with the ``</w>`` end-of-word marker),
+    weighted by word frequency — the count table the first BPE merge rule
+    is chosen from when inducing a tokenizer vocab on a new corpus.
+    Returns the ``top_k`` pairs as (left, right, n), count-desc.
+
+    Scale shape: the corpus collapses to (distinct word, count) FIRST (one
+    map-side-combined exchange over ~10^7-row web vocab), so the per-char
+    explode runs over the vocab, never the corpus; the pair aggregation is
+    another map-side-combined exchange over ≤ |vocab|·avg_len rows, and
+    the top-k sorts the ~|alphabet|² aggregated pairs. Nothing touches
+    full documents after the first aggregation.
+    """
+    words = (df.select(F.explode(_ws_tokens(F.col(text_col))).alias("w"))
+             .groupBy("w").agg(F.count(F.lit(1)).alias("cnt")))
+    L = F.length("w")
+    pos = words.select(
+        "w", "cnt", L.alias("_l"),
+        F.explode(F.sequence(F.lit(1), L)).alias("i"))
+    left = F.substring(F.col("w"), F.col("i"), 1)
+    right = F.when(F.col("i") < F.col("_l"),
+                   F.substring(F.col("w"), F.col("i") + 1, 1)
+                   ).otherwise(F.lit("</w>"))
+    return (pos.select(left.alias("sym_l"), right.alias("sym_r"), "cnt")
+            .groupBy("sym_l", "sym_r").agg(F.sum("cnt").alias("n"))
+            .orderBy(F.col("n").desc(), "sym_l", "sym_r")
+            .limit(top_k))
+
+
 def _gram_array(toks, n: int):
     """Array of 64-bit token ``n``-gram keys (empty when len(toks) < n):
     ``xxhash64`` over the token SLICE itself, so no concatenated gram

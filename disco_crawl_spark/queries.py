@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from . import functions as cf
 from .operators import dedup, graph, similarity, textstats
+from .operators.diff import snapshot_diff
 
 QUERY_VEC = [1.0 if i % 3 == 0 else (0.5 if i % 3 == 1 else -0.25)
              for i in range(64)]
@@ -1664,6 +1665,242 @@ def substring_dedup_q(spark, sf):
     # occurring >1x corpus-wide is cut from every doc carrying it
     d = _t(spark, sf, "documents")
     return dedup.substring_dedup(d, "text", "doc_id", k=_SUBSTR_K)
+
+
+# ===========================================================================
+# incremental-crawl snapshot diff
+# ===========================================================================
+
+
+@q("crawl_delta", """
+WITH old_s AS (
+  SELECT doc_id, md5(coalesce(text, chr(1) || 'null') || chr(31)) AS h
+  FROM documents WHERE doc_id % 5 != 0),
+new_s AS (
+  SELECT doc_id,
+         md5(coalesce(CASE WHEN doc_id % 3 = 0 THEN upper(text) ELSE text END,
+                      chr(1) || 'null') || chr(31)) AS h
+  FROM documents WHERE doc_id % 7 != 0)
+SELECT coalesce(o.doc_id, n.doc_id) AS key,
+       CASE WHEN o.h IS NULL THEN 'new'
+            WHEN n.h IS NULL THEN 'gone'
+            WHEN o.h = n.h THEN 'unchanged' ELSE 'changed' END AS status,
+       (o.h IS NOT NULL)::INT AS in_old,
+       (n.h IS NOT NULL)::INT AS in_new
+FROM old_s o FULL JOIN new_s n ON o.doc_id = n.doc_id
+""")
+def crawl_delta(spark, sf):
+    """Incremental-crawl snapshot diff: last month's snapshot (doc_id % 5
+    slice removed) vs this month's (doc_id % 7 slice removed, every third
+    doc's content mutated) — each key classified new/gone/changed/
+    unchanged by content hash. The reference crawls single-shot
+    (worker.py's one run-to-completion loop); the diff is what a recurring
+    corpus pipeline runs between icelite snapshots."""
+    d = _t(spark, sf, "documents")
+    old = d.filter(F.col("doc_id") % 5 != 0)
+    new = (d.filter(F.col("doc_id") % 7 != 0)
+           .withColumn("text",
+                       F.when(F.col("doc_id") % 3 == 0,
+                              F.upper(F.col("text")))
+                       .otherwise(F.col("text"))))
+    return snapshot_diff(old, new, "doc_id", ["text"])
+
+
+# ===========================================================================
+# cross-corpus (incremental-ingest) near-dup removal
+# ===========================================================================
+
+
+def _cross_corpus_oracle_sql(threshold: float = 0.5) -> str:
+    """Mirror of ``dedup.cross_corpus_dedup``: the same seeded family /
+    shingle fold / banding as ``_minhash_lsh_oracle_sql``, but the bucket
+    join is new-side (doc_id % 3 != 0) × ref-side (doc_id % 3 == 0) with
+    the bucket-size bound applied per side, and the final aggregation
+    elects each new doc's best reference match (highest rounded Jaccard,
+    ties to the smallest ref id)."""
+    import numpy as np
+    rng = np.random.RandomState(42)
+    a = rng.randint(1, 1 << 31, size=32, dtype=np.int64)
+    b = rng.randint(0, 1 << 31, size=32, dtype=np.int64)
+    A = "[" + ", ".join(str(int(x)) for x in a) + "]"
+    B = "[" + ", ".join(str(int(x)) for x in b) + "]"
+    P, W, M = 1099511628211, 1 << 64, (1 << 61) - 1
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(coalesce(text,'')), '\s+'),
+                x -> x <> '') AS t
+  FROM documents
+),
+th AS (
+  SELECT doc_id, t,
+    list_transform(t, w -> ('0x' || substr(md5(w),1,16))::UBIGINT::HUGEINT) AS h
+  FROM toks
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(h) = 0 THEN []::BIGINT[]
+         WHEN len(h) = 1 THEN [CAST(h[1] % 4294967296 AS BIGINT)]
+         WHEN len(h) = 2 THEN [CAST((h[1]*{P} + h[2]) % {W} % 4294967296 AS BIGINT)]
+         ELSE list_distinct(list_transform(range(len(h) - 2),
+           i -> CAST(((h[i+1]*{P} + h[i+2]) % {W} * {P} + h[i+3]) % {W} % 4294967296 AS BIGINT)))
+    END AS s
+  FROM th
+),
+sigs AS (
+  SELECT doc_id,
+    CASE WHEN len(s) = 0 THEN list_transform(range(32), j -> 0::BIGINT)
+         ELSE list_transform(range(32),
+           j -> list_min(list_transform(s,
+             x -> ({A}[j+1]::BIGINT * x + {B}[j+1]::BIGINT) % {M})))
+    END AS sig
+  FROM sh
+),
+banded AS (
+  SELECT doc_id, bd.band,
+    md5(bd.band::VARCHAR || ',' ||
+        array_to_string(sig[bd.band*4+1 : bd.band*4+4], ',')) AS bucket
+  FROM sigs, (SELECT unnest(range(8)) AS band) bd
+),
+new_b AS (
+  SELECT * FROM (
+    SELECT doc_id, band, bucket,
+           count(*) OVER (PARTITION BY band, bucket) AS n
+    FROM banded WHERE doc_id % 3 != 0)
+  WHERE n <= 1000
+),
+ref_b AS (
+  SELECT * FROM (
+    SELECT doc_id, band, bucket,
+           count(*) OVER (PARTITION BY band, bucket) AS n
+    FROM banded WHERE doc_id % 3 = 0)
+  WHERE n <= 1000
+),
+cands AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM new_b x JOIN ref_b y ON x.band = y.band AND x.bucket = y.bucket
+),
+grams AS (
+  SELECT doc_id,
+    CASE WHEN len(t) = 0 THEN []::VARCHAR[]
+         WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+         ELSE list_distinct(list_transform(range(len(t) - 2),
+           i -> array_to_string(t[i+1:i+3], ' ')))
+    END AS g
+  FROM toks
+),
+mh AS (
+  SELECT c.a, c.b,
+    round(CASE WHEN len(list_distinct(list_concat(ga.g, gb.g))) = 0 THEN 0.0
+          ELSE len(list_intersect(ga.g, gb.g))::DOUBLE
+               / len(list_distinct(list_concat(ga.g, gb.g))) END, 6) AS j
+  FROM cands c JOIN grams ga ON ga.doc_id = c.a JOIN grams gb ON gb.doc_id = c.b
+  WHERE (CASE WHEN len(list_distinct(list_concat(ga.g, gb.g))) = 0 THEN 0.0
+         ELSE len(list_intersect(ga.g, gb.g))::DOUBLE
+              / len(list_distinct(list_concat(ga.g, gb.g))) END) >= {threshold}
+),
+ranked AS (
+  SELECT a, b, j,
+         row_number() OVER (PARTITION BY a ORDER BY j DESC, b ASC) AS rn,
+         count(*) OVER (PARTITION BY a) AS nm
+  FROM mh)
+SELECT a AS doc_id, b AS best_ref, j AS best_jaccard,
+       nm::BIGINT AS n_ref_matches
+FROM ranked WHERE rn = 1"""
+
+
+@q("dedup_cross_corpus", _cross_corpus_oracle_sql())
+def dedup_cross_corpus(spark, sf):
+    """Incremental-ingest dedup: the new slice of the corpus (doc_id % 3
+    != 0) deduped AGAINST the already-ingested reference slice (% 3 == 0)
+    — new×ref bucket join, never a self-join of the union."""
+    d = _t(spark, sf, "documents")
+    ref = d.filter(F.col("doc_id") % 3 == 0)
+    new = d.filter(F.col("doc_id") % 3 != 0)
+    return dedup.cross_corpus_dedup(new, ref, "text", "doc_id",
+                                    threshold=0.5, num_hashes=32, bands=8)
+
+
+# ===========================================================================
+# CCNet-style LM-perplexity quality bucketing
+# ===========================================================================
+
+
+@q("ccnet_perplexity", r"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(coalesce(text,'')), '\s+'),
+                x -> x <> '') AS t
+  FROM documents),
+refc AS (
+  SELECT tok, count(*)::BIGINT AS cnt
+  FROM (SELECT unnest(t) AS tok FROM toks WHERE doc_id % 5 = 0)
+  GROUP BY tok),
+tv AS (SELECT sum(cnt)::BIGINT AS _t, count(*)::BIGINT AS _v FROM refc),
+doc AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) = 0 THEN [NULL]::VARCHAR[] ELSE t END) AS tok
+  FROM toks),
+scored AS (
+  SELECT d.doc_id, d.tok,
+         ln((coalesce(c.cnt, 0) + 1)::DOUBLE / (tv._t + tv._v + 1)::DOUBLE)
+           AS lp
+  FROM doc d LEFT JOIN refc c ON d.tok = c.tok CROSS JOIN tv),
+per AS (
+  SELECT doc_id, count(tok)::BIGINT AS n_tokens,
+         round(coalesce(-sum(CASE WHEN tok IS NOT NULL THEN lp END)
+                          / count(tok), 0.0), 6) AS cross_entropy
+  FROM scored GROUP BY doc_id),
+cuts AS (SELECT quantile_cont(cross_entropy,
+           [0.3333333333333333, 0.6666666666666666]) AS q FROM per)
+SELECT doc_id, n_tokens, cross_entropy,
+       round(exp(cross_entropy), 3) AS perplexity,
+       CASE WHEN cross_entropy <= q[1] THEN 'head'
+            WHEN cross_entropy <= q[2] THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM per CROSS JOIN cuts
+""")
+def ccnet_perplexity(spark, sf):
+    """LM-quality bucketing (CCNet): unigram LM trained on the doc_id % 5
+    reference slice, every document scored by cross-entropy and cut into
+    head/middle/tail tertiles."""
+    d = _t(spark, sf, "documents")
+    return textstats.lm_perplexity(
+        d, "text", "doc_id", ref_df=d.filter(F.col("doc_id") % 5 == 0))
+
+
+# ===========================================================================
+# BPE merge-pair statistics (tokenizer induction, first iteration)
+# ===========================================================================
+
+
+@q("bpe_pair_stats", r"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(coalesce(text,'')), '\s+'),
+                x -> x <> '') AS t
+  FROM documents),
+words AS (
+  SELECT w, count(*)::BIGINT AS cnt
+  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+pos AS (
+  SELECT w, cnt, length(w) AS l, unnest(range(length(w))) AS i FROM words),
+pairs AS (
+  SELECT substr(w, (i + 1)::INT, 1) AS sym_l,
+         CASE WHEN i + 1 < l THEN substr(w, (i + 2)::INT, 1)
+              ELSE '</w>' END AS sym_r,
+         cnt
+  FROM pos)
+SELECT sym_l, sym_r, sum(cnt)::BIGINT AS n
+FROM pairs GROUP BY sym_l, sym_r
+ORDER BY n DESC, sym_l, sym_r LIMIT 50
+""")
+def bpe_pair_stats_q(spark, sf):
+    """First BPE merge iteration's pair-count table over the corpus vocab
+    (adjacent char symbols + </w> end-of-word marker, weighted by word
+    frequency), top-50."""
+    d = _t(spark, sf, "documents")
+    return textstats.bpe_pair_stats(d, "text", top_k=50)
 
 
 # ===========================================================================

@@ -725,3 +725,123 @@ def test_tfidf_top_terms_against_manual(spark):
     assert got[2] == [("fish", s(1, 1)), ("dog", s(1, 2))]
     # doc 3: bird 2*ln(3) > cat ln(1.5)
     assert got[3] == [("bird", s(2, 1)), ("cat", s(1, 2))]
+
+
+# ---------------------------------------------------------------------------
+# round-4 session-6 operators: snapshot diff, cross-corpus dedup,
+# LM-perplexity bucketing, BPE pair stats
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_diff_statuses(spark):
+    from disco_crawl_spark.operators.diff import snapshot_diff
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, None)], "k long, text string")
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "CHANGED"), (4, ""), (5, "e")], "k long, text string")
+    got = {r["key"]: (r["status"], r["in_old"], r["in_new"])
+           for r in snapshot_diff(old, new, "k", ["text"]).collect()}
+    assert got == {
+        1: ("gone", 1, 0),
+        2: ("unchanged", 1, 1),
+        3: ("changed", 1, 1),
+        4: ("changed", 1, 1),   # NULL vs '' must differ (marker, not concat-collapse)
+        5: ("new", 0, 1),
+    }
+
+
+def test_snapshot_diff_multi_column_content(spark):
+    from disco_crawl_spark.operators.diff import snapshot_diff
+    # column-boundary aliasing: ("ab","c") vs ("a","bc") must CHANGE
+    old = spark.createDataFrame([(1, "ab", "c")], "k long, t1 string, t2 string")
+    new = spark.createDataFrame([(1, "a", "bc")], "k long, t1 string, t2 string")
+    [r] = snapshot_diff(old, new, "k", ["t1", "t2"]).collect()
+    assert r["status"] == "changed"
+
+
+def test_cross_corpus_dedup_matches_bruteforce(spark, docs):
+    # ref = even ids, new = odd ids; brute-force 3-shingle Jaccard oracle
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    got = {r["doc_id"]: (r["best_ref"], r["best_jaccard"], r["n_ref_matches"])
+           for r in dedup.cross_corpus_dedup(
+               new, ref, "text", "doc_id", threshold=0.5).collect()}
+
+    def shingles(t):
+        toks = t.lower().split()
+        if len(toks) >= 3:
+            return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+        return {" ".join(toks)} if toks else set()
+
+    rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+    expect = {}
+    for a in (1, 3, 5, 7):
+        matches = []
+        for b in (0, 2, 4, 6):
+            sa, sb = shingles(rows[a]), shingles(rows[b])
+            u = sa | sb
+            j = len(sa & sb) / len(u) if u else 0.0
+            if j >= 0.5:
+                matches.append((round(j, 6), b))
+        if matches:
+            best = max(matches, key=lambda x: (x[0], -x[1]))
+            expect[a] = (best[1], best[0], len(matches))
+    # LSH candidates ⊆ all pairs: every surviving row must agree with brute
+    # force, and the exact-dup (1↔0) must be recalled at these parameters
+    assert 1 in got and got[1] == expect[1]
+    for k, v in got.items():
+        assert v == expect[k], (k, v, expect.get(k))
+
+
+def test_cross_corpus_never_pairs_ref_with_ref(spark, docs):
+    # docs 3 and 4 are near dups of EACH OTHER; both on the ref side →
+    # must not appear: output ids are strictly new-side
+    ref = docs.filter(F.col("doc_id").isin(3, 4))
+    new = docs.filter(F.col("doc_id").isin(6, 7))
+    out = dedup.cross_corpus_dedup(new, ref, "text", "doc_id").collect()
+    assert {r["doc_id"] for r in out} <= {6, 7}
+    assert not [r for r in out if r["doc_id"] in (3, 4)]
+
+
+def test_lm_perplexity_semantics(spark):
+    import math
+    rows = [(1, "a a b"), (2, "a b c"), (3, "z z z z"), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ref = spark.createDataFrame([(9, "a a a b")], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           textstats.lm_perplexity(df, "text", "doc_id", ref_df=ref).collect()}
+    # LM: a→3, b→1, T=4, V=2 → p(a)=(3+1)/7, p(b)=2/7, unseen=1/7
+    pa, pb, pu = 4 / 7, 2 / 7, 1 / 7
+    h1 = -(2 * math.log(pa) + math.log(pb)) / 3
+    h2 = -(math.log(pa) + math.log(pb) + math.log(pu)) / 3
+    h3 = -math.log(pu)
+    assert got[1]["cross_entropy"] == round(h1, 6)
+    assert got[2]["cross_entropy"] == round(h2, 6)
+    assert got[3]["cross_entropy"] == round(h3, 6)
+    assert got[4]["cross_entropy"] == 0.0 and got[4]["n_tokens"] == 0
+    assert got[1]["perplexity"] == round(math.exp(round(h1, 6)), 3)
+    # buckets ordered by entropy: empty doc (0.0) lowest → head; unseen-only
+    # doc highest → tail
+    assert got[4]["bucket"] == "head"
+    assert got[3]["bucket"] == "tail"
+    order = sorted(got.values(), key=lambda r: r["cross_entropy"])
+    labels = [r["bucket"] for r in order]
+    assert labels == sorted(labels, key=["head", "middle", "tail"].index)
+
+
+def test_bpe_pair_stats_counts(spark):
+    rows = [(1, "ab ab"), (2, "ab ba")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["sym_l"], r["sym_r"]): r["n"]
+           for r in textstats.bpe_pair_stats(df, "text", top_k=10).collect()}
+    # words: ab×3, ba×1 → pairs: (a,b)=3, (b,</w>)=3, (b,a)=1, (a,</w>)=1
+    assert got == {("a", "b"): 3, ("b", "</w>"): 3,
+                   ("b", "a"): 1, ("a", "</w>"): 1}
+
+
+def test_bpe_pair_stats_topk_order(spark):
+    df = spark.createDataFrame([(1, "xy xz")], "doc_id long, text string")
+    out = textstats.bpe_pair_stats(df, "text", top_k=2).collect()
+    # (x,y)=1 (x,z)=1 (y,</w>)=1 (z,</w>)=1 → top-2 by (n desc, l, r):
+    # ties broken lexicographically, '</w>' sorts before letters ('<'<'x')
+    assert [(r["sym_l"], r["sym_r"]) for r in out] == [("x", "y"), ("x", "z")]

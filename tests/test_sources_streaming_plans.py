@@ -431,3 +431,43 @@ def test_new_llm_op_plan_quality(spark):
     sd = dedup.substring_dedup(d, "text", "doc_id", k=8)
     ss = plans.explain_str(sd, "simple")
     assert "partial" in ss.lower(), ss
+
+
+def test_session6_op_plan_quality(spark):
+    """Plan pins for the session-6 operators (snapshot diff, cross-corpus
+    dedup, LM perplexity, BPE pair stats): the shuffle/broadcast shapes
+    their docstrings claim."""
+    from disco_crawl_spark.operators import textstats
+    from disco_crawl_spark.operators.diff import snapshot_diff
+    import __spark_entry__ as e
+    SF = "/root/testdata/sf0.001"
+
+    # snapshot_diff: the full-outer exchange carries (key, md5) ONLY —
+    # the text payload must be hashed BEFORE the shuffle, never moved
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    sd = snapshot_diff(d, d, "doc_id", ["text"])
+    fm = plans.explain_str(sd, "formatted")
+    import re
+    for m in re.finditer(r"Exchange hashpartitioning.*", fm):
+        assert "text#" not in m.group(0), m.group(0)
+
+    # lm_perplexity: LM table + T/V + tertile cuts all broadcast; the doc
+    # side's only wide exchange is the per-id rollup; no Window anywhere
+    lp = e.queries()["ccnet_perplexity"](spark, SF)
+    s = plans.explain_str(lp, "simple")
+    assert plans.uses_broadcast_join(lp) or "BroadcastNestedLoopJoin" in s
+    assert "Window" not in s, s
+
+    # bpe_pair_stats: both aggregations map-side combined (partial), and
+    # the global top-k is a TakeOrdered, not a full sort of the corpus
+    bp = e.queries()["bpe_pair_stats"](spark, SF)
+    sb = plans.explain_str(bp, "simple")
+    assert sb.lower().count("partial") >= 2, sb
+    assert "TakeOrderedAndProject" in sb, sb
+
+    # cross-corpus dedup: the winner election is ONE aggregation — no
+    # Window in the final stage (the bounded-bucket windows upstream are
+    # inside the checkpointed candidate stage, not the scored output)
+    cc = e.queries()["dedup_cross_corpus"](spark, SF)
+    sc_ = plans.explain_str(cc, "simple")
+    assert "Window" not in sc_, sc_
