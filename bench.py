@@ -40,7 +40,7 @@ HEADLINE = [
     "ann_cosine_topk", "ann_batch_queries", "link_pagerank",
     "anchor_text_agg", "inverted_postings", "tfidf_top_terms",
     "crawl_delta", "dedup_cross_corpus", "ccnet_perplexity",
-    "bpe_pair_stats",
+    "bpe_pair_stats", "c4_line_filter", "domain_split",
     "steward_hash_order", "json_extract",
 ]
 

@@ -339,6 +339,88 @@ def bpe_pair_stats(df: DataFrame, text_col: str,
             .limit(top_k))
 
 
+def c4_line_filter(df: DataFrame, text_col: str, id_col: str,
+                   min_words: int = 5, require_terminal_punct: bool = True,
+                   min_kept_lines: int = 3, segmenter: str = "newline",
+                   k_tokens: int = 12) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2): keep only
+    lines with ≥ ``min_words`` words (and, when ``require_terminal_punct``,
+    ending in ``. ! ?`` or a closing quote), drop lines containing
+    "javascript"; then drop whole pages with fewer than ``min_kept_lines``
+    surviving lines or containing "lorem ipsum" or a ``{``. Returns
+    (id, clean_text, n_lines, n_kept, dropped) — ``dropped = 1`` pages
+    keep their stats but empty ``clean_text``.
+
+    ``segmenter``: ``newline`` (C4's actual unit) or ``tokens`` (fixed
+    ``k_tokens``-token blocks — same fallback as ``passage_dedup`` for
+    corpora without line structure).
+
+    Scale shape: pure Catalyst higher-order functions over the text
+    column — no shuffle, no UDF; runs inside the scan's codegen stage and
+    composes with any downstream exchange.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    if segmenter == "newline":
+        lines = F.split(t, "\n")
+    elif segmenter == "tokens":
+        toks = _ws_tokens(t)
+        n_seg = F.ceil(F.size(toks) / F.lit(k_tokens)).cast("int")
+        lines = F.transform(
+            F.sequence(F.lit(0), F.greatest(n_seg, F.lit(1)) - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * k_tokens + 1, k_tokens), " "))
+    else:
+        raise ValueError(f"unknown segmenter {segmenter!r}")
+    wc = lambda ln: F.size(F.filter(F.split(ln, r"\s+"),
+                                    lambda x: x != ""))
+    keep = lambda ln: (
+        (wc(ln) >= min_words)
+        & ~F.lower(ln).contains("javascript")
+        & ((F.rtrim(ln).rlike(r"""[.!?"”']$"""))
+           if require_terminal_punct else F.lit(True)))
+    kept = F.filter(lines, keep)
+    page_bad = (F.lower(t).contains("lorem ipsum")
+                | t.contains("{")
+                | (F.size(kept) < min_kept_lines))
+    return df.select(
+        F.col(id_col),
+        F.when(page_bad, F.lit(""))
+        .otherwise(F.array_join(kept, "\n")).alias("clean_text"),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        page_bad.cast("int").alias("dropped"))
+
+
+def domain_split(df: DataFrame, group_col: str, id_col: str,
+                 fractions: "tuple[float, float]" = (0.9, 0.05),
+                 seed: int = 42) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the split is a pure hash of
+    the GROUP key (domain / source), so every document of a group — and
+    therefore every within-group near-duplicate — lands in the same split
+    (the C4/Pile hygiene rule: never split a domain across train and
+    eval). Returns (id, group, split).
+
+    ``fractions`` = (train, val); test gets the remainder. The draw is the
+    first 8 hex chars of md5(seed|group) scaled to [0, 1) — deterministic
+    across engines, partitionings, and cluster sizes (exact integer
+    compare against fraction·2³², never a float draw).
+
+    Scale shape: a projection — no shuffle, no join; the hash recomputes
+    per row (cheaper at any scale than shuffling a groups table in, and
+    identical by construction).
+    """
+    h = F.conv(F.substring(
+        F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(group_col))),
+        1, 8), 16, 10).cast("bigint")
+    t_cut = int(fractions[0] * (1 << 32))
+    v_cut = int((fractions[0] + fractions[1]) * (1 << 32))
+    split = (F.when(h < t_cut, "train")
+             .when(h < v_cut, "val")
+             .otherwise("test"))
+    return df.select(F.col(id_col), F.col(group_col),
+                     split.alias("split"))
+
+
 def _gram_array(toks, n: int):
     """Array of 64-bit token ``n``-gram keys (empty when len(toks) < n):
     ``xxhash64`` over the token SLICE itself, so no concatenated gram

@@ -1904,6 +1904,82 @@ def bpe_pair_stats_q(spark, sf):
 
 
 # ===========================================================================
+# C4 line-level cleaning + leakage-safe domain splits
+# ===========================================================================
+
+
+@q("c4_line_filter", r"""
+WITH base AS (
+  SELECT doc_id,
+    coalesce(text, '') AS tx,
+    list_filter(string_split_regex(lower(coalesce(text,'')), '\s+'),
+                x -> x <> '') AS t
+  FROM documents),
+seg AS (
+  SELECT doc_id, tx,
+    list_transform(range(greatest(ceil(len(t) / 12.0), 1)::INT),
+                   i -> array_to_string(t[i*12+1 : i*12+12], ' ')) AS lines
+  FROM base),
+keptt AS (
+  SELECT doc_id, tx, lines,
+    list_filter(lines, ln ->
+      len(list_filter(string_split_regex(ln, '\s+'), x -> x <> '')) >= 5
+      AND NOT contains(lower(ln), 'javascript')) AS kept
+  FROM seg),
+flagged AS (
+  SELECT doc_id, lines, kept,
+    (contains(lower(tx), 'lorem ipsum') OR contains(tx, '{')
+     OR len(kept) < 3) AS bad
+  FROM keptt)
+SELECT doc_id,
+       CASE WHEN bad THEN '' ELSE array_to_string(kept, chr(10)) END
+         AS clean_text,
+       len(lines)::INT AS n_lines,
+       len(kept)::INT AS n_kept,
+       bad::INT AS dropped
+FROM flagged
+""")
+def c4_line_filter_q(spark, sf):
+    """C4 line-level cleaning over the corpus. The synthetic documents
+    have no newline/punctuation structure, so the driver query uses the
+    fixed-12-token segmenter with the word-count + javascript + page
+    rules (the terminal-punctuation rule is exercised in the unit tests
+    on crafted lines instead — same honest degradation as
+    passage_dedup's segmenter)."""
+    d = _t(spark, sf, "documents")
+    # mirror the oracle's lowercased tokenization so segments compare
+    # byte-identically (the operator segments the raw column)
+    dl = d.withColumn("text", F.lower("text"))
+    return textstats.c4_line_filter(dl, "text", "doc_id", min_words=5,
+                                    require_terminal_punct=False,
+                                    min_kept_lines=3, segmenter="tokens",
+                                    k_tokens=12)
+
+
+_SPLIT_T_CUT = int(0.9 * (1 << 32))
+_SPLIT_V_CUT = int((0.9 + 0.05) * (1 << 32))
+
+
+@q("domain_split", f"""
+SELECT doc_id, source,
+       CASE WHEN h < {_SPLIT_T_CUT} THEN 'train'
+            WHEN h < {_SPLIT_V_CUT} THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, source,
+             ('0x' || substr(md5('42|' || source), 1, 8))::UBIGINT::BIGINT
+               AS h
+      FROM documents)
+""")
+def domain_split_q(spark, sf):
+    """Leakage-safe corpus splits: every document of a source lands in the
+    same train/val/test bucket (hash of the GROUP key, exact integer
+    compare — no float draw, no per-doc randomness)."""
+    d = _t(spark, sf, "documents")
+    return textstats.domain_split(d, "source", "doc_id",
+                                  fractions=(0.9, 0.05), seed=42)
+
+
+# ===========================================================================
 # link graph: PageRank (frontier authority) + anchor-text aggregation
 # ===========================================================================
 

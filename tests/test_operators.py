@@ -845,3 +845,70 @@ def test_bpe_pair_stats_topk_order(spark):
     # (x,y)=1 (x,z)=1 (y,</w>)=1 (z,</w>)=1 → top-2 by (n desc, l, r):
     # ties broken lexicographically, '</w>' sorts before letters ('<'<'x')
     assert [(r["sym_l"], r["sym_r"]) for r in out] == [("x", "y"), ("x", "z")]
+
+
+def test_c4_line_filter_full_rules(spark):
+    rows = [
+        # 3 good lines → kept verbatim
+        (1, "This is a perfectly fine sentence.\n"
+            "Another good line with enough words!\n"
+            'Is this a question with many words?'),
+        # line without terminal punctuation dropped; <3 kept → page dropped
+        (2, "This line has no terminal punctuation at all\n"
+            "Short line.\nAlso too short."),
+        # javascript line dropped, others kept
+        (3, "Please enable JavaScript to view this.\n"
+            "A good first line stays right here.\n"
+            "A good second line stays right here.\n"
+            "A good third line stays right here."),
+        # lorem ipsum page → dropped wholesale
+        (4, "Lorem ipsum dolor sit amet, consectetur adipiscing elit.\n"
+            "A good second line stays right here.\n"
+            "A good third line stays right here."),
+        # brace page → dropped wholesale
+        (5, "function() { return 1; }\n"
+            "A good second line stays right here.\n"
+            "A good third line stays right here.\n"
+            "A good fourth line stays right here."),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in textstats.c4_line_filter(
+        df, "text", "doc_id").collect()}
+    assert got[1]["dropped"] == 0 and got[1]["n_kept"] == 3
+    assert got[1]["clean_text"].count("\n") == 2
+    assert got[2]["dropped"] == 1 and got[2]["clean_text"] == ""
+    assert got[2]["n_kept"] == 0   # no-punct line AND both short lines fail
+    assert got[3]["dropped"] == 0 and got[3]["n_kept"] == 3
+    assert "JavaScript" not in got[3]["clean_text"]
+    assert got[4]["dropped"] == 1 and got[4]["clean_text"] == ""
+    assert got[5]["dropped"] == 1
+    assert got[6]["dropped"] == 1 and got[6]["n_kept"] == 0
+
+
+def test_c4_line_filter_token_segmenter(spark):
+    # 14 tokens, k=6 → segments of 6/6/2; the 2-token tail fails min_words
+    txt = " ".join(f"w{i}" for i in range(14))
+    df = spark.createDataFrame([(1, txt)], "doc_id long, text string")
+    [r] = textstats.c4_line_filter(
+        df, "text", "doc_id", require_terminal_punct=False,
+        min_kept_lines=2, segmenter="tokens", k_tokens=6).collect()
+    assert r["n_lines"] == 3 and r["n_kept"] == 2 and r["dropped"] == 0
+    assert r["clean_text"] == " ".join(f"w{i}" for i in range(6)) + "\n" + \
+        " ".join(f"w{i}" for i in range(6, 12))
+
+
+def test_domain_split_group_coherent_and_layout_invariant(spark):
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 97).cast("string").alias("src"))
+    out = textstats.domain_split(df, "src", "doc_id")
+    per_group = (out.groupBy("src")
+                 .agg(F.countDistinct("split").alias("n")).collect())
+    assert all(r["n"] == 1 for r in per_group)          # no group straddles
+    splits = {r["split"] for r in out.collect()}
+    assert "train" in splits and len(splits) >= 2       # 97 groups → spread
+    # layout invariance: identical assignment at any partitioning
+    again = textstats.domain_split(df.repartition(17), "src", "doc_id")
+    assert sorted(map(tuple, out.collect())) == \
+        sorted(map(tuple, again.collect()))
