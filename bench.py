@@ -37,7 +37,7 @@ HEADLINE = [
     "dedup_embedding_cosine", "dedup_clusters", "dedup_keep_minhash",
     "repetition_stats", "corpus_mix_sample", "token_count", "quality_score",
     "domain_quality_gate", "decontaminate", "stratified_sample", "pack_chunks",
-    "ann_cosine_topk", "ann_batch_queries", "link_pagerank",
+    "ann_cosine_topk", "ann_batch_queries", "ann_ivf_batch", "link_pagerank",
     "anchor_text_agg", "inverted_postings", "tfidf_top_terms",
     "crawl_delta", "dedup_cross_corpus", "ccnet_perplexity",
     "bpe_pair_stats", "c4_line_filter", "domain_split",
@@ -696,6 +696,15 @@ def _write_scaling_report(this_run: "dict | None", corpus_pages: int,
             big_line = (f"**At the largest width the round loop reaches "
                         f"{lo}-{hi} raw / {lov}-{hiv} hardware-normalized "
                         f"efficiency across recorded windows.**")
+            if hi > 1.0:
+                big_line += (
+                    " Windows above 1.0 are measurement weather, not "
+                    "physics: the two parallelism legs run ~10 minutes "
+                    "apart even within one pass, and a noise burst that "
+                    "depresses the local[4] leg inflates the ratio — read "
+                    "superlinear rows as 'no job-side serial bottleneck "
+                    "detectable above box noise' (eff ≈ 1), and weight "
+                    "the window spread, not the best row.")
         provenance = ""
         if rs.get("salvaged_from"):
             provenance = (

@@ -257,6 +257,65 @@ def ivf_query(indexed: DataFrame, centroids: np.ndarray, emb_col: str,
     return cosine_topk(cand, emb_col, id_col, query, k)
 
 
+def make_ivf_probe_udf(centroids: np.ndarray, nprobe: int = 2):
+    """Per-query probe lists: the ``nprobe`` nearest centroid ids, one
+    argsort matmul per Arrow batch (stable tie-break on centroid index —
+    the same rule as ``make_ivf_assign_udf``'s argmin)."""
+    C = np.asarray(centroids, dtype=np.float64)
+    c2 = (C * C).sum(1)
+    n = min(nprobe, len(C))
+
+    @pandas_udf(ArrayType(LongType()))
+    def probe(emb: pd.Series) -> pd.Series:
+        M = np.array([np.asarray(e, dtype=np.float64) for e in emb])
+        if M.ndim != 2 or M.shape[0] == 0:
+            return pd.Series([], dtype="object")
+        d2 = c2[None, :] - 2.0 * (M @ C.T)
+        order = np.argsort(d2, axis=1, kind="stable")[:, :n]
+        return pd.Series([[int(x) for x in row] for row in order])
+
+    return probe
+
+
+def ivf_batch_query(indexed: DataFrame, centroids: np.ndarray,
+                    queries_df: DataFrame, emb_col: str, id_col: str,
+                    q_id_col: str, q_emb_col: "str | None" = None,
+                    k: int = 10, nprobe: int = 2) -> DataFrame:
+    """Batched many-queries IVF ANN — the coarse-quantizer twin of
+    ``lsh_batch_query`` (round-3 VERDICT order #4): a whole queries
+    DataFrame against the IVF index in ONE job.
+
+    Shape: each query explodes into its ``nprobe`` nearest lists
+    (vectorized argsort UDF); the distinct probed lists — bounded by
+    min(|queries|·nprobe, n_centroids), i.e. at most the centroid count —
+    are collected and pushed as a STATIC partition filter on the index
+    scan (over a ``write_ivf_index`` layout every non-probed list
+    directory is pruned at planning time); a broadcast join on
+    ``ivf_list`` pairs every query with only its probed lists' vectors,
+    and a per-query window takes the top-k. The index side is never
+    shuffled. Returns (query_id, id, cosine, rank)."""
+    q_emb_col = q_emb_col or emb_col
+    pb = make_ivf_probe_udf(centroids, nprobe)
+    qb = (queries_df
+          .select(F.col(q_id_col).alias("query_id"),
+                  F.col(q_emb_col).alias("__qemb"))
+          .withColumn("ivf_list", F.explode(pb(F.col("__qemb")))))
+    lists = sorted(r["ivf_list"]
+                   for r in qb.select("ivf_list").distinct().collect())
+    cand = (indexed.filter(F.col("ivf_list").isin(lists))
+            .join(F.broadcast(qb), "ivf_list"))
+    dot = F.aggregate(F.zip_with(emb_col, "__qemb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    cos = dot / (_norm(F.col(emb_col)) * _norm(F.col("__qemb")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col))
+    return (cand.withColumn("cosine", F.round(cos, 6))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", id_col, "cosine", "rank"))
+
+
 def make_banded_hyperplane_udf(dim: int, bands: int = 8, planes: int = 4,
                                seed: int = 42):
     """One bucket id per band: band b's bucket packs the sign bits of its

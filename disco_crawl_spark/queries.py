@@ -675,7 +675,8 @@ def ann_cosine_topk(spark, sf):
 
 
 def _ann_ivf_oracle_sql(k: int = 8, iters: int = 5, sample: int = 256,
-                        seed: int = 42, nprobe: int = 3, topk: int = 20) -> str:
+                        seed: int = 42, nprobe: int = 3, topk: int = 20,
+                        batch_nq: "int | None" = None) -> str:
     """Exact SQL mirror of the IVF pipeline — the k-means training is
     data-dependent, so the 5 Lloyd iterations run INSIDE the SQL as
     unrolled CTE pairs (assign by argmin distance with numpy's
@@ -716,7 +717,7 @@ def _ann_ivf_oracle_sql(k: int = 8, iters: int = 5, sample: int = 256,
         steps.append(update_cte(f"a{i}", prev, f"c{i}"))
         prev = f"c{i}"
     lloyd = ",\n".join(steps)
-    return f"""
+    prefix = f"""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
   FROM embeddings),
@@ -726,7 +727,41 @@ samp AS (
 c0 AS (
   SELECT t.cid, s.emb AS cv
   FROM (VALUES {vals}) t(cid, rk) JOIN samp s USING (rk)),
-{lloyd},
+{lloyd},"""
+    if batch_nq is not None:
+        # batched tail: every query probes its nprobe nearest lists (the
+        # UDF's stable argsort = ORDER BY d2, cid) and ranks within its
+        # probed lists' members
+        return prefix + f"""
+q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < {batch_nq}),
+qpr AS (
+  SELECT qid, cid FROM (
+    SELECT q.qid, c.cid,
+      row_number() OVER (PARTITION BY q.qid ORDER BY
+        list_dot_product(c.cv, c.cv) - 2*list_dot_product(q.qemb, c.cv),
+        c.cid) AS rn
+    FROM q CROSS JOIN {prev} c) WHERE rn <= {nprobe}),
+asg AS (
+  SELECT vec_id, emb, cid FROM (
+    SELECT e.vec_id, e.emb, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        list_dot_product(c.cv, c.cv) - 2*list_dot_product(e.emb, c.cv),
+        c.cid) AS rn
+    FROM e CROSS JOIN {prev} c) WHERE rn = 1),
+scored AS (
+  SELECT p.qid AS query_id, a.vec_id,
+         round(list_dot_product(a.emb, q.qemb)
+               / (sqrt(list_dot_product(a.emb, a.emb))
+                  * sqrt(list_dot_product(q.qemb, q.qemb))), 6) AS cosine
+  FROM qpr p JOIN asg a ON a.cid = p.cid JOIN q ON q.qid = p.qid)
+SELECT query_id, vec_id, cosine, "rank" FROM (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS "rank"
+  FROM scored)
+WHERE "rank" <= {topk}
+"""
+    return prefix + f"""
 probes AS (
   SELECT cid FROM {prev}
   ORDER BY list_dot_product(cv, cv) - 2*list_dot_product(cv, {_QVEC_SQL}),
@@ -763,6 +798,23 @@ def ann_ivf(spark, sf):
                                       n_centroids=8, sample_size=256)
     return similarity.ivf_query(indexed, C, "embedding", "vec_id",
                                 QUERY_VEC, k=20, nprobe=3)
+
+
+@q("ann_ivf_batch", _ann_ivf_oracle_sql(topk=5, batch_nq=8))
+def ann_ivf_batch(spark, sf):
+    """Batched many-queries IVF ANN — the coarse-quantizer twin of
+    ``ann_batch_queries``: the first 8 vectors (self-retrieval) against
+    the IVF index in one job; per-query nprobe-list probe via a
+    vectorized argsort UDF, static list pruning + broadcast join,
+    per-query top-k window."""
+    e = _t(spark, sf, "embeddings")
+    e = e.withColumn("embedding",
+                     F.transform("embedding", lambda x: x.cast("double")))
+    indexed, C = similarity.ivf_index(e, "embedding", "vec_id",
+                                      n_centroids=8, sample_size=256)
+    queries_df = e.filter(F.col("vec_id") < 8)
+    return similarity.ivf_batch_query(indexed, C, queries_df, "embedding",
+                                      "vec_id", "vec_id", k=5, nprobe=3)
 
 
 def _embedding_neardup_oracle_sql(bands: int = 8, planes: int = 4,

@@ -912,3 +912,27 @@ def test_domain_split_group_coherent_and_layout_invariant(spark):
     again = textstats.domain_split(df.repartition(17), "src", "doc_id")
     assert sorted(map(tuple, out.collect())) == \
         sorted(map(tuple, again.collect()))
+
+
+def test_ivf_batch_query_matches_per_query(spark):
+    # the batched form must agree with nprobe ivf_query per query
+    import numpy as np
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    indexed, C = similarity.ivf_index(df, "embedding", "vec_id",
+                                      n_centroids=4, sample_size=128)
+    indexed = indexed.localCheckpoint(eager=True)  # pin the UDF assignment
+    queries = df.filter(F.col("vec_id") < 4)
+    batch = similarity.ivf_batch_query(indexed, C, queries, "embedding",
+                                       "vec_id", "vec_id", k=3, nprobe=2)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append((r["vec_id"], r["cosine"]))
+    for qid, qvec in [(r["vec_id"], r["embedding"])
+                      for r in queries.collect()]:
+        single = similarity.ivf_query(indexed, C, "embedding", "vec_id",
+                                      qvec, k=3, nprobe=2).collect()
+        # ivf_query returns (vec_id, cosine) ordered; align on sets+order
+        exp = [(r["vec_id"], r["cosine"]) for r in single]
+        assert got[qid] == exp, (qid, got[qid], exp)
