@@ -431,11 +431,32 @@ def dedup_keep(df: DataFrame, pairs: DataFrame, id_col: str,
                     (F.col("comp") == F.col(id_col)).alias("is_canonical")))
 
 
+def write_minhash_signatures(df: DataFrame, text_col: str, id_col: str,
+                             path: str, num_hashes: int = 32,
+                             shingle_len: int = 3, seed: int = 42,
+                             buckets: int = 32) -> None:
+    """Materialize a corpus's MinHash signature table, bucketed by id —
+    the write-once artifact the incremental pipeline reuses: every later
+    ``cross_corpus_dedup`` batch passes the read-back table as
+    ``ref_sig_df`` and skips re-shingling the (huge) reference corpus
+    entirely. The (family, shingle, seed) parameters are baked into the
+    signatures; pass the same ones when querying."""
+    sigs = minhash_signatures(parallelize_input(df), text_col, id_col,
+                              num_hashes, shingle_len, seed)
+    (sigs.repartition(buckets, id_col)
+     .write.mode("overwrite").parquet(path))
+
+
+def read_minhash_signatures(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
 def cross_corpus_dedup(new_df: DataFrame, ref_df: DataFrame, text_col: str,
                        id_col: str, threshold: float = 0.5,
                        num_hashes: int = 32, bands: int = 8,
                        shingle_len: int = 3, seed: int = 42,
-                       max_bucket: int = 1000) -> DataFrame:
+                       max_bucket: int = 1000,
+                       ref_sig_df: "DataFrame | None" = None) -> DataFrame:
     """Dedup a NEW corpus against an existing REFERENCE corpus (the
     incremental-ingest form of near-dup removal: this month's crawl vs the
     corpus already trained on). Returns, per new-side document that
@@ -445,8 +466,10 @@ def cross_corpus_dedup(new_df: DataFrame, ref_df: DataFrame, text_col: str,
 
     Same seeded MinHash family and banding as ``minhash_dedup_pairs``, so
     a signature table written once for the reference corpus
-    (``write_lsh_index``-style) is reusable across every incremental
-    batch. The bucket join is new-side×ref-side on (band, bucket) — never
+    (``write_minhash_signatures``) is reusable across every incremental
+    batch — pass it as ``ref_sig_df`` and the reference side is never
+    re-shingled (its text column is still read for the verify stage, but
+    only for candidate rows). The bucket join is new-side×ref-side on (band, bucket) — never
     a self-join of the union, so the (huge) reference corpus never pairs
     with itself; both sides carry the ``max_bucket`` bound. The verify
     stage re-reads only the candidate pairs' texts; the winner per new doc
@@ -455,8 +478,9 @@ def cross_corpus_dedup(new_df: DataFrame, ref_df: DataFrame, text_col: str,
     """
     sig_new = minhash_signatures(parallelize_input(new_df), text_col, id_col,
                                  num_hashes, shingle_len, seed)
-    sig_ref = minhash_signatures(parallelize_input(ref_df), text_col, id_col,
-                                 num_hashes, shingle_len, seed)
+    sig_ref = (ref_sig_df if ref_sig_df is not None else
+               minhash_signatures(parallelize_input(ref_df), text_col,
+                                  id_col, num_hashes, shingle_len, seed))
     bn = (_band_buckets(sig_new, id_col, bands, max_bucket)
           .select(F.col(id_col).alias("a"), "band", "bucket"))
     br = (_band_buckets(sig_ref, id_col, bands, max_bucket)

@@ -936,3 +936,20 @@ def test_ivf_batch_query_matches_per_query(spark):
         # ivf_query returns (vec_id, cosine) ordered; align on sets+order
         exp = [(r["vec_id"], r["cosine"]) for r in single]
         assert got[qid] == exp, (qid, got[qid], exp)
+
+
+def test_cross_corpus_dedup_persisted_signature_path(spark, docs, tmp_path):
+    # the incremental-pipeline form: reference signatures written once,
+    # read back, and passed as ref_sig_df — output must be IDENTICAL to
+    # the recompute-everything path
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    p = str(tmp_path / "ref_sigs")
+    dedup.write_minhash_signatures(ref, "text", "doc_id", p, buckets=4)
+    sig = dedup.read_minhash_signatures(spark, p)
+    via_sigs = dedup.cross_corpus_dedup(new, ref, "text", "doc_id",
+                                        ref_sig_df=sig).collect()
+    recompute = dedup.cross_corpus_dedup(new, ref, "text",
+                                         "doc_id").collect()
+    assert sorted(map(tuple, via_sigs)) == sorted(map(tuple, recompute))
+    assert len(via_sigs) > 0   # the exact-dup 1<->0 pair guarantees rows
