@@ -308,6 +308,89 @@ def lm_perplexity(df: DataFrame, text_col: str, id_col: str,
                     bucket.alias("bucket")))
 
 
+def _hash_bucket(col, buckets: int):
+    """Portable feature-hash bucket: first 32 bits of md5, mod ``buckets``.
+
+    md5 is the one keyed hash both engines (Spark, DuckDB) compute
+    byte-identically — the same idiom domain_split / corpus_mix_sample
+    use for their deterministic draws."""
+    return (F.conv(F.substring(F.md5(col), 1, 8), 16, 10)
+            .cast("long") % buckets)
+
+
+def dsir_importance(df: DataFrame, text_col: str, id_col: str,
+                    target_filter, buckets: int = 4096,
+                    keep_frac: float = 0.3,
+                    approx: bool = False) -> DataFrame:
+    """DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by how target-like its hashed n-gram profile is, and keep the
+    top ``keep_frac`` fraction.
+
+    * features: unigrams + adjacent bigrams of the shared whitespace
+      tokenization, feature-hashed into ``buckets`` buckets via the
+      portable md5-32 bucket (DSIR's "hashed n-gram features").
+    * bag-of-buckets LMs: p(b) = (cnt(b) + 1) / (T + buckets) estimated
+      once on the target slice (rows passing ``target_filter``) and once
+      on the full raw corpus (add-one smoothing).
+    * per-doc log importance weight = Σ_occurrences
+      [ln p_target(bucket) − ln p_raw(bucket)], rounded 6dp; docs with no
+      tokens score 0.0 with n_feats 0.
+    * keep = log_weight ≥ the exact (1 − keep_frac) quantile — the
+      deterministic top-fraction variant of DSIR's Gumbel resampling (no
+      RNG state, stable across partitioning).
+
+    Returns (id, n_feats, log_weight, keep).
+
+    Scale shape: the two LMs collapse to ≤ ``buckets``-row tables
+    (map-side-combined aggregations), joined into one broadcastable
+    log-ratio table; the document side explodes features, probes the
+    broadcast, and aggregates (id, Σ, count) with map-side combine — one
+    narrow exchange over (id, bucket) pairs, nothing wider than the
+    corpus' token stream. The quantile gathers one double column; pass
+    ``approx=True`` at 10^9+ docs for a t-digest cut (loses oracle
+    exactness of the boundary)."""
+    toks = _ws_tokens(F.col(text_col))
+    bigr = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(F.slice(toks, 1, F.size(toks) - 1),
+                   F.slice(toks, 2, F.size(toks) - 1),
+                   lambda a, b: F.concat_ws(" ", a, b))
+    ).otherwise(F.array().cast("array<string>"))
+    feats = F.concat(toks, bigr)
+    occ = df.select(
+        F.col(id_col), target_filter.alias("_is_t"),
+        F.explode(
+            F.when(F.size(feats) > 0, feats)
+            .otherwise(F.array(F.lit(None).cast("string")))).alias("f")
+    ).select(id_col, "_is_t",
+             F.when(F.col("f").isNotNull(),
+                    _hash_bucket(F.col("f"), buckets)).alias("b"))
+    raw = (occ.filter(F.col("b").isNotNull())
+           .groupBy("b")
+           .agg(F.count(F.lit(1)).alias("cr"),
+                F.count_if(F.col("_is_t")).alias("ct")))
+    tots = raw.agg(F.sum("cr").alias("_tr"), F.sum("ct").alias("_tt"))
+    ratio = raw.crossJoin(F.broadcast(tots)).select(
+        "b",
+        (F.log((F.col("ct") + F.lit(1.0))
+               / (F.col("_tt") + F.lit(float(buckets))))
+         - F.log((F.col("cr") + F.lit(1.0))
+                 / (F.col("_tr") + F.lit(float(buckets))))).alias("lr"))
+    per_doc = (occ.join(F.broadcast(ratio), "b", "left")
+               .groupBy(id_col)
+               .agg(F.count(F.col("b")).alias("n_feats"),
+                    F.round(F.coalesce(
+                        F.sum(F.when(F.col("b").isNotNull(), F.col("lr"))),
+                        F.lit(0.0)), 6).alias("log_weight")))
+    pct = (F.approx_percentile if approx else F.percentile)
+    cut = per_doc.agg(pct(F.col("log_weight"),
+                          F.lit(1.0 - keep_frac)).alias("_c"))
+    return (per_doc.crossJoin(F.broadcast(cut))
+            .select(id_col, "n_feats", "log_weight",
+                    (F.col("log_weight") >= F.col("_c")).alias("keep")))
+
+
 def bpe_pair_stats(df: DataFrame, text_col: str,
                    top_k: int = 50) -> DataFrame:
     """First-iteration BPE merge statistics: corpus-wide frequency of every

@@ -1921,6 +1921,55 @@ def ccnet_perplexity(spark, sf):
         d, "text", "doc_id", ref_df=d.filter(F.col("doc_id") % 5 == 0))
 
 
+@q("dsir_select", r"""
+WITH toks AS (
+  SELECT doc_id, lang = 'en' AS is_t,
+    list_filter(string_split_regex(lower(coalesce(text,'')), '\s+'),
+                x -> x <> '') AS t
+  FROM documents),
+feats AS (
+  SELECT doc_id, is_t,
+    list_concat(t, CASE WHEN len(t) >= 2
+      THEN list_transform(range(len(t) - 1),
+                          i -> t[(i + 1)::INT] || ' ' || t[(i + 2)::INT])
+      ELSE []::VARCHAR[] END) AS g
+  FROM toks),
+occ AS (
+  SELECT doc_id, is_t,
+    CASE WHEN f IS NOT NULL
+         THEN (('0x' || substr(md5(f), 1, 8))::UBIGINT % 4096)::BIGINT
+    END AS b
+  FROM (SELECT doc_id, is_t,
+          unnest(CASE WHEN len(g) = 0 THEN [NULL]::VARCHAR[] ELSE g END) AS f
+        FROM feats)),
+raw AS (
+  SELECT b, count(*)::BIGINT AS cr,
+         count(*) FILTER (WHERE is_t)::BIGINT AS ct
+  FROM occ WHERE b IS NOT NULL GROUP BY b),
+tots AS (SELECT sum(cr)::BIGINT AS tr, sum(ct)::BIGINT AS tt FROM raw),
+ratio AS (
+  SELECT b, ln((ct + 1.0) / (tt + 4096.0))
+           - ln((cr + 1.0) / (tr + 4096.0)) AS lr
+  FROM raw CROSS JOIN tots),
+per AS (
+  SELECT doc_id, count(b)::BIGINT AS n_feats,
+         round(coalesce(sum(CASE WHEN b IS NOT NULL THEN lr END), 0.0), 6)
+           AS log_weight
+  FROM occ LEFT JOIN ratio USING (b) GROUP BY doc_id),
+cut AS (SELECT quantile_cont(log_weight, 0.7) AS c FROM per)
+SELECT doc_id, n_feats, log_weight, log_weight >= c AS keep
+FROM per CROSS JOIN cut
+""")
+def dsir_select(spark, sf):
+    """DSIR importance resampling: hashed unigram+bigram bag-of-buckets
+    LMs (target = English docs vs the whole raw corpus), per-doc log
+    importance ratio, keep the top 30% most target-like documents."""
+    d = _t(spark, sf, "documents")
+    return textstats.dsir_importance(
+        d, "text", "doc_id", target_filter=(F.col("lang") == "en"),
+        buckets=4096, keep_frac=0.3)
+
+
 # ===========================================================================
 # BPE merge-pair statistics (tokenizer induction, first iteration)
 # ===========================================================================

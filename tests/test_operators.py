@@ -953,3 +953,48 @@ def test_cross_corpus_dedup_persisted_signature_path(spark, docs, tmp_path):
                                          "doc_id").collect()
     assert sorted(map(tuple, via_sigs)) == sorted(map(tuple, recompute))
     assert len(via_sigs) > 0   # the exact-dup 1<->0 pair guarantees rows
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_importance_ranks_target_like_docs(spark):
+    from disco_crawl_spark.operators import textstats
+    # target slice speaks "alpha beta"; off-target docs speak "zeta eta".
+    rows = ([(i, "alpha beta alpha beta gamma", True) for i in range(5)]
+            + [(100 + i, "zeta eta zeta eta theta", False) for i in range(5)]
+            + [(200, "alpha beta gamma alpha", False),   # target-like raw doc
+               (201, "", False)])                        # empty doc
+    df = spark.createDataFrame(rows, "doc_id int, text string, is_t boolean")
+    out = {r["doc_id"]: r for r in textstats.dsir_importance(
+        df, "text", "doc_id", target_filter=F.col("is_t"),
+        buckets=256, keep_frac=0.6).collect()}
+    assert len(out) == len(rows)
+    # the target-like raw doc outscores every off-target doc
+    assert all(out[200]["log_weight"] > out[100 + i]["log_weight"]
+               for i in range(5))
+    # ...and the target docs outscore the target-LIKE doc (they match the
+    # target LM exactly); the empty doc sits at 0 (no evidence)
+    assert out[0]["log_weight"] > out[200]["log_weight"]
+    assert out[201]["log_weight"] == 0.0
+    # top-60% cut keeps targets + the target-like doc + empty, drops the rest
+    assert out[200]["keep"] and not out[100]["keep"]
+    assert sum(1 for r in out.values() if r["keep"]) == 7
+    # empty doc: zero features, zero weight, still present
+    assert out[201]["n_feats"] == 0 and out[201]["log_weight"] == 0.0
+    # n_feats = unigrams + bigrams
+    assert out[200]["n_feats"] == 4 + 3
+
+
+def test_dsir_importance_partition_invariant(spark):
+    from disco_crawl_spark.operators import textstats
+    rows = [(i, f"tok{i % 7} tok{i % 3} common word", i % 4 == 0)
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id int, text string, is_t boolean")
+    a = textstats.dsir_importance(df.coalesce(1), "text", "doc_id",
+                                  F.col("is_t")).collect()
+    b = textstats.dsir_importance(df.repartition(13), "text", "doc_id",
+                                  F.col("is_t")).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
