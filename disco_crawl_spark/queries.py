@@ -400,6 +400,24 @@ def date_trunc_agg(spark, sf):
                  F.round(F.sum("value"), 2).alias("sum_value")))
 
 
+@q("windowed_event_stats", """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+         AS window_start,
+       event_type, count(*)::BIGINT AS n, round(sum(value), 6) AS total_value
+FROM events GROUP BY 1, 2
+""")
+def windowed_event_stats(spark, sf):
+    """Tumbling 1-hour event-time windows keyed by event type — the batch
+    form of streaming.windowed_crawl_metrics (identical aggregation; the
+    stream adds the watermark)."""
+    from . import streaming as streaming_mod
+    e = _t(spark, sf, "events")
+    out = streaming_mod.windowed_crawl_metrics(e)
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+        .alias("window_start"), "event_type", "n", "total_value")
+
+
 @q("filename_guess", """
 SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'report' || doc_id || '.pdf'
                     ELSE NULL END AS filename

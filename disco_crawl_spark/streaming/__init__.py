@@ -91,6 +91,61 @@ def run_postprocess_batch(df: DataFrame) -> DataFrame:
     return fresh.unionByName(done)
 
 
+def windowed_crawl_metrics(df: DataFrame, ts_col: str = "ts",
+                           key_col: str = "event_type",
+                           value_col: str = "value",
+                           window: str = "1 hour",
+                           watermark: str = "30 minutes") -> DataFrame:
+    """Late-data-tolerant per-window crawl metrics: tumbling event-time
+    windows over the fetch/parse event stream (the streaming form of the
+    reference's per-round metrics JSON, worker.py metrics block), keyed by
+    event type.
+
+    Works on BOTH streaming and batch frames — the watermark only attaches
+    on a stream. Streaming semantics (append mode): a (window, key) row is
+    emitted exactly once, when the watermark passes the window end; events
+    later than ``watermark`` behind the max seen event time are dropped —
+    the bounded-state contract that lets the aggregation run forever. The
+    watermark persists in the checkpoint, so late-data decisions survive
+    restarts.
+
+    Scale shape: windows partition by (window, key) — a map-side-combined
+    hash aggregation whose state is O(open windows × keys), independent of
+    stream length; no per-event state.
+    """
+    src = df.withWatermark(ts_col, watermark) if df.isStreaming else df
+    return (src.groupBy(F.window(F.col(ts_col), window).alias("w"),
+                        F.col(key_col))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum(value_col), 6).alias("total_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col(key_col), F.col("n"), F.col("total_value")))
+
+
+def run_windowed_metrics_stream(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    schema: str = ("event_id long, ts timestamp, user_id long, "
+                   "event_type string, value double"),
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+    available_now: bool = True,
+):
+    """Streaming windowed metrics over an events parquet directory; append
+    mode, so each closed window lands in ``output_path`` exactly once."""
+    src = spark.readStream.schema(schema).parquet(input_path)
+    out = windowed_crawl_metrics(src, window=window, watermark=watermark)
+    writer = (out.writeStream.format("parquet")
+              .option("path", output_path)
+              .option("checkpointLocation", checkpoint_path)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_seen_filter_stream(
     spark: SparkSession,
     input_path: str,

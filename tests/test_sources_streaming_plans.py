@@ -471,3 +471,55 @@ def test_session6_op_plan_quality(spark):
     cc = e.queries()["dedup_cross_corpus"](spark, SF)
     sc_ = plans.explain_str(cc, "simple")
     assert "Window" not in sc_, sc_
+
+
+def test_windowed_metrics_stream_watermark_and_batch_parity(spark, tmp_path):
+    # tumbling 1h windows, 30min watermark, availableNow runs sharing one
+    # checkpoint: append-once emission, late-row drop, batch parity
+    import datetime as dt
+    inp, outp, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    T = dt.datetime(2024, 1, 1)
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+
+    def append(rows):
+        spark.createDataFrame(
+            [(i, T + dt.timedelta(minutes=m), 0, et, v)
+             for i, (m, et, v) in enumerate(rows)], schema
+        ).coalesce(1).write.mode("append").parquet(inp)
+
+    def run():
+        q = streaming.run_windowed_metrics_stream(spark, inp, outp, ckpt)
+        q.awaitTermination()
+
+    good = [(5, "fetch", 1.0), (10, "parse", 2.0),   # hour 0
+            (65, "fetch", 3.0),                      # hour 1
+            (125, "fetch", 4.0),                     # hour 2
+            (185, "parse", 5.0)]                     # hour 3
+    append(good[:4])
+    run()  # watermark advances to 125-30=95min, persisted in ckpt
+    # run 2: a LATE row for hour 0 (15min < watermark 95min) must be
+    # dropped; a fresh hour-3 row advances the watermark further
+    append([(15, "fetch", 100.0), good[4]])
+    run()
+    # two sentinel runs flush hours 0-3 (each run emits windows ended
+    # before the PREVIOUS run's persisted watermark)
+    append([(605, "sentinel", 0.0)])
+    run()
+    append([(1300, "sentinel", 0.0)])
+    run()
+
+    got = [((r["window_start"]), r["event_type"], r["n"], r["total_value"])
+           for r in spark.read.parquet(outp).collect()
+           if r["event_type"] != "sentinel"]
+    # append-once: no (window, key) emitted twice
+    assert len({(w, k) for w, k, *_ in got}) == len(got)
+    # the late row's value appears nowhere
+    assert all(abs(tv - 100.0) > 1e-9 and n == 1 for _, _, n, tv in got)
+    # parity: emitted rows == batch aggregation of the on-time rows
+    batch_df = spark.createDataFrame(
+        [(i, T + dt.timedelta(minutes=m), 0, et, v)
+         for i, (m, et, v) in enumerate(good)], schema)
+    exp = [(r["window_start"], r["event_type"], r["n"], r["total_value"])
+           for r in streaming.windowed_crawl_metrics(batch_df).collect()]
+    assert sorted(got) == sorted(exp)
