@@ -37,11 +37,12 @@ HEADLINE = [
     "dedup_embedding_cosine", "dedup_clusters", "dedup_keep_minhash",
     "repetition_stats", "corpus_mix_sample", "token_count", "quality_score",
     "domain_quality_gate", "decontaminate", "stratified_sample", "pack_chunks",
-    "ann_cosine_topk", "ann_batch_queries", "ann_ivf_batch", "link_pagerank",
+    "ann_cosine_topk", "ann_batch_queries", "ann_ivf_batch", "semantic_dedup",
+    "link_pagerank",
     "anchor_text_agg", "inverted_postings", "tfidf_top_terms",
     "crawl_delta", "dedup_cross_corpus", "ccnet_perplexity",
-    "bpe_pair_stats", "c4_line_filter", "domain_split",
-    "steward_hash_order", "json_extract",
+    "bpe_pair_stats", "c4_line_filter", "domain_split", "dsir_select",
+    "windowed_event_stats", "steward_hash_order", "json_extract",
 ]
 
 # bench corpus: ~130 crawlable hosts, ALL seeded so parallelism is maximal

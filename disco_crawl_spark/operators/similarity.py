@@ -409,3 +409,47 @@ def pairwise_cosine_topk(df: DataFrame, emb_col: str, id_col: str,
     w = Window.partitionBy("a").orderBy(F.col("cosine").desc(), F.col("b"))
     return (pairs.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= k).select("a", "b", "cosine"))
+
+
+def semantic_dedup(df: DataFrame, emb_col: str, id_col: str,
+                   n_centroids: int = 16, tau: float = 0.95,
+                   iters: int = 5, sample_size: int = 4096,
+                   seed: int = 42) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): cluster embeddings with the
+    IVF coarse quantizer, then inside each cluster drop every vector that
+    has a higher-cosine-than-``tau`` neighbor with a smaller id — the
+    deterministic representative-keeping variant of the paper's per-ε-ball
+    pruning (cheap because candidate pairs are confined to clusters, which
+    is the paper's whole point).
+
+    Returns (id, ivf_list, keep) for EVERY input row.
+
+    Scale shape: the quadratic term is bounded per cluster — cost is
+    Σ|cluster|², so ``n_centroids`` scales with corpus size (the paper uses
+    ~10⁵ clusters at ~10⁹ vectors, keeping clusters ~10⁴); the in-cluster
+    self-join hash-partitions by ivf_list, so each cluster's pairs stay on
+    one reducer and nothing goes all-pairs across clusters. The assignment UDF's
+    output is checkpointed once so the matmul runs once, not per join
+    branch (the simhash lesson, dedup.py); a skewed megacluster is the
+    signal to raise n_centroids, not to salt — splitting the cluster is
+    the semantically correct fix."""
+    indexed, _C = ivf_index(df, emb_col, id_col, n_centroids, iters,
+                            sample_size, seed)
+    base = (indexed.select(F.col(id_col), F.col(emb_col), F.col("ivf_list"))
+            .localCheckpoint(eager=True))
+    l = base.select(F.col(id_col).alias("_ida"), F.col(emb_col).alias("_ea"),
+                    "ivf_list")
+    r = base.select(F.col(id_col).alias("_idb"), F.col(emb_col).alias("_eb"),
+                    "ivf_list")
+    dot = F.aggregate(F.zip_with("_ea", "_eb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    cos = F.round(dot / (_norm(F.col("_ea")) * _norm(F.col("_eb"))), 6)
+    dropped = (l.join(r, "ivf_list")
+               .filter(F.col("_ida") < F.col("_idb"))
+               .filter(cos >= tau)
+               .select(F.col("_idb").alias(id_col)).distinct())
+    return (base.select(id_col, "ivf_list")
+            .join(dropped.withColumn("_dup", F.lit(True)), id_col, "left")
+            .select(id_col, "ivf_list",
+                    F.col("_dup").isNull().alias("keep")))

@@ -694,7 +694,8 @@ def ann_cosine_topk(spark, sf):
 
 def _ann_ivf_oracle_sql(k: int = 8, iters: int = 5, sample: int = 256,
                         seed: int = 42, nprobe: int = 3, topk: int = 20,
-                        batch_nq: "int | None" = None) -> str:
+                        batch_nq: "int | None" = None,
+                        semdedup_tau: "float | None" = None) -> str:
     """Exact SQL mirror of the IVF pipeline — the k-means training is
     data-dependent, so the 5 Lloyd iterations run INSIDE the SQL as
     unrolled CTE pairs (assign by argmin distance with numpy's
@@ -746,6 +747,28 @@ c0 AS (
   SELECT t.cid, s.emb AS cv
   FROM (VALUES {vals}) t(cid, rk) JOIN samp s USING (rk)),
 {lloyd},"""
+    if semdedup_tau is not None:
+        # SemDeDup tail: full assignment, in-cluster pairwise cosine, drop
+        # any vector with a >= tau neighbor of smaller id (similarity.
+        # semantic_dedup's keep rule, verbatim)
+        return prefix + f"""
+asg AS (
+  SELECT vec_id, emb, cid FROM (
+    SELECT e.vec_id, e.emb, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        list_dot_product(c.cv, c.cv) - 2*list_dot_product(e.emb, c.cv),
+        c.cid) AS rn
+    FROM e CROSS JOIN {prev} c) WHERE rn = 1),
+pairs AS (
+  SELECT r.vec_id AS b
+  FROM asg l JOIN asg r ON l.cid = r.cid AND l.vec_id < r.vec_id
+  WHERE round(list_dot_product(l.emb, r.emb)
+        / (sqrt(list_dot_product(l.emb, l.emb))
+           * sqrt(list_dot_product(r.emb, r.emb))), 6) >= {semdedup_tau})
+SELECT vec_id, cid AS ivf_list,
+       vec_id NOT IN (SELECT b FROM pairs) AS keep
+FROM asg
+"""
     if batch_nq is not None:
         # batched tail: every query probes its nprobe nearest lists (the
         # UDF's stable argsort = ORDER BY d2, cid) and ranks within its
@@ -833,6 +856,20 @@ def ann_ivf_batch(spark, sf):
     queries_df = e.filter(F.col("vec_id") < 8)
     return similarity.ivf_batch_query(indexed, C, queries_df, "embedding",
                                       "vec_id", "vec_id", k=5, nprobe=3)
+
+
+@q("semantic_dedup", _ann_ivf_oracle_sql(semdedup_tau=0.44))
+def semantic_dedup_q(spark, sf):
+    """SemDeDup semantic deduplication: IVF k-means clusters the embedding
+    space, then every vector with an in-cluster neighbor of cosine >= 0.44
+    and smaller id is dropped (tau tuned to the synthetic embeddings'
+    similarity range so both keep outcomes occur)."""
+    e = _t(spark, sf, "embeddings")
+    e = e.withColumn("embedding",
+                     F.transform("embedding", lambda x: x.cast("double")))
+    return similarity.semantic_dedup(e, "embedding", "vec_id",
+                                     n_centroids=8, tau=0.44,
+                                     sample_size=256)
 
 
 def _embedding_neardup_oracle_sql(bands: int = 8, planes: int = 4,

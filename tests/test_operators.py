@@ -998,3 +998,31 @@ def test_dsir_importance_partition_invariant(spark):
     b = textstats.dsir_importance(df.repartition(13), "text", "doc_id",
                                   F.col("is_t")).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_semantic_dedup_planted_duplicate(spark):
+    import numpy as np
+    rng = np.random.RandomState(7)
+    base = rng.randn(30, 8)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(30)]
+    # plant: vec 40 is vec 3 + tiny noise (same cluster, cosine ~1);
+    # vec 41 is an exact copy of vec 40
+    near = base[3] + 0.001 * rng.randn(8)
+    rows += [(40, [float(x) for x in near]), (41, [float(x) for x in near])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in similarity.semantic_dedup(
+        df, "embedding", "vec_id", n_centroids=4, tau=0.95,
+        sample_size=32).collect()}
+    assert len(out) == 32
+    # the smallest id of the duplicate group survives, the rest drop
+    assert out[3]["keep"] and not out[40]["keep"] and not out[41]["keep"]
+    # dup group landed in one cluster (precondition of the keep rule)
+    assert out[3]["ivf_list"] == out[40]["ivf_list"] == out[41]["ivf_list"]
+    # everything else is kept at this tau
+    assert all(r["keep"] for vid, r in out.items() if vid not in (40, 41))
+    # partition invariance
+    out13 = {r["vec_id"]: (r["ivf_list"], r["keep"])
+             for r in similarity.semantic_dedup(
+                 df.repartition(13), "embedding", "vec_id", n_centroids=4,
+                 tau=0.95, sample_size=32).collect()}
+    assert out13 == {v: (r["ivf_list"], r["keep"]) for v, r in out.items()}
