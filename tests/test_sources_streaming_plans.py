@@ -523,3 +523,32 @@ def test_windowed_metrics_stream_watermark_and_batch_parity(spark, tmp_path):
     exp = [(r["window_start"], r["event_type"], r["n"], r["total_value"])
            for r in streaming.windowed_crawl_metrics(batch_df).collect()]
     assert sorted(got) == sorted(exp)
+
+
+def test_round4_late_op_plan_quality(spark):
+    """Plan pins for the late-round-4 operators (DSIR, windowed metrics,
+    SemDeDup): the shuffle/broadcast shapes their docstrings claim."""
+    import __spark_entry__ as e
+    SF = "/root/testdata/sf0.001"
+
+    # dsir_select: the bucket-ratio table rides in as a BROADCAST; the
+    # doc-side rollup is map-side combined (partial agg present)
+    d = e.queries()["dsir_select"](spark, SF)
+    s = plans.explain_str(d, "simple")
+    assert plans.uses_broadcast_join(d), s
+    assert "partial" in s.lower(), s
+
+    # windowed_event_stats: ONE exchange (the window/key agg), map-side
+    # combined, no Window operator (tumbling windows are a groupBy)
+    w = e.queries()["windowed_event_stats"](spark, SF)
+    sw = plans.explain_str(w, "simple")
+    assert plans.shuffle_count(w) == 1, sw
+    assert "partial" in sw.lower(), sw
+    assert "Window" not in sw
+
+    # semantic_dedup: the in-cluster self-join hash-partitions by
+    # ivf_list — no broadcast of the full embedding table into a
+    # nested-loop; no cartesian product anywhere
+    sd = e.queries()["semantic_dedup"](spark, SF)
+    ss = plans.explain_str(sd, "simple")
+    assert "CartesianProduct" not in ss, ss
