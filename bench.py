@@ -39,7 +39,7 @@ HEADLINE = [
     "domain_quality_gate", "decontaminate", "stratified_sample", "pack_chunks",
     "ann_cosine_topk", "ann_batch_queries", "ann_ivf_batch", "semantic_dedup",
     "link_pagerank",
-    "anchor_text_agg", "inverted_postings", "tfidf_top_terms",
+    "anchor_text_agg", "inverted_postings", "tfidf_top_terms", "bm25_topk",
     "crawl_delta", "dedup_cross_corpus", "ccnet_perplexity",
     "bpe_pair_stats", "c4_line_filter", "domain_split", "dsir_select",
     "windowed_event_stats", "steward_hash_order", "json_extract",

@@ -798,3 +798,56 @@ def tfidf_top_terms(df: DataFrame, text_col: str, id_col: str,
                     F.explode("top").alias("t"))
             .select(id_col, F.col("t.term").alias("term"),
                     (-F.col("t.neg")).alias("tfidf")))
+
+
+def bm25_topk(df: DataFrame, text_col: str, id_col: str, query: str,
+              k: int = 10, k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """BM25 ranked retrieval: the query a user of the reference runs
+    against its Elasticsearch index (es_mapping.py text fields; ES's
+    default similarity IS BM25), re-expressed as a first-class Spark op
+    so retrieval works straight off the corpus table.
+
+    score(d) = Σ_{t∈q} ln(1 + (N - df + 0.5)/(df + 0.5))
+                 · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+
+    Returns (doc id, score) — top ``k`` by (score desc, id asc), score
+    rounded to 6dp BEFORE ranking so ties are stable across engines.
+
+    Scale shape (the 100 TB lever is selectivity): the exploded token
+    stream is filtered to the query's terms with a literal IN *before*
+    the (doc, term) shuffle, so the tf aggregation moves only postings
+    of the handful of query terms — at web scale that is MB, not TB.
+    Per-doc length rides along with each exploded row (``size(toks)``
+    computed in the same scan) so no join back to the full corpus is
+    ever needed; N and avgdl are a broadcast 1-row aggregate; the final
+    top-k is a TakeOrdered (no global sort). Two corpus scans total
+    (postings + the avgdl aggregate), both column-pruned to (id, text):
+    the filtered postings are localCheckpointed (they are MB-sized by
+    construction) so the per-term document frequency derives from the
+    materialized postings instead of a third corpus scan — the simhash
+    lesson: Catalyst re-executes a shared subtree once per branch.
+    """
+    toks = F.filter(F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                            r"\s+"), lambda x: x != "")
+    qterms = sorted({t for t in query.lower().split() if t})
+    stats = df.agg(F.count(F.lit(1)).cast("double").alias("n_docs"),
+                   F.avg(F.size(toks)).alias("avgdl"))
+    tf = (df.select(F.col(id_col).alias("__id"),
+                    F.size(toks).alias("dl"),
+                    F.explode(toks).alias("term"))
+          .filter(F.col("term").isin(qterms))
+          .groupBy("__id", "term")
+          .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+          .localCheckpoint())
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("doc_freq") + 0.5)
+                / (F.col("doc_freq") + 0.5))
+    part = (idf * F.col("tf") * (k1 + 1.0)
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl")
+                                   / F.col("avgdl"))))
+    return (tf.join(F.broadcast(dfreq), "term")
+            .crossJoin(F.broadcast(stats))
+            .groupBy("__id").agg(F.round(F.sum(part), 6).alias("score"))
+            .select(F.col("__id").alias(id_col), "score")
+            .orderBy(F.col("score").desc(), F.col(id_col).asc())
+            .limit(k))

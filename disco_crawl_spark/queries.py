@@ -1729,6 +1729,42 @@ def tfidf_top_terms_q(spark, sf):
     return textstats.tfidf_top_terms(d, "text", "doc_id", k=3)
 
 
+_BM25_QUERY = "spark window query"
+
+
+@q("bm25_topk", r"""
+WITH qt AS (SELECT unnest(['query', 'spark', 'window']) AS term),
+toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(coalesce(text,'')), '\s+'),
+                x -> x <> '') AS t
+  FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(len(t))::DOUBLE AS avgdl
+          FROM toks),
+tf AS (
+  SELECT doc_id, u.term, count(*) AS tf, max(len(t)) AS dl
+  FROM toks, unnest(t) AS u(term)
+  WHERE u.term IN (SELECT term FROM qt)
+  GROUP BY doc_id, u.term),
+dfreq AS (SELECT term, count(*)::DOUBLE AS doc_freq FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+    round(sum(ln(1 + (s.n_docs - d.doc_freq + 0.5) / (d.doc_freq + 0.5))
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl))),
+          6) AS score
+  FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
+  GROUP BY tf.doc_id)
+SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
+""")
+def bm25_topk_q(spark, sf):
+    # BM25 ranked retrieval over the corpus (the ES default-similarity
+    # query, Spark-native): postings filtered to the query's terms BEFORE
+    # the (doc, term) shuffle, dl carried in the scan, top-k TakeOrdered
+    d = _t(spark, sf, "documents")
+    return textstats.bm25_topk(d, "text", "doc_id", _BM25_QUERY, k=10)
+
+
 _SUBSTR_K = 8
 
 

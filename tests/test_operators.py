@@ -727,6 +727,30 @@ def test_tfidf_top_terms_against_manual(spark):
     assert got[3] == [("bird", s(2, 1)), ("cat", s(1, 2))]
 
 
+def test_bm25_topk_against_manual(spark):
+    import math
+    rows = [(1, "spark spark table"), (2, "spark window"),
+            (3, "table row value window window"), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r["doc_id"], r["score"])
+           for r in textstats.bm25_topk(df, "text", "doc_id",
+                                        "spark window", k=3).collect()]
+    # N counts ALL docs (the None doc too); avgdl over token counts with
+    # the None doc contributing 0 — mirrors the oracle's list_filter('')
+    n, avgdl = 4.0, (3 + 2 + 5 + 0) / 4.0
+
+    def w(tf, dfq, dl):
+        idf = math.log(1 + (n - dfq + 0.5) / (dfq + 0.5))
+        return idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+
+    exp = {1: w(2, 2, 3), 2: w(1, 2, 2) + w(1, 2, 2), 3: w(2, 2, 5)}
+    ranked = sorted(((round(v, 6), i) for i, v in exp.items()),
+                    key=lambda t: (-t[0], t[1]))
+    assert got == [(i, s) for s, i in ranked]
+    # the None-text doc never matches a term, so it never scores
+    assert {i for i, _ in got} == {1, 2, 3}
+
+
 # ---------------------------------------------------------------------------
 # round-4 session-6 operators: snapshot diff, cross-corpus dedup,
 # LM-perplexity bucketing, BPE pair stats

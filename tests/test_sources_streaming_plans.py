@@ -552,3 +552,14 @@ def test_round4_late_op_plan_quality(spark):
     sd = e.queries()["semantic_dedup"](spark, SF)
     ss = plans.explain_str(sd, "simple")
     assert "CartesianProduct" not in ss, ss
+
+    # bm25_topk: the checkpointed query-term postings keep the final
+    # plan at ONE corpus scan (column-pruned to text, for avgdl); df
+    # and stats ride in as broadcasts; the global top-k is a
+    # TakeOrdered, never a full sort exchange
+    bm = e.queries()["bm25_topk"](spark, SF)
+    sb = plans.explain_str(bm, "simple")
+    assert "TakeOrderedAndProject" in sb, sb
+    assert plans.uses_broadcast_join(bm), sb
+    assert sb.count("Scan parquet") == 1, sb
+    assert "Scan ExistingRDD" in sb, sb
