@@ -851,3 +851,81 @@ def bm25_topk(df: DataFrame, text_col: str, id_col: str, query: str,
             .select(F.col("__id").alias(id_col), "score")
             .orderBy(F.col("score").desc(), F.col(id_col).asc())
             .limit(k))
+
+
+def quality_lr_score(df: DataFrame, text_col: str, id_col: str,
+                     label_col: str, n_buckets: int = 64, steps: int = 5,
+                     lr: float = 1.0, n_train: int = 128,
+                     round_w: int = 9) -> DataFrame:
+    """Model-based quality filtering (the CCNet/RefinedWeb/FineWeb
+    pipeline stage the reference approximates with hand rules): a
+    logistic-regression classifier over md5-hashed unigram frequencies,
+    trained by full-batch gradient descent on a bounded deterministic
+    sample, then scored over the whole corpus.
+
+    Returns (id, lr_score, pred): σ(bias + w·x) rounded to 6dp, and
+    pred = (score ≥ 0.5) as a long — the keep/drop gate.
+
+    Determinism across engines: the training sample is the first
+    ``n_train`` docs by id (the IVF-kmeans bounded-ordered-sample
+    pattern); weights and bias are rounded to ``round_w`` dp after EVERY
+    gradient step, so the driver's numpy GD and the oracle's unrolled
+    CTE GD see bit-identical parameters at each step regardless of
+    summation order — drift cannot compound across iterations.
+
+    Scale shape: training is one bounded collect (``n_train`` token
+    arrays — O(n_train·doclen) driver memory, same bound class as the
+    IVF k-means sample) and O(steps·n_train·n_buckets) numpy work;
+    scoring is a PURE MAP pass — the learned weights ride as a literal
+    array and the margin folds over each row's own tokens
+    (``aggregate``), so the full-corpus pass has ZERO shuffles and one
+    column-pruned scan (plan-pinned). At 100 TB the classifier trains
+    in seconds and scoring is scan-bound, exactly like the production
+    fasttext filters this models."""
+    import numpy as np
+
+    toks = F.filter(F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                            r"\s+"), lambda x: x != "")
+    base = df.select(F.col(id_col).alias("__id"),
+                     F.col(label_col).cast("int").alias("__y"),
+                     toks.alias("__t"))
+
+    def _bucket_py(tok: str) -> int:
+        import hashlib
+        return int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:8],
+                   16) % n_buckets
+
+    samp = base.orderBy("__id").limit(n_train).collect()
+    X = np.zeros((len(samp), n_buckets))
+    y = np.array([float(r["__y"]) for r in samp])
+    for i, r in enumerate(samp):
+        ts = r["__t"] or []
+        for t in ts:
+            X[i, _bucket_py(t)] += 1.0
+        if ts:
+            X[i] /= float(len(ts))
+    w = np.zeros(n_buckets)
+    bias, n = 0.0, float(len(samp))
+    for _ in range(steps):
+        p = 1.0 / (1.0 + np.exp(-(X @ w + bias)))
+        err = p - y
+        w = np.round(w - lr * (X.T @ err) / n, round_w)
+        bias = round(bias - lr * float(err.mean()), round_w)
+
+    w_arr = F.array(*[F.lit(float(v)) for v in w])
+
+    def _bucket(c):
+        return (F.conv(F.substring(F.md5(c), 1, 8), 16, 10)
+                .cast("long") % n_buckets)
+
+    dl = F.size("__t")
+    contrib = F.aggregate(
+        "__t", F.lit(0.0),
+        lambda acc, x: acc + F.element_at(w_arr,
+                                          (_bucket(x) + 1).cast("int")))
+    margin = (F.lit(bias)
+              + F.when(dl > 0, contrib / dl).otherwise(F.lit(0.0)))
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)), 6)
+    return (base.select(F.col("__id").alias(id_col),
+                        score.alias("lr_score"))
+            .withColumn("pred", (F.col("lr_score") >= 0.5).cast("long")))

@@ -2061,6 +2061,84 @@ def dsir_select(spark, sf):
         buckets=4096, keep_frac=0.3)
 
 
+def _quality_lr_oracle_sql(n_buckets: int = 64, steps: int = 5,
+                           lr: float = 1.0, n_train: int = 128) -> str:
+    """Exact SQL mirror of ``textstats.quality_lr_score`` — the gradient
+    descent is data-dependent, so the ``steps`` full-batch GD iterations
+    run INSIDE the SQL as unrolled CTE triples (per-doc error from the
+    previous weights, per-bucket gradient, weight/bias update). Weights
+    and bias are rounded to 9dp after every step in BOTH engines, so the
+    driver's numpy GD and this CTE chain see bit-identical parameters at
+    each iteration regardless of summation order (the IVF-Lloyd unroll
+    pattern, applied to a continuous optimizer)."""
+    bkt = f"(('0x' || substr(md5(u.w), 1, 8))::UBIGINT % {n_buckets})::BIGINT"
+    step_ctes = []
+    prev_w, prev_b = "w0", "bi0"
+    for i in range(1, steps + 1):
+        step_ctes.append(f"""e{i} AS (
+  SELECT s.doc_id,
+         1.0 / (1.0 + exp(-(b.bias + coalesce(fs.mv, 0.0)))) - s.y AS err
+  FROM samp s CROSS JOIN {prev_b} b
+  LEFT JOIN (SELECT f.doc_id, sum(f.v * w.wt) AS mv
+             FROM feat f JOIN {prev_w} w USING (b)
+             GROUP BY f.doc_id) fs USING (doc_id)),
+w{i} AS (
+  SELECT w.b, round(w.wt - {lr} * coalesce(g.gb, 0.0), 9) AS wt
+  FROM {prev_w} w LEFT JOIN (
+    SELECT f.b, sum(e.err * f.v) / (SELECT count(*) FROM samp) AS gb
+    FROM feat f JOIN e{i} e USING (doc_id) GROUP BY f.b) g USING (b)),
+bi{i} AS (SELECT round(b.bias - {lr} * (SELECT avg(err) FROM e{i}), 9)
+            AS bias
+          FROM {prev_b} b)""")
+        prev_w, prev_b = f"w{i}", f"bi{i}"
+    chain = ",\n".join(step_ctes)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, (lang = 'en')::INT AS y,
+    list_filter(string_split_regex(lower(coalesce(text,'')), '\\s+'),
+                x -> x <> '') AS t
+  FROM documents),
+samp AS (SELECT doc_id, y, t FROM toks ORDER BY doc_id LIMIT {n_train}),
+occ AS (
+  SELECT doc_id, {bkt} AS b, len(t) AS dl
+  FROM samp, unnest(t) AS u(w)),
+feat AS (
+  SELECT doc_id, b, count(*)::DOUBLE / max(dl) AS v
+  FROM occ GROUP BY doc_id, b),
+w0 AS (SELECT unnest(range({n_buckets}))::BIGINT AS b, 0.0 AS wt),
+bi0 AS (SELECT 0.0 AS bias),
+{chain},
+alltok AS (
+  SELECT doc_id, {bkt} AS b, len(t) AS dl
+  FROM toks, unnest(t) AS u(w)),
+msum AS (
+  SELECT a.doc_id, sum(w.wt) / max(a.dl) AS mv
+  FROM alltok a JOIN {prev_w} w USING (b) GROUP BY a.doc_id)
+SELECT doc_id, lr_score, (lr_score >= 0.5)::BIGINT AS pred FROM (
+  SELECT t.doc_id,
+         round(1.0 / (1.0 + exp(-(b.bias + coalesce(m.mv, 0.0)))), 6)
+           AS lr_score
+  FROM toks t CROSS JOIN {prev_b} b LEFT JOIN msum m USING (doc_id))
+"""
+
+
+@q("quality_lr", _quality_lr_oracle_sql())
+def quality_lr(spark, sf):
+    """Model-based quality filtering: a hashed-unigram logistic-regression
+    classifier (label = lang='en') trained by 5 full-batch GD steps on the
+    first-128-docs sample, scored over the whole corpus as a pure map
+    pass — the fasttext-filter stage of CCNet/RefinedWeb/FineWeb.
+
+    On the driver corpus every lang shares ONE vocabulary by construction,
+    so the label carries no lexical signal (AUC ≈ 0.5) — this row verifies
+    exact cross-engine GD parity and the scoring plumbing; that the
+    classifier LEARNS is proven by the separable-vocabulary unit test
+    (test_quality_lr_learns_separable_vocab)."""
+    d = _t(spark, sf, "documents")
+    d = d.withColumn("is_en", (F.col("lang") == "en").cast("int"))
+    return textstats.quality_lr_score(d, "text", "doc_id", "is_en")
+
+
 # ===========================================================================
 # BPE merge-pair statistics (tokenizer induction, first iteration)
 # ===========================================================================

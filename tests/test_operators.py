@@ -751,6 +751,29 @@ def test_bm25_topk_against_manual(spark):
     assert {i for i, _ in got} == {1, 2, 3}
 
 
+def test_quality_lr_learns_separable_vocab(spark):
+    """The LR quality classifier must actually LEARN: two disjoint
+    vocabularies, train on the first 40 docs, and every doc — including
+    the 40 held-out ones — must land on the right side of 0.5."""
+    import random
+    rng = random.Random(7)
+    good = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    bad = ["zork", "quux", "blarg", "wibble", "fnord"]
+    rows = [(i, " ".join(rng.choice(good if i % 2 == 0 else bad)
+                         for _ in range(30)), i % 2 == 0)
+            for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, label boolean")
+    out = textstats.quality_lr_score(df, "text", "doc_id", "label",
+                                     steps=30, lr=5.0, n_train=40)
+    got = {r["doc_id"]: (r["lr_score"], r["pred"]) for r in out.collect()}
+    assert len(got) == 80
+    for i in range(80):
+        score, pred = got[i]
+        want = 1 if i % 2 == 0 else 0
+        assert pred == want, (i, score)
+        assert (score > 0.5) == (want == 1), (i, score)
+
+
 # ---------------------------------------------------------------------------
 # round-4 session-6 operators: snapshot diff, cross-corpus dedup,
 # LM-perplexity bucketing, BPE pair stats

@@ -563,3 +563,10 @@ def test_round4_late_op_plan_quality(spark):
     assert plans.uses_broadcast_join(bm), sb
     assert sb.count("Scan parquet") == 1, sb
     assert "Scan ExistingRDD" in sb, sb
+
+    # quality_lr: scoring is a PURE MAP pass — the learned weights ride
+    # as a literal array, zero exchanges, one column-pruned corpus scan
+    ql = e.queries()["quality_lr"](spark, SF)
+    sq = plans.explain_str(ql, "simple")
+    assert plans.shuffle_count(ql) == 0, sq
+    assert sq.count("Scan parquet") == 1, sq
