@@ -37,7 +37,8 @@ HEADLINE = [
     "dedup_embedding_cosine", "dedup_clusters", "dedup_keep_minhash",
     "repetition_stats", "corpus_mix_sample", "token_count", "quality_score",
     "domain_quality_gate", "decontaminate", "stratified_sample", "pack_chunks",
-    "ann_cosine_topk", "ann_batch_queries", "ann_ivf_batch", "semantic_dedup",
+    "ann_cosine_topk", "ann_batch_queries", "ann_ivf_batch", "pq_ann_topk",
+    "semantic_dedup",
     "link_pagerank",
     "anchor_text_agg", "inverted_postings", "tfidf_top_terms", "bm25_topk",
     "crawl_delta", "dedup_cross_corpus", "ccnet_perplexity",

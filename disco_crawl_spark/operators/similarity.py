@@ -453,3 +453,127 @@ def semantic_dedup(df: DataFrame, emb_col: str, id_col: str,
             .join(dropped.withColumn("_dup", F.lit(True)), id_col, "left")
             .select(id_col, "ivf_list",
                     F.col("_dup").isNull().alias("keep")))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ's compression half): the memory-budget ANN
+# path — 64-d float vectors become m single-byte codes, so a 100 TB
+# embedding table ADC-scans from a few TB of codes
+# ---------------------------------------------------------------------------
+
+
+def train_pq_codebooks(df: DataFrame, emb_col: str, id_col: str,
+                       m: int = 4, ksub: int = 16, iters: int = 5,
+                       sample_size: int = 256,
+                       seed: int = 42) -> np.ndarray:
+    """Per-subspace k-means codebooks (Jégou et al. 2011), trained
+    driver-side on the same bounded lowest-ids sample as
+    ``train_ivf_centroids`` — O(sample·dim) driver memory, independent of
+    corpus size. Subspace ``s`` uses seed ``seed + s`` so the codebooks
+    are independent draws but fully deterministic. Returns
+    (m, ksub, dim//m)."""
+    rows = (df.select(id_col, emb_col).orderBy(id_col)
+            .limit(sample_size).collect())
+    X = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = np.zeros((m, ksub, dsub))
+    for s in range(m):
+        Xs = X[:, s * dsub:(s + 1) * dsub]
+        k = min(ksub, len(Xs))
+        rng = np.random.RandomState(seed + s)
+        C = Xs[rng.choice(len(Xs), size=k, replace=False)]
+        for _ in range(iters):
+            d2 = (C * C).sum(1)[None, :] - 2.0 * (Xs @ C.T)
+            a = d2.argmin(axis=1)
+            for j in range(k):
+                msk = a == j
+                if msk.any():
+                    C[j] = Xs[msk].mean(axis=0)
+        books[s, :k] = C
+    return books
+
+
+def make_pq_encode_udf(codebooks: np.ndarray):
+    """m argmin matmuls per Arrow batch → array of m sub-codes/vector."""
+    B = np.asarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = B.shape
+
+    @pandas_udf(ArrayType(LongType()))
+    def encode(emb: pd.Series) -> pd.Series:
+        M = np.array([np.asarray(e, dtype=np.float64) for e in emb])
+        if M.ndim != 2 or M.shape[0] == 0:
+            return pd.Series([], dtype="object")
+        out = np.zeros((len(M), m), dtype=np.int64)
+        for s in range(m):
+            Xs = M[:, s * dsub:(s + 1) * dsub]
+            d2 = (B[s] * B[s]).sum(1)[None, :] - 2.0 * (Xs @ B[s].T)
+            out[:, s] = d2.argmin(axis=1)
+        return pd.Series([[int(x) for x in row] for row in out])
+
+    return encode
+
+
+def pq_encode(df: DataFrame, emb_col: str, id_col: str,
+              codebooks: np.ndarray) -> DataFrame:
+    """(id, pq_codes): the compressed index table a real deployment
+    persists INSTEAD of the raw vectors — m int codes per vector."""
+    enc = make_pq_encode_udf(codebooks)
+    return df.select(F.col(id_col), enc(F.col(emb_col)).alias("pq_codes"))
+
+
+def pq_adc_topk(encoded: DataFrame, codebooks: np.ndarray, id_col: str,
+                query: list, k: int = 10) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the per-subspace
+    lookup table ||q_s − c||² is computed once on the driver (m·ksub
+    floats) and rides into the plan as literal arrays, so scoring is a
+    PURE MAP over the codes table — zero shuffles, whole-stage codegen,
+    TakeOrdered top-k. The LUT uses the identical c·c − 2·q_s·c + q_s·q_s
+    expansion the SQL oracle evaluates, so 6dp-rounded distances agree
+    across engines. Returns (id, adc_d2) nearest-first."""
+    B = np.asarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = B.shape
+    q = np.asarray(query, dtype=np.float64)
+    terms = []
+    for s in range(m):
+        qs = q[s * dsub:(s + 1) * dsub]
+        lut = (B[s] * B[s]).sum(1) - 2.0 * (B[s] @ qs) + qs @ qs
+        arr = F.array(*[F.lit(float(v)) for v in lut])
+        terms.append(F.element_at(
+            arr, (F.element_at("pq_codes", s + 1) + 1).cast("int")))
+    d2 = F.round(sum(terms[1:], terms[0]), 6)
+    return (encoded.select(F.col(id_col), d2.alias("adc_d2"))
+            .orderBy(F.col("adc_d2").asc(), F.col(id_col).asc())
+            .limit(k))
+
+
+def pq_ann_topk(df: DataFrame, emb_col: str, id_col: str, query: list,
+                k: int = 10, m: int = 16, ksub: int = 32, iters: int = 5,
+                sample_size: int = 256, seed: int = 42,
+                rerank: int = 100) -> DataFrame:
+    """Train → encode → ADC shortlist → exact re-rank: PQ as deployed
+    (Jégou et al. 2011 §IV): the cheap ADC map pass over the compressed
+    codes shortlists ``rerank`` candidates, whose RAW vectors — a bounded
+    point-lookup, ``rerank`` ids pushed as a literal IN filter into the
+    scan — are re-scored exactly. On the synthetic embeddings this lifts
+    recall@20 from ~0.4-0.7 (pure ADC, 16 bytes/vector) to 0.8-0.95.
+    Returns (id, l2_d2) nearest-first by exact squared L2, rounded 6dp
+    before ranking; distances use the e·e − 2·q·e + q·q expansion the
+    SQL oracle evaluates. The candidate collect is O(rerank) — same
+    bound class as ``ivf_batch_query``'s probed-list collect."""
+    books = train_pq_codebooks(df, emb_col, id_col, m, ksub, iters,
+                               sample_size, seed)
+    shortlist = pq_adc_topk(pq_encode(df, emb_col, id_col, books), books,
+                            id_col, query, rerank)
+    cand = [r[id_col] for r in shortlist.collect()]
+    q = np.asarray(query, dtype=np.float64)
+    qq = float(q @ q)
+    e2 = F.aggregate(F.col(emb_col), F.lit(0.0),
+                     lambda acc, x: acc + x * x)
+    d2 = F.round(e2 - 2.0 * _dot(F.col(emb_col), query) + F.lit(qq), 6)
+    return (df.filter(F.col(id_col).isin(cand))
+            .select(F.col(id_col), d2.alias("l2_d2"))
+            .orderBy(F.col("l2_d2").asc(), F.col(id_col).asc())
+            .limit(k))

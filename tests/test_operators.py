@@ -1073,3 +1073,33 @@ def test_semantic_dedup_planted_duplicate(spark):
                  df.repartition(13), "embedding", "vec_id", n_centroids=4,
                  tau=0.95, sample_size=32).collect()}
     assert out13 == {v: (r["ivf_list"], r["keep"]) for v, r in out.items()}
+
+
+def test_pq_ann_recall_and_encoding(spark):
+    """PQ end-to-end on the driver embeddings: encoding is m codes in
+    [0, ksub), and the ADC-shortlist + exact-re-rank top-20 recovers most
+    of the true L2 top-20 (deterministic — fixed seeds, fixed data)."""
+    sf = "/root/testdata/sf0.001"
+    e = (spark.read.parquet(f"{sf}/embeddings.parquet")
+         .withColumn("embedding",
+                     F.transform("embedding", lambda x: x.cast("double"))))
+    books = similarity.train_pq_codebooks(e, "embedding", "vec_id",
+                                          m=16, ksub=32)
+    assert books.shape == (16, 32, 4)
+    codes = similarity.pq_encode(e, "embedding", "vec_id", books).collect()
+    assert all(len(r["pq_codes"]) == 16 for r in codes)
+    assert all(0 <= c < 32 for r in codes for c in r["pq_codes"])
+
+    got = {r["vec_id"] for r in similarity.pq_ann_topk(
+        e, "embedding", "vec_id",
+        [1.0 if i % 3 == 0 else (0.5 if i % 3 == 1 else -0.25)
+         for i in range(64)], k=20, m=16, ksub=32, rerank=100).collect()}
+    import numpy as np
+    rows = sorted(e.collect(), key=lambda r: r["vec_id"])
+    X = np.array([r["embedding"] for r in rows])
+    ids = np.array([r["vec_id"] for r in rows])
+    q = np.array([1.0 if i % 3 == 0 else (0.5 if i % 3 == 1 else -0.25)
+                  for i in range(64)])
+    exact = set(ids[np.argsort(((X - q) ** 2).sum(1),
+                               kind="stable")[:20]].tolist())
+    assert len(exact & got) / 20 >= 0.8, sorted(got)

@@ -570,3 +570,12 @@ def test_round4_late_op_plan_quality(spark):
     sq = plans.explain_str(ql, "simple")
     assert plans.shuffle_count(ql) == 0, sq
     assert sq.count("Scan parquet") == 1, sq
+
+    # pq_ann_topk: the re-rank stage is a bounded point-lookup — the 100
+    # shortlisted ids land in the parquet scan as a pushed In filter,
+    # zero exchanges, TakeOrdered top-k
+    pq = e.queries()["pq_ann_topk"](spark, SF)
+    sp = plans.explain_str(pq, "formatted")
+    assert "TakeOrderedAndProject" in sp, sp
+    assert plans.shuffle_count(pq) == 0, sp
+    assert "In(vec_id" in sp, sp
