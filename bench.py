@@ -42,7 +42,8 @@ HEADLINE = [
     "link_pagerank",
     "anchor_text_agg", "inverted_postings", "tfidf_top_terms", "bm25_topk",
     "crawl_delta", "dedup_cross_corpus", "ccnet_perplexity",
-    "bpe_pair_stats", "c4_line_filter", "domain_split", "dsir_select",
+    "bpe_pair_stats", "bpe_learn_merges", "c4_line_filter", "domain_split",
+    "dsir_select",
     "quality_lr", "windowed_event_stats", "steward_hash_order",
     "json_extract",
 ]

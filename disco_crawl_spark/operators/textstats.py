@@ -929,3 +929,87 @@ def quality_lr_score(df: DataFrame, text_col: str, id_col: str,
     return (base.select(F.col("__id").alias(id_col),
                         score.alias("lr_score"))
             .withColumn("pred", (F.col("lr_score") >= 0.5).cast("long")))
+
+
+def bpe_learn_merges(df: DataFrame, text_col: str,
+                     n_merges: int = 10) -> DataFrame:
+    """Tokenizer induction: learn the first ``n_merges`` BPE merge rules
+    (Sennrich et al. 2016) over the corpus — the iterative continuation
+    of ``bpe_pair_stats`` (which is exactly iteration 1). Returns the
+    merge table (step, sym_l, sym_r, pair_count), the artifact a
+    tokenizer ships.
+
+    Distributed shape: the corpus is reduced ONCE to the (word, count)
+    vocabulary (the only corpus-wide shuffle); every merge step then runs
+    on the vocabulary table — one map-side-combinable pair-count
+    aggregation, a 1-row TakeOrdered collect (count desc, pair asc — the
+    deterministic tie-break), and a row-local literal rewrite of the
+    symbol sequences. Per-step sequences are eagerly localCheckpointed
+    with the superseded round's blocks explicitly released (the
+    connected-components pattern), so plans stay flat and at most two
+    vocabulary tables are held. At 100 TB the vocab is millions of rows,
+    not billions — every iteration is seconds.
+
+    Merge application: the symbol sequence is a single-space-joined
+    string with sentinel spaces, and a merge applies as TWO leftmost
+    non-overlapping literal replaces of ``" l r "`` → ``" lr "`` — the
+    first pass can consume the boundary space of an adjacent site, the
+    second catches those (no third site can survive: pass-1 leftovers
+    are isolated). Both engines' ``replace`` scan leftmost
+    non-overlapping, so Spark and the SQL oracle rewrite identically
+    (for odd same-symbol runs this yields the same deterministic
+    grouping in both, which may differ from strict greedy-left — the
+    cross-engine agreement is the contract)."""
+    spark = df.sparkSession
+    sc = spark.sparkContext
+
+    def _ckpt(d):
+        before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+        out = d.localCheckpoint(eager=True)
+        new = set(sc._jsc.getPersistentRDDs().keySet().toArray()) - before
+        return out, new
+
+    def _release(rdd_ids):
+        jmap = sc._jsc.getPersistentRDDs()
+        for i in rdd_ids:
+            if jmap.containsKey(i):
+                jmap.get(i).unpersist()
+
+    toks = F.filter(F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                            r"\s+"), lambda x: x != "")
+    words = (df.select(F.explode(toks).alias("w"))
+             .groupBy("w").agg(F.count(F.lit(1)).alias("cnt")))
+    seq, held = _ckpt(words.select(
+        F.concat(F.lit(" "), F.concat_ws(" ", F.split("w", "")),
+                 F.lit(" </w> ")).alias("s"),
+        "cnt"))
+    merges = []
+    for step in range(1, n_merges + 1):
+        syms = F.filter(F.split("s", " "), lambda x: x != "")
+        pair_arr = F.when(
+            F.size(syms) >= 2,
+            F.transform(F.sequence(F.lit(0), F.size(syms) - 2),
+                        lambda i: F.struct(
+                            F.element_at(syms, (i + 1).cast("int"))
+                            .alias("l"),
+                            F.element_at(syms, (i + 2).cast("int"))
+                            .alias("r")))
+        ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+        best = (seq.select(F.explode(pair_arr).alias("p"), "cnt")
+                .groupBy("p.l", "p.r").agg(F.sum("cnt").alias("c"))
+                .orderBy(F.col("c").desc(), F.col("l").asc(),
+                         F.col("r").asc())
+                .limit(1).collect())
+        if not best:
+            break
+        l, r, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
+        merges.append((step, l, r, c))
+        pat, rep = F.lit(f" {l} {r} "), F.lit(f" {l}{r} ")
+        new_seq, new_held = _ckpt(seq.select(
+            F.replace(F.replace("s", pat, rep), pat, rep).alias("s"),
+            "cnt"))
+        _release(held)
+        seq, held = new_seq, new_held
+    _release(held)
+    return spark.createDataFrame(
+        merges, "step long, sym_l string, sym_r string, pair_count long")

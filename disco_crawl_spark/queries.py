@@ -2269,6 +2269,62 @@ def bpe_pair_stats_q(spark, sf):
     return textstats.bpe_pair_stats(d, "text", top_k=50)
 
 
+def _bpe_merges_oracle_sql(n_merges: int = 10) -> str:
+    """Exact SQL mirror of ``textstats.bpe_learn_merges``: the merge loop
+    is data-dependent, so every iteration is an unrolled MATERIALIZED CTE
+    triple — pair counts over the current symbol sequences, the 1-row
+    best pair (count desc, pair asc), and the double-replace rewrite.
+    Entirely integer/string arithmetic: no float drift is possible, the
+    merge tables must match exactly."""
+    ctes = []
+    for k in range(1, n_merges + 1):
+        ctes.append(f"""p{k} AS MATERIALIZED (
+  SELECT l, r, sum(cnt)::BIGINT AS c FROM (
+    SELECT syms[(i + 1)::INT] AS l, syms[(i + 2)::INT] AS r, cnt
+    FROM (SELECT list_filter(string_split(s, ' '), x -> x <> '') AS syms,
+                 cnt
+          FROM seq{k - 1}),
+         unnest(range(len(syms) - 1)) AS t(i))
+  GROUP BY l, r),
+b{k} AS MATERIALIZED (
+  SELECT l, r, c FROM p{k} ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+seq{k} AS MATERIALIZED (
+  SELECT replace(replace(q.s, ' ' || b.l || ' ' || b.r || ' ',
+                         ' ' || b.l || b.r || ' '),
+                 ' ' || b.l || ' ' || b.r || ' ',
+                 ' ' || b.l || b.r || ' ') AS s, q.cnt
+  FROM seq{k - 1} q CROSS JOIN b{k} b)""")
+    chain = ",\n".join(ctes)
+    union = "\nUNION ALL\n".join(
+        f"SELECT {k}::BIGINT AS step, l AS sym_l, r AS sym_r,"
+        f" c AS pair_count FROM b{k}" for k in range(1, n_merges + 1))
+    return f"""
+WITH toks AS (
+  SELECT list_filter(string_split_regex(lower(coalesce(text,'')), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents),
+words AS MATERIALIZED (
+  SELECT w, count(*)::BIGINT AS cnt
+  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+seq0 AS MATERIALIZED (
+  SELECT ' ' || array_to_string(
+           list_transform(range(length(w)), i -> w[(i + 1)::INT]), ' ')
+         || ' </w> ' AS s, cnt
+  FROM words),
+{chain}
+SELECT step, sym_l, sym_r, pair_count FROM ({union}) ORDER BY step
+"""
+
+
+@q("bpe_learn_merges", _bpe_merges_oracle_sql())
+def bpe_learn_merges_q(spark, sf):
+    """Iterative BPE tokenizer induction: the first 10 learned merge
+    rules over the corpus vocabulary (bpe_pair_stats is iteration 1 of
+    exactly this loop) — the artifact a trained tokenizer ships."""
+    d = _t(spark, sf, "documents")
+    return textstats.bpe_learn_merges(d, "text", n_merges=10)
+
+
 # ===========================================================================
 # C4 line-level cleaning + leakage-safe domain splits
 # ===========================================================================

@@ -1103,3 +1103,33 @@ def test_pq_ann_recall_and_encoding(spark):
     exact = set(ids[np.argsort(((X - q) ** 2).sum(1),
                                kind="stable")[:20]].tolist())
     assert len(exact & got) / 20 >= 0.8, sorted(got)
+
+
+def test_bpe_learn_merges_matches_python(spark):
+    """The classic Sennrich demo vocabulary, checked against an
+    independent pure-python BPE with the same replace-twice rule."""
+    from collections import Counter
+    words = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    df = spark.createDataFrame([(0, " ".join(words))],
+                               "doc_id long, text string")
+    got = [(r["step"], r["sym_l"], r["sym_r"], r["pair_count"])
+           for r in textstats.bpe_learn_merges(df, "text",
+                                               n_merges=6).collect()]
+    seqs = {" " + " ".join(list(w)) + " </w> ": c
+            for w, c in Counter(words).items()}
+    exp = []
+    for step in range(1, 7):
+        pc = Counter()
+        for s, c in seqs.items():
+            syms = s.split()
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += c
+        (l, r), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        exp.append((step, l, r, c))
+        pat, rep = f" {l} {r} ", f" {l}{r} "
+        seqs = {s.replace(pat, rep).replace(pat, rep): c
+                for s, c in seqs.items()}
+    assert got == exp
+    # the classic result: 'es' -> 'est' -> 'est</w>' lead the merges
+    assert [(m[1], m[2]) for m in got[:3]] == [
+        ("e", "s"), ("es", "t"), ("est", "</w>")]
