@@ -2171,19 +2171,19 @@ def _quality_lr_oracle_sql(n_buckets: int = 64, steps: int = 5,
     step_ctes = []
     prev_w, prev_b = "w0", "bi0"
     for i in range(1, steps + 1):
-        step_ctes.append(f"""e{i} AS (
+        step_ctes.append(f"""e{i} AS MATERIALIZED (
   SELECT s.doc_id,
          1.0 / (1.0 + exp(-(b.bias + coalesce(fs.mv, 0.0)))) - s.y AS err
   FROM samp s CROSS JOIN {prev_b} b
   LEFT JOIN (SELECT f.doc_id, sum(f.v * w.wt) AS mv
              FROM feat f JOIN {prev_w} w USING (b)
              GROUP BY f.doc_id) fs USING (doc_id)),
-w{i} AS (
+w{i} AS MATERIALIZED (
   SELECT w.b, round(w.wt - {lr} * coalesce(g.gb, 0.0), 9) AS wt
   FROM {prev_w} w LEFT JOIN (
     SELECT f.b, sum(e.err * f.v) / (SELECT count(*) FROM samp) AS gb
     FROM feat f JOIN e{i} e USING (doc_id) GROUP BY f.b) g USING (b)),
-bi{i} AS (SELECT round(b.bias - {lr} * (SELECT avg(err) FROM e{i}), 9)
+bi{i} AS MATERIALIZED (SELECT round(b.bias - {lr} * (SELECT avg(err) FROM e{i}), 9)
             AS bias
           FROM {prev_b} b)""")
         prev_w, prev_b = f"w{i}", f"bi{i}"
@@ -2194,20 +2194,20 @@ WITH toks AS (
     list_filter(string_split_regex(lower(coalesce(text,'')), '\\s+'),
                 x -> x <> '') AS t
   FROM documents),
-samp AS (SELECT doc_id, y, t FROM toks ORDER BY doc_id LIMIT {n_train}),
-occ AS (
+samp AS MATERIALIZED (SELECT doc_id, y, t FROM toks ORDER BY doc_id LIMIT {n_train}),
+occ AS MATERIALIZED (
   SELECT doc_id, {bkt} AS b, len(t) AS dl
   FROM samp, unnest(t) AS u(w)),
-feat AS (
+feat AS MATERIALIZED (
   SELECT doc_id, b, count(*)::DOUBLE / max(dl) AS v
   FROM occ GROUP BY doc_id, b),
-w0 AS (SELECT unnest(range({n_buckets}))::BIGINT AS b, 0.0 AS wt),
-bi0 AS (SELECT 0.0 AS bias),
+w0 AS MATERIALIZED (SELECT unnest(range({n_buckets}))::BIGINT AS b, 0.0 AS wt),
+bi0 AS MATERIALIZED (SELECT 0.0 AS bias),
 {chain},
-alltok AS (
+alltok AS MATERIALIZED (
   SELECT doc_id, {bkt} AS b, len(t) AS dl
   FROM toks, unnest(t) AS u(w)),
-msum AS (
+msum AS MATERIALIZED (
   SELECT a.doc_id, sum(w.wt) / max(a.dl) AS mv
   FROM alltok a JOIN {prev_w} w USING (b) GROUP BY a.doc_id)
 SELECT doc_id, lr_score, (lr_score >= 0.5)::BIGINT AS pred FROM (
