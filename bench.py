@@ -41,6 +41,7 @@ HEADLINE = [
     "semantic_dedup",
     "link_pagerank",
     "anchor_text_agg", "inverted_postings", "tfidf_top_terms", "bm25_topk",
+    "bm25_batch",
     "crawl_delta", "dedup_cross_corpus", "ccnet_perplexity",
     "bpe_pair_stats", "bpe_learn_merges", "c4_line_filter", "domain_split",
     "dsir_select",

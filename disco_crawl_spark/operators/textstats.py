@@ -1013,3 +1013,59 @@ def bpe_learn_merges(df: DataFrame, text_col: str,
     _release(held)
     return spark.createDataFrame(
         merges, "step long, sym_l string, sym_r string, pair_count long")
+
+
+def bm25_batch_topk(df: DataFrame, text_col: str, id_col: str,
+                    queries_df: DataFrame, q_id_col: str, q_text_col: str,
+                    k: int = 5, k1: float = 1.2,
+                    b: float = 0.75) -> DataFrame:
+    """Batched many-queries BM25 — the form a search/eval pipeline
+    actually runs: a whole queries DataFrame scored against the corpus
+    in ONE job (the lexical twin of ``ivf_batch_query``).
+
+    Scale shape: the union of every query's terms — bounded by the
+    query workload's vocabulary, collected like ``ivf_batch_query``'s
+    probed-list set — filters the exploded token stream BEFORE the
+    (doc, term) shuffle, so the postings aggregation moves only the
+    workload's terms; the filtered postings are localCheckpointed once
+    and reused for document frequency (no second corpus scan); queries
+    fan out via a BROADCAST join on term; the per-query top-k window
+    partitions the (query, matching-doc) rows only. Repeated terms
+    within one query weigh once (distinct (query, term) — the common
+    BM25 simplification). Returns (query_id, id, score, rank)."""
+    toks = F.filter(F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                            r"\s+"), lambda x: x != "")
+    qtok = F.filter(F.split(F.lower(F.coalesce(F.col(q_text_col),
+                                               F.lit(""))),
+                            r"\s+"), lambda x: x != "")
+    qterms = (queries_df.select(F.col(q_id_col).alias("query_id"),
+                                F.explode(qtok).alias("term"))
+              .distinct())
+    term_list = sorted(r["term"]
+                       for r in qterms.select("term").distinct().collect())
+    stats = df.agg(F.count(F.lit(1)).cast("double").alias("n_docs"),
+                   F.avg(F.size(toks)).alias("avgdl"))
+    tf = (df.select(F.col(id_col).alias("__id"),
+                    F.size(toks).alias("dl"),
+                    F.explode(toks).alias("term"))
+          .filter(F.col("term").isin(term_list))
+          .groupBy("__id", "term")
+          .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+          .localCheckpoint())
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("doc_freq") + 0.5)
+                / (F.col("doc_freq") + 0.5))
+    part = (idf * F.col("tf") * (k1 + 1.0)
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl")
+                                   / F.col("avgdl"))))
+    scored = (tf.join(F.broadcast(dfreq), "term")
+              .join(F.broadcast(qterms), "term")
+              .crossJoin(F.broadcast(stats))
+              .groupBy("query_id", "__id")
+              .agg(F.round(F.sum(part), 6).alias("score")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("__id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", F.col("__id").alias(id_col),
+                    "score", "rank"))

@@ -1861,6 +1861,59 @@ def bm25_topk_q(spark, sf):
     return textstats.bm25_topk(d, "text", "doc_id", _BM25_QUERY, k=10)
 
 
+_BM25_BATCH_QUERIES = [(1, "spark window query"), (2, "fast table scan"),
+                       (3, "merge join batch"), (4, "the slow value")]
+
+
+@q("bm25_batch", r"""
+WITH q(query_id, qtext) AS (VALUES
+  (1, 'spark window query'), (2, 'fast table scan'),
+  (3, 'merge join batch'), (4, 'the slow value')),
+qt AS (
+  SELECT DISTINCT query_id, u.term
+  FROM (SELECT query_id,
+          list_filter(string_split_regex(lower(qtext), '\s+'),
+                      x -> x <> '') AS t
+        FROM q), unnest(t) AS u(term)),
+toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(coalesce(text,'')), '\s+'),
+                x -> x <> '') AS t
+  FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(len(t))::DOUBLE AS avgdl
+          FROM toks),
+tf AS (
+  SELECT doc_id, u.term, count(*) AS tf, max(len(t)) AS dl
+  FROM toks, unnest(t) AS u(term)
+  WHERE u.term IN (SELECT DISTINCT term FROM qt)
+  GROUP BY doc_id, u.term),
+dfreq AS (SELECT term, count(*)::DOUBLE AS doc_freq FROM tf GROUP BY term),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+    round(sum(ln(1 + (s.n_docs - d.doc_freq + 0.5) / (d.doc_freq + 0.5))
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl))),
+          6) AS score
+  FROM tf JOIN dfreq d USING (term) JOIN qt USING (term) CROSS JOIN stats s
+  GROUP BY qt.query_id, tf.doc_id)
+SELECT query_id, doc_id, score, "rank" FROM (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS "rank"
+  FROM scored)
+WHERE "rank" <= 5
+""")
+def bm25_batch_q(spark, sf):
+    """Batched many-queries BM25: four queries against the corpus in one
+    job — workload-term filter before the postings shuffle, broadcast
+    query fan-out, per-query top-5 (the ann_batch_queries lexical twin)."""
+    d = _t(spark, sf, "documents")
+    qdf = spark.createDataFrame(_BM25_BATCH_QUERIES,
+                                "query_id long, qtext string")
+    return textstats.bm25_batch_topk(d, "text", "doc_id", qdf,
+                                     "query_id", "qtext", k=5)
+
+
 _SUBSTR_K = 8
 
 

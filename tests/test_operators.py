@@ -1133,3 +1133,22 @@ def test_bpe_learn_merges_matches_python(spark):
     # the classic result: 'es' -> 'est' -> 'est</w>' lead the merges
     assert [(m[1], m[2]) for m in got[:3]] == [
         ("e", "s"), ("es", "t"), ("est", "</w>")]
+
+
+def test_bm25_batch_consistent_with_single(spark):
+    """Each query's rows in the batched form must equal the single-query
+    operator's top-k on the same corpus."""
+    sf = "/root/testdata/sf0.001"
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    qdf = spark.createDataFrame([(1, "spark window query"),
+                                 (2, "fast table scan")],
+                                "query_id long, qtext string")
+    batch = textstats.bm25_batch_topk(d, "text", "doc_id", qdf,
+                                      "query_id", "qtext", k=5).collect()
+    for qid, qtext in [(1, "spark window query"), (2, "fast table scan")]:
+        got = [(r["doc_id"], r["score"]) for r in sorted(
+            (r for r in batch if r["query_id"] == qid),
+            key=lambda r: r["rank"])]
+        single = [(r["doc_id"], r["score"]) for r in textstats.bm25_topk(
+            d, "text", "doc_id", qtext, k=5).collect()]
+        assert got == single, (qid, got, single)

@@ -579,3 +579,12 @@ def test_round4_late_op_plan_quality(spark):
     assert "TakeOrderedAndProject" in sp, sp
     assert plans.shuffle_count(pq) == 0, sp
     assert "In(vec_id" in sp, sp
+
+    # bm25_batch: postings from the checkpointed RDD (one parquet scan —
+    # the avgdl aggregate), query fan-out and df as broadcasts, no
+    # cartesian on the doc side
+    bb = e.queries()["bm25_batch"](spark, SF)
+    sbb = plans.explain_str(bb, "simple")
+    assert sbb.count("Scan parquet") == 1, sbb
+    assert plans.uses_broadcast_join(bb), sbb
+    assert "Scan ExistingRDD" in sbb, sbb
