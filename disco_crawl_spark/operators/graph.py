@@ -39,7 +39,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["pagerank", "anchor_text_agg"]
+__all__ = ["pagerank", "anchor_text_agg", "hits"]
 
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
@@ -141,3 +141,83 @@ def anchor_text_agg(links: DataFrame, target: str = "target",
                  F.max(F.struct("cnt", "anchor")).alias("_w"))
             .select("target", "n_links", "n_anchors",
                     F.col("_w.anchor").alias("top_anchor")))
+
+
+def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
+         iters: int = 5, round_dp: int = 9) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) — PageRank's companion
+    frontier signal: authorities are pages many hubs point to, hubs are
+    pages that point to many authorities. Returns (node, authority, hub),
+    both L1-normalized, 6dp.
+
+    Semantics (textbook synchronous iteration, so the oracle unrolls it):
+    h0(v) = 1 for every node; each round computes
+    a(v) = Σ_{u→v} h(u) then L1-normalizes, then h(u) = Σ_{u→v} a(v)
+    then L1-normalizes — exactly ``iters`` rounds, no convergence test.
+    Scores are rounded to ``round_dp`` dp after EVERY normalization in
+    both engines (the quality_lr GD lesson): summation-order drift can
+    never compound across iterations, so the DuckDB mirror matches the
+    6dp output exactly.
+
+    Scale shape: the edge table is shuffled ONCE per join side — two
+    persisted layouts (by src for the hub→authority push, by dst for the
+    authority→hub pull), the standard space-for-shuffle trade; only the
+    narrow (node, score) tables move per round. Normalizers are
+    broadcast 1-row aggregates. Per-round localCheckpoint with explicit
+    release of the superseded blocks (the connected-components
+    pattern)."""
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .distinct())
+    nodes = (e.select(F.col("src").alias("n"))
+             .union(e.select(F.col("dst").alias("n")))
+             .distinct())
+    by_src = e.repartition("src").sortWithinPartitions("src").persist()
+    by_dst = e.repartition("dst").sortWithinPartitions("dst").persist()
+    sc = edges.sparkSession.sparkContext
+
+    def _ckpt(df):
+        before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+        out = df.localCheckpoint(eager=True)
+        new = set(sc._jsc.getPersistentRDDs().keySet().toArray()) - before
+        return out, new
+
+    def _release(rdd_ids):
+        jmap = sc._jsc.getPersistentRDDs()
+        for i in rdd_ids:
+            if jmap.containsKey(i):
+                jmap.get(i).unpersist()
+
+    def _l1(df_scores, col):
+        norm = df_scores.agg(F.sum(col).alias("__norm"))
+        return (df_scores.crossJoin(F.broadcast(norm))
+                .select("n", F.round(F.col(col) / F.col("__norm"),
+                                     round_dp).alias(col)))
+
+    h, h_held = _ckpt(nodes.select("n", F.lit(1.0).alias("hub")))
+    a, a_held = _ckpt(nodes.select("n", F.lit(0.0).alias("authority")))
+    for _ in range(iters):
+        pushed = (by_src.join(h.select(F.col("n").alias("src"), "hub"),
+                              "src")
+                  .groupBy("dst").agg(F.sum("hub").alias("authority")))
+        new_a = _l1(nodes.join(pushed, nodes["n"] == pushed["dst"], "left")
+                    .select("n", F.coalesce("authority", F.lit(0.0))
+                            .alias("authority")), "authority")
+        new_a, na_held = _ckpt(new_a)
+        _release(a_held)
+        a, a_held = new_a, na_held
+        pulled = (by_dst.join(a.select(F.col("n").alias("dst"),
+                                       "authority"), "dst")
+                  .groupBy("src").agg(F.sum("authority").alias("hub")))
+        new_h = _l1(nodes.join(pulled, nodes["n"] == pulled["src"], "left")
+                    .select("n", F.coalesce("hub", F.lit(0.0))
+                            .alias("hub")), "hub")
+        new_h, nh_held = _ckpt(new_h)
+        _release(h_held)
+        h, h_held = new_h, nh_held
+    out = (a.join(h, "n")
+           .select(F.col("n").alias("node"),
+                   F.round("authority", 6).alias("authority"),
+                   F.round("hub", 6).alias("hub")))
+    by_src.unpersist()
+    by_dst.unpersist()
+    return out

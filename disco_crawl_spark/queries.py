@@ -2499,6 +2499,58 @@ SELECT n AS node, round(r, 6) AS pagerank FROM r{iters}"""
     return head + "".join(rounds) + tail
 
 
+def _hits_oracle_sql(n_mod: int = 200, iters: int = 5) -> str:
+    """Exact SQL mirror of ``graph.hits``: the hub/authority mutual
+    recursion unrolled as MATERIALIZED CTE quadruples (raw authority,
+    L1-normalized authority, raw hub, L1-normalized hub). Scores round
+    to 9dp after every normalization in BOTH engines (the quality_lr GD
+    lesson), so summation-order drift cannot compound across rounds and
+    the 6dp outputs match exactly."""
+    head = f"""WITH edges AS MATERIALIZED (
+  SELECT DISTINCT user_id % {n_mod} AS src, event_id % {n_mod} AS dst
+  FROM events WHERE user_id % {n_mod} <> event_id % {n_mod}),
+nodes AS MATERIALIZED (
+  SELECT src AS n FROM edges UNION SELECT dst AS n FROM edges),
+h0 AS MATERIALIZED (SELECT n, 1.0::DOUBLE AS hub FROM nodes)"""
+    rounds = []
+    for t in range(1, iters + 1):
+        rounds.append(f""",
+ra{t} AS MATERIALIZED (
+  SELECT nd.n, coalesce(p.s, 0.0::DOUBLE) AS s
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS n, sum(h.hub) AS s
+    FROM edges e JOIN h{t - 1} h ON h.n = e.src GROUP BY e.dst) p
+  USING (n)),
+a{t} AS MATERIALIZED (
+  SELECT n, round(s / (SELECT sum(s) FROM ra{t}), 9) AS authority
+  FROM ra{t}),
+rh{t} AS MATERIALIZED (
+  SELECT nd.n, coalesce(p.s, 0.0::DOUBLE) AS s
+  FROM nodes nd LEFT JOIN (
+    SELECT e.src AS n, sum(a.authority) AS s
+    FROM edges e JOIN a{t} a ON a.n = e.dst GROUP BY e.src) p
+  USING (n)),
+h{t} AS MATERIALIZED (
+  SELECT n, round(s / (SELECT sum(s) FROM rh{t}), 9) AS hub
+  FROM rh{t})""")
+    tail = f"""
+SELECT a.n AS node, round(a.authority, 6) AS authority,
+       round(h.hub, 6) AS hub
+FROM a{iters} a JOIN h{iters} h ON a.n = h.n"""
+    return head + "".join(rounds) + tail
+
+
+@q("link_hits", _hits_oracle_sql())
+def link_hits(spark, sf):
+    """HITS hubs & authorities over the same synthetic link graph as
+    link_pagerank — the second classic frontier-authority signal."""
+    e = _t(spark, sf, "events")
+    edges = (e.select((F.col("user_id") % 200).alias("src"),
+                      (F.col("event_id") % 200).alias("dst"))
+             .filter(F.col("src") != F.col("dst")))
+    return graph.hits(edges, iters=5)
+
+
 @q("link_pagerank", _pagerank_oracle_sql())
 def link_pagerank(spark, sf):
     # frontier authority: 5 synchronous power-iteration rounds over the

@@ -1152,3 +1152,35 @@ def test_bm25_batch_consistent_with_single(spark):
         single = [(r["doc_id"], r["score"]) for r in textstats.bm25_topk(
             d, "text", "doc_id", qtext, k=5).collect()]
         assert got == single, (qid, got, single)
+
+
+def test_hits_matches_numpy_and_releases_checkpoints(spark):
+    from disco_crawl_spark.operators import graph
+    # hub 0 points at everything; 1<->2 cycle; 3 is a pure authority;
+    # 4 points at the hub
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (2, 1), (2, 3), (4, 0)]
+    edf = spark.createDataFrame(edges, "src int, dst int")
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    got = {r["node"]: (r["authority"], r["hub"])
+           for r in graph.hits(edf, iters=5).collect()}
+    after = len(spark.sparkContext._jsc.getPersistentRDDs())
+    # independent numpy recomputation with the same per-step 9dp rounding
+    nodes = sorted({n for e in edges for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for s, d in edges:
+        A[idx[s], idx[d]] = 1.0
+    h = np.ones(len(nodes))
+    for _ in range(5):
+        a = A.T @ h
+        a = np.round(a / a.sum(), 9)
+        h = A @ a
+        h = np.round(h / h.sum(), 9)
+    for n in nodes:
+        assert abs(got[n][0] - round(float(a[idx[n]]), 6)) < 1e-9, n
+        assert abs(got[n][1] - round(float(h[idx[n]]), 6)) < 1e-9, n
+    # the pure authority (3) has zero hub score; the hub (0) dominates hubs
+    assert got[3][1] == 0.0
+    assert got[0][1] == max(v[1] for v in got.values())
+    # superseded per-round checkpoints were released (≤ 2 live: a and h)
+    assert after - before <= 2
