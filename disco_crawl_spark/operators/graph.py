@@ -162,10 +162,13 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
     Scale shape: the edge table is shuffled ONCE per join side — two
     persisted layouts (by src for the hub→authority push, by dst for the
     authority→hub pull), the standard space-for-shuffle trade; only the
-    narrow (node, score) tables move per round. Normalizers are
-    broadcast 1-row aggregates. Per-round localCheckpoint with explicit
-    release of the superseded blocks (the connected-components
-    pattern)."""
+    narrow (node, score) tables move per round. Each half-step
+    checkpoints its RAW sums and normalizes lazily over the materialized
+    blocks, so the broadcast L1 normalizer re-SCANS a narrow table
+    instead of re-running the edge join (the norm branch would otherwise
+    double every round's join work — the simhash lesson applied to a
+    1-row aggregate). Superseded blocks are released explicitly (the
+    connected-components pattern)."""
     e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
          .distinct())
     nodes = (e.select(F.col("src").alias("n"))
@@ -187,33 +190,36 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
             if jmap.containsKey(i):
                 jmap.get(i).unpersist()
 
-    def _l1(df_scores, col):
-        norm = df_scores.agg(F.sum(col).alias("__norm"))
-        return (df_scores.crossJoin(F.broadcast(norm))
+    def _l1_over_ckpt(ckpted, col):
+        # ckpted is a materialized (localCheckpointed) raw-score table:
+        # both branches below — the 1-row norm aggregate and the main
+        # projection — re-scan its blocks, never recompute lineage
+        norm = ckpted.agg(F.sum(col).alias("__norm"))
+        return (ckpted.crossJoin(F.broadcast(norm))
                 .select("n", F.round(F.col(col) / F.col("__norm"),
                                      round_dp).alias(col)))
 
     h, h_held = _ckpt(nodes.select("n", F.lit(1.0).alias("hub")))
-    a, a_held = _ckpt(nodes.select("n", F.lit(0.0).alias("authority")))
+    a = nodes.select("n", F.lit(0.0).alias("authority"))
+    a_held = set()
     for _ in range(iters):
         pushed = (by_src.join(h.select(F.col("n").alias("src"), "hub"),
                               "src")
                   .groupBy("dst").agg(F.sum("hub").alias("authority")))
-        new_a = _l1(nodes.join(pushed, nodes["n"] == pushed["dst"], "left")
-                    .select("n", F.coalesce("authority", F.lit(0.0))
-                            .alias("authority")), "authority")
-        new_a, na_held = _ckpt(new_a)
+        raw_a, na_held = _ckpt(
+            nodes.join(pushed, nodes["n"] == pushed["dst"], "left")
+            .select("n", F.coalesce("authority", F.lit(0.0))
+                    .alias("authority")))
         _release(a_held)
-        a, a_held = new_a, na_held
+        a, a_held = _l1_over_ckpt(raw_a, "authority"), na_held
         pulled = (by_dst.join(a.select(F.col("n").alias("dst"),
                                        "authority"), "dst")
                   .groupBy("src").agg(F.sum("authority").alias("hub")))
-        new_h = _l1(nodes.join(pulled, nodes["n"] == pulled["src"], "left")
-                    .select("n", F.coalesce("hub", F.lit(0.0))
-                            .alias("hub")), "hub")
-        new_h, nh_held = _ckpt(new_h)
+        raw_h, nh_held = _ckpt(
+            nodes.join(pulled, nodes["n"] == pulled["src"], "left")
+            .select("n", F.coalesce("hub", F.lit(0.0)).alias("hub")))
         _release(h_held)
-        h, h_held = new_h, nh_held
+        h, h_held = _l1_over_ckpt(raw_h, "hub"), nh_held
     out = (a.join(h, "n")
            .select(F.col("n").alias("node"),
                    F.round("authority", 6).alias("authority"),
