@@ -77,9 +77,6 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                      .repartition("src")
                      .sortWithinPartitions("src")
                      .persist())
-    n_nodes = nodes.count()  # bounded driver scalar (one long), like the
-    # IVF training-sample bound — NOT a per-row collect
-
     # checkpoint bookkeeping mirrors dedup.connected_components: track the
     # persistent-RDD ids each localCheckpoint registers and release the
     # superseded round's blocks explicitly (DataFrame.unpersist alone does
@@ -97,6 +94,16 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         for i in rdd_ids:
             if jmap.containsKey(i):
                 jmap.get(i).unpersist()
+
+    # nodes and deg are referenced by every round's job (the dangling
+    # anti-join and the outer node join) — materialize both ONCE, or each
+    # round re-derives them from the raw edge plan (the same double-branch
+    # recompute hits() fixed for its normalizer)
+    nodes, nodes_held = _ckpt(nodes)
+    deg, deg_held = _ckpt(deg)
+    n_nodes = nodes.count()  # bounded driver scalar (one long) over the
+    # materialized node blocks, like the IVF training-sample bound —
+    # NOT a per-row collect
 
     ranks = nodes.select("n", F.lit(1.0 / n_nodes).alias("r"))
     base = (1.0 - damping) / n_nodes
@@ -119,6 +126,8 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         _release(held)
         held = new_held
     contrib_edges.unpersist()
+    _release(nodes_held)
+    _release(deg_held)
     return ranks.select(F.col("n").alias("node"), F.col("r").alias("pagerank"))
 
 
