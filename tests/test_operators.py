@@ -1184,3 +1184,80 @@ def test_hits_matches_numpy_and_releases_checkpoints(spark):
     assert got[0][1] == max(v[1] for v in got.values())
     # superseded per-round checkpoints were released (≤ 2 live: a and h)
     assert after - before <= 2
+
+
+def test_bm25_topk_matches_python_reference_randomized(spark):
+    """Seeded random corpora (incl. empty/None docs and a query term that
+    matches nothing) against an independent python BM25."""
+    import math
+    import random
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    query = "alpha zeta missingterm"
+    for seed in (3, 7, 11):
+        rng = random.Random(seed)
+        rows = []
+        for i in range(50):
+            n = rng.randint(0, 12)
+            rows.append((i, " ".join(rng.choice(vocab)
+                                     for _ in range(n)) or None))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = [(r["doc_id"], r["score"]) for r in
+               textstats.bm25_topk(df, "text", "doc_id", query,
+                                   k=10).collect()]
+        docs = {i: (t or "").split() for i, t in rows}
+        n_docs = len(rows)
+        avgdl = sum(len(v) for v in docs.values()) / n_docs
+        qterms = sorted(set(query.split()))
+        dfreq = {t: sum(1 for d in docs.values() if t in d) for t in qterms}
+        scores = {}
+        for i, d in docs.items():
+            s = 0.0
+            for t in qterms:
+                tf = d.count(t)
+                if tf == 0:
+                    continue
+                idf = math.log(1 + (n_docs - dfreq[t] + 0.5)
+                               / (dfreq[t] + 0.5))
+                s += (idf * tf * 2.2
+                      / (tf + 1.2 * (1 - 0.75 + 0.75 * len(d) / avgdl)))
+            if s > 0:
+                scores[i] = round(s, 6)
+        exp = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        assert got == exp, (seed, got, exp)
+
+
+def test_bpe_learn_merges_matches_python_randomized(spark):
+    """Seeded random words over a 4-letter alphabet (maximizing
+    same-symbol runs — the replace-twice edge) against the independent
+    python BPE with identical leftmost-rescan semantics."""
+    import random
+    from collections import Counter
+    for seed in (5, 9):
+        rng = random.Random(seed)
+        words = ["".join(rng.choice("abcd")
+                         for _ in range(rng.randint(1, 5)))
+                 for _ in range(60)]
+        df = spark.createDataFrame([(0, " ".join(words))],
+                                   "doc_id long, text string")
+        got = [(r["step"], r["sym_l"], r["sym_r"], r["pair_count"])
+               for r in textstats.bpe_learn_merges(df, "text",
+                                                   n_merges=8).collect()]
+        seqs = {" " + " ".join(list(w)) + " </w> ": c
+                for w, c in Counter(words).items()}
+        exp = []
+        for step in range(1, 9):
+            pc = Counter()
+            for s, c in seqs.items():
+                syms = s.split()
+                for x, y in zip(syms, syms[1:]):
+                    pc[(x, y)] += c
+            if not pc:
+                break
+            (l, r), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            exp.append((step, l, r, c))
+            pat, rep = f" {l} {r} ", f" {l}{r} "
+            seqs2 = {}
+            for s, c in seqs.items():
+                seqs2[s.replace(pat, rep).replace(pat, rep)] = c
+            seqs = seqs2
+        assert got == exp, (seed, got, exp)
