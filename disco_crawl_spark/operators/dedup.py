@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
 
+from .ckpt import ckpt_tools
+
 _MERSENNE = (1 << 61) - 1
 # polynomial shingle-combine constant (FNV-64 prime); uint64 wrap-multiply is
 # deterministic across platforms/processes, unlike PYTHONHASHSEED hashes
@@ -370,17 +372,7 @@ def connected_components(vertices: DataFrame, pairs: DataFrame,
     # backs the returned DataFrame and is freed by context GC with it.
     sc = vertices.sparkSession.sparkContext
 
-    def _ckpt(df):
-        before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
-        out = df.localCheckpoint(eager=True)
-        new = set(sc._jsc.getPersistentRDDs().keySet().toArray()) - before
-        return out, new
-
-    def _release(rdd_ids):
-        jmap = sc._jsc.getPersistentRDDs()
-        for i in rdd_ids:
-            if jmap.containsKey(i):
-                jmap.get(i).unpersist()
+    _ckpt, _release = ckpt_tools(sc)
 
     comp_type = dict(vertices.dtypes)[id_col]
     # materialize the (semi-joined) edge list once: every round's message

@@ -39,6 +39,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .ckpt import ckpt_tools
+
 __all__ = ["pagerank", "anchor_text_agg", "hits"]
 
 
@@ -83,17 +85,7 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     # not free a checkpoint RDD), so at most two rank tables are ever live
     sc = edges.sparkSession.sparkContext
 
-    def _ckpt(df):
-        before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
-        out = df.localCheckpoint(eager=True)
-        new = set(sc._jsc.getPersistentRDDs().keySet().toArray()) - before
-        return out, new
-
-    def _release(rdd_ids):
-        jmap = sc._jsc.getPersistentRDDs()
-        for i in rdd_ids:
-            if jmap.containsKey(i):
-                jmap.get(i).unpersist()
+    _ckpt, _release = ckpt_tools(sc)
 
     # nodes and deg are referenced by every round's job (the dangling
     # anti-join and the outer node join) — materialize both ONCE, or each
@@ -178,6 +170,9 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
     double every round's join work — the simhash lesson applied to a
     1-row aggregate). Superseded blocks are released explicitly (the
     connected-components pattern)."""
+    if iters < 1:
+        raise ValueError("hits() needs iters >= 1 (scores are only "
+                         "L1-normalized after a full round)")
     e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
          .distinct())
     nodes = (e.select(F.col("src").alias("n"))
@@ -187,17 +182,7 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
     by_dst = e.repartition("dst").sortWithinPartitions("dst").persist()
     sc = edges.sparkSession.sparkContext
 
-    def _ckpt(df):
-        before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
-        out = df.localCheckpoint(eager=True)
-        new = set(sc._jsc.getPersistentRDDs().keySet().toArray()) - before
-        return out, new
-
-    def _release(rdd_ids):
-        jmap = sc._jsc.getPersistentRDDs()
-        for i in rdd_ids:
-            if jmap.containsKey(i):
-                jmap.get(i).unpersist()
+    _ckpt, _release = ckpt_tools(sc)
 
     def _l1_over_ckpt(ckpted, col):
         # ckpted is a materialized (localCheckpointed) raw-score table:
@@ -208,8 +193,11 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
                 .select("n", F.round(F.col(col) / F.col("__norm"),
                                      round_dp).alias(col)))
 
+    # nodes is referenced inside every round's checkpoint job (both
+    # outer joins) — materialize it once, the pagerank lesson
+    nodes, nodes_held = _ckpt(nodes)
     h, h_held = _ckpt(nodes.select("n", F.lit(1.0).alias("hub")))
-    a = nodes.select("n", F.lit(0.0).alias("authority"))
+    a = None
     a_held = set()
     for _ in range(iters):
         pushed = (by_src.join(h.select(F.col("n").alias("src"), "hub"),
@@ -235,4 +223,5 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
                    F.round("hub", 6).alias("hub")))
     by_src.unpersist()
     by_dst.unpersist()
+    _release(nodes_held)
     return out

@@ -479,10 +479,15 @@ def train_pq_codebooks(df: DataFrame, emb_col: str, id_col: str,
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
+    if len(X) < ksub:
+        raise ValueError(
+            f"PQ needs >= ksub={ksub} training vectors (got {len(X)}): "
+            "zero-padded codebooks would silently corrupt ADC distances, "
+            "and the SQL oracle's seeded init assumes the full sample")
     books = np.zeros((m, ksub, dsub))
     for s in range(m):
         Xs = X[:, s * dsub:(s + 1) * dsub]
-        k = min(ksub, len(Xs))
+        k = ksub
         rng = np.random.RandomState(seed + s)
         C = Xs[rng.choice(len(Xs), size=k, replace=False)]
         for _ in range(iters):

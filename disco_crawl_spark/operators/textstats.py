@@ -17,6 +17,7 @@ from pyspark.sql.types import (ArrayType, IntegerType, LongType, StringType,
                                StructField, StructType)
 
 from .. import refsem
+from .ckpt import ckpt_tools
 
 STOPWORDS_EN = (
     "the a an and or of to in is are was were be been it this that for on "
@@ -241,6 +242,12 @@ def _ws_tokens(col):
     tokenization of the dedup/LM operators (mirrors the oracle CTEs'
     ``string_split_regex(lower(text), '\\s+')`` + non-empty filter)."""
     return F.filter(F.split(F.lower(col), r"\s+"), lambda x: x != "")
+
+
+def _ws_tokens_nn(text_col: str):
+    """``_ws_tokens`` over a possibly-NULL text column: NULL reads as the
+    empty document (mirrors the oracle CTEs' ``coalesce(text, '')``)."""
+    return _ws_tokens(F.coalesce(F.col(text_col), F.lit("")))
 
 
 def lm_perplexity(df: DataFrame, text_col: str, id_col: str,
@@ -748,8 +755,7 @@ def inverted_index_stats(df: DataFrame, text_col: str, id_col: str,
     appears anywhere; the only shuffles move (term, id, tf) triples then
     per-term scalars. ``min_df`` prunes hapax terms AFTER aggregation
     (a HAVING, not a pre-shuffle filter — tf is needed to decide)."""
-    toks = F.filter(F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
-                            r"\s+"), lambda x: x != "")
+    toks = _ws_tokens_nn(text_col)
     tf = (df.select(F.col(id_col).alias("__id"),
                     F.explode(toks).alias("term"))
           .groupBy("term", "__id").agg(F.count(F.lit(1)).alias("tf")))
@@ -778,8 +784,7 @@ def tfidf_top_terms(df: DataFrame, text_col: str, id_col: str,
     doc-keyed aggregation — no window over the (huge) scored table, so
     the only exchanges move (term, id, tf) triples and per-doc arrays
     bounded by the doc's distinct-term count."""
-    toks = F.filter(F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
-                            r"\s+"), lambda x: x != "")
+    toks = _ws_tokens_nn(text_col)
     tf = (df.select(F.col(id_col).alias("__id"),
                     F.explode(toks).alias("term"))
           .groupBy("term", "__id").agg(F.count(F.lit(1)).alias("tf")))
@@ -827,8 +832,7 @@ def bm25_topk(df: DataFrame, text_col: str, id_col: str, query: str,
     materialized postings instead of a third corpus scan — the simhash
     lesson: Catalyst re-executes a shared subtree once per branch.
     """
-    toks = F.filter(F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
-                            r"\s+"), lambda x: x != "")
+    toks = _ws_tokens_nn(text_col)
     qterms = sorted({t for t in query.lower().split() if t})
     stats = df.agg(F.count(F.lit(1)).cast("double").alias("n_docs"),
                    F.avg(F.size(toks)).alias("avgdl"))
@@ -884,10 +888,10 @@ def quality_lr_score(df: DataFrame, text_col: str, id_col: str,
     fasttext filters this models."""
     import numpy as np
 
-    toks = F.filter(F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
-                            r"\s+"), lambda x: x != "")
+    toks = _ws_tokens_nn(text_col)
     base = df.select(F.col(id_col).alias("__id"),
-                     F.col(label_col).cast("int").alias("__y"),
+                     F.coalesce(F.col(label_col).cast("int"),
+                                F.lit(0)).alias("__y"),
                      toks.alias("__t"))
 
     def _bucket_py(tok: str) -> int:
@@ -963,20 +967,9 @@ def bpe_learn_merges(df: DataFrame, text_col: str,
     spark = df.sparkSession
     sc = spark.sparkContext
 
-    def _ckpt(d):
-        before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
-        out = d.localCheckpoint(eager=True)
-        new = set(sc._jsc.getPersistentRDDs().keySet().toArray()) - before
-        return out, new
+    _ckpt, _release = ckpt_tools(sc)
 
-    def _release(rdd_ids):
-        jmap = sc._jsc.getPersistentRDDs()
-        for i in rdd_ids:
-            if jmap.containsKey(i):
-                jmap.get(i).unpersist()
-
-    toks = F.filter(F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
-                            r"\s+"), lambda x: x != "")
+    toks = _ws_tokens_nn(text_col)
     words = (df.select(F.explode(toks).alias("w"))
              .groupBy("w").agg(F.count(F.lit(1)).alias("cnt")))
     seq, held = _ckpt(words.select(
@@ -1033,11 +1026,8 @@ def bm25_batch_topk(df: DataFrame, text_col: str, id_col: str,
     partitions the (query, matching-doc) rows only. Repeated terms
     within one query weigh once (distinct (query, term) — the common
     BM25 simplification). Returns (query_id, id, score, rank)."""
-    toks = F.filter(F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
-                            r"\s+"), lambda x: x != "")
-    qtok = F.filter(F.split(F.lower(F.coalesce(F.col(q_text_col),
-                                               F.lit(""))),
-                            r"\s+"), lambda x: x != "")
+    toks = _ws_tokens_nn(text_col)
+    qtok = _ws_tokens_nn(q_text_col)
     qterms = (queries_df.select(F.col(q_id_col).alias("query_id"),
                                 F.explode(qtok).alias("term"))
               .distinct())

@@ -2243,7 +2243,7 @@ bi{i} AS MATERIALIZED (SELECT round(b.bias - {lr} * (SELECT avg(err) FROM e{i}),
     chain = ",\n".join(step_ctes)
     return f"""
 WITH toks AS (
-  SELECT doc_id, (lang = 'en')::INT AS y,
+  SELECT doc_id, coalesce((lang = 'en')::INT, 0) AS y,
     list_filter(string_split_regex(lower(coalesce(text,'')), '\\s+'),
                 x -> x <> '') AS t
   FROM documents),

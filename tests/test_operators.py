@@ -1103,6 +1103,10 @@ def test_pq_ann_recall_and_encoding(spark):
     exact = set(ids[np.argsort(((X - q) ** 2).sum(1),
                                kind="stable")[:20]].tolist())
     assert len(exact & got) / 20 >= 0.8, sorted(got)
+    # the zero-padded-codebook trap is a hard error, not silent corruption
+    with pytest.raises(ValueError):
+        similarity.train_pq_codebooks(e.limit(10), "embedding", "vec_id",
+                                      m=16, ksub=32)
 
 
 def test_bpe_learn_merges_matches_python(spark):
@@ -1182,8 +1186,11 @@ def test_hits_matches_numpy_and_releases_checkpoints(spark):
     # the pure authority (3) has zero hub score; the hub (0) dominates hubs
     assert got[3][1] == 0.0
     assert got[0][1] == max(v[1] for v in got.values())
-    # superseded per-round checkpoints were released (≤ 2 live: a and h)
-    assert after - before <= 2
+    # superseded per-round checkpoints were released (a, h + the
+    # materialized node set)
+    assert after - before <= 3
+    with pytest.raises(ValueError):
+        graph.hits(edf, iters=0)
 
 
 def test_bm25_topk_matches_python_reference_randomized(spark):
