@@ -38,7 +38,7 @@ HEADLINE = [
     "repetition_stats", "corpus_mix_sample", "token_count", "quality_score",
     "domain_quality_gate", "decontaminate", "stratified_sample", "pack_chunks",
     "ann_cosine_topk", "ann_batch_queries", "ann_ivf_batch", "pq_ann_topk",
-    "semantic_dedup",
+    "ivf_pq_topk", "semantic_dedup",
     "link_pagerank", "link_hits",
     "anchor_text_agg", "inverted_postings", "tfidf_top_terms", "bm25_topk",
     "bm25_batch",

@@ -538,6 +538,15 @@ def pq_adc_topk(encoded: DataFrame, codebooks: np.ndarray, id_col: str,
     TakeOrdered top-k. The LUT uses the identical c·c − 2·q_s·c + q_s·q_s
     expansion the SQL oracle evaluates, so 6dp-rounded distances agree
     across engines. Returns (id, adc_d2) nearest-first."""
+    d2 = _pq_adc_d2(codebooks, query)
+    return (encoded.select(F.col(id_col), d2.alias("adc_d2"))
+            .orderBy(F.col("adc_d2").asc(), F.col(id_col).asc())
+            .limit(k))
+
+
+def _pq_adc_d2(codebooks: np.ndarray, query: list) -> "F.Column":
+    """The 6dp-rounded ADC squared-distance expression over a
+    ``pq_codes`` column — literal per-subspace LUTs, pure codegen."""
     B = np.asarray(codebooks, dtype=np.float64)
     m, ksub, dsub = B.shape
     q = np.asarray(query, dtype=np.float64)
@@ -548,10 +557,7 @@ def pq_adc_topk(encoded: DataFrame, codebooks: np.ndarray, id_col: str,
         arr = F.array(*[F.lit(float(v)) for v in lut])
         terms.append(F.element_at(
             arr, (F.element_at("pq_codes", s + 1) + 1).cast("int")))
-    d2 = F.round(sum(terms[1:], terms[0]), 6)
-    return (encoded.select(F.col(id_col), d2.alias("adc_d2"))
-            .orderBy(F.col("adc_d2").asc(), F.col(id_col).asc())
-            .limit(k))
+    return F.round(sum(terms[1:], terms[0]), 6)
 
 
 def pq_ann_topk(df: DataFrame, emb_col: str, id_col: str, query: list,
@@ -573,12 +579,55 @@ def pq_ann_topk(df: DataFrame, emb_col: str, id_col: str, query: list,
     shortlist = pq_adc_topk(pq_encode(df, emb_col, id_col, books), books,
                             id_col, query, rerank)
     cand = [r[id_col] for r in shortlist.collect()]
+    return _exact_l2_rerank(df, emb_col, id_col, cand, query, k)
+
+
+def _exact_l2_rerank(df: DataFrame, emb_col: str, id_col: str,
+                     cand_ids: list, query: list, k: int) -> DataFrame:
+    """Exact squared-L2 top-k over a bounded candidate set: the ids land
+    in the scan as a pushed In filter (point-lookup), the distance is the
+    e·e − 2·q·e + q·q expansion the SQL oracles evaluate, rounded 6dp
+    BEFORE the TakeOrdered ranking."""
     q = np.asarray(query, dtype=np.float64)
     qq = float(q @ q)
     e2 = F.aggregate(F.col(emb_col), F.lit(0.0),
                      lambda acc, x: acc + x * x)
     d2 = F.round(e2 - 2.0 * _dot(F.col(emb_col), query) + F.lit(qq), 6)
-    return (df.filter(F.col(id_col).isin(cand))
+    return (df.filter(F.col(id_col).isin(cand_ids))
             .select(F.col(id_col), d2.alias("l2_d2"))
             .orderBy(F.col("l2_d2").asc(), F.col(id_col).asc())
             .limit(k))
+
+
+def ivf_pq_topk(df: DataFrame, emb_col: str, id_col: str, query: list,
+                k: int = 10, n_centroids: int = 8, nprobe: int = 3,
+                m: int = 16, ksub: int = 32, iters: int = 5,
+                sample_size: int = 256, seed: int = 42,
+                rerank: int = 100) -> DataFrame:
+    """IVF-PQ — the production vector index (FAISS ``IVFx,PQy``): the
+    coarse quantizer prunes to the ``nprobe`` lists nearest the query,
+    ADC over the 16-byte codes shortlists ``rerank`` candidates WITHIN
+    those lists, and their raw vectors re-rank exactly. At 100 TB this
+    is the only shape that works: the scan touches nprobe/n_centroids of
+    the code table (partition-pruned over a ``write_ivf_index`` layout),
+    the codes are 16× smaller than the vectors, and the exact pass reads
+    ``rerank`` rows. Quantizes RAW vectors, not residuals (the classic
+    FAISS refinement) — documented divergence, same API shape.
+
+    Returns (id, l2_d2) nearest-first. Both trainings use the same
+    bounded lowest-ids sample; probes are the ``nprobe`` nearest coarse
+    centroids (numpy stable argsort — ``make_ivf_probe_udf``'s rule)."""
+    C = train_ivf_centroids(df, emb_col, id_col, n_centroids, iters,
+                            sample_size, seed)
+    books = train_pq_codebooks(df, emb_col, id_col, m, ksub, iters,
+                               sample_size, seed)
+    q = np.asarray(query, dtype=np.float64)
+    d2c = (C * C).sum(1) - 2.0 * (C @ q)
+    probes = [int(i) for i in np.argsort(d2c, kind="stable")[:nprobe]]
+    assign = make_ivf_assign_udf(C)
+    cand_lists = df.filter(assign(F.col(emb_col)).isin(probes))
+    shortlist = pq_adc_topk(
+        pq_encode(cand_lists, emb_col, id_col, books), books,
+        id_col, query, rerank)
+    cand = [r[id_col] for r in shortlist.collect()]
+    return _exact_l2_rerank(df, emb_col, id_col, cand, query, k)

@@ -874,7 +874,8 @@ def semantic_dedup_q(spark, sf):
 
 def _pq_oracle_sql(m: int = 16, ksub: int = 32, iters: int = 5,
                    sample: int = 256, topk: int = 20,
-                   seed: int = 42, rerank: int = 100) -> str:
+                   seed: int = 42, rerank: int = 100,
+                   ivf_k: "int | None" = None, nprobe: int = 3) -> str:
     """Exact SQL mirror of the product-quantization pipeline: for each of
     the ``m`` subspaces the k-means runs INSIDE the SQL as unrolled CTE
     pairs (the ``_ann_ivf_oracle_sql`` assign/update pattern over the
@@ -882,7 +883,11 @@ def _pq_oracle_sql(m: int = 16, ksub: int = 32, iters: int = 5,
     against its subspace's final codebook, and the ADC distance is the
     same c·c − 2·q_s·c + q_s·q_s expansion the Spark LUT evaluates,
     rounded to 6dp BEFORE the top-k ordering. Subspace ``s`` seeds its
-    init ranks with ``seed + s`` — identical to ``train_pq_codebooks``."""
+    init ranks with ``seed + s`` — identical to ``train_pq_codebooks``.
+    With ``ivf_k`` set, a coarse k-means chain (the ``_ann_ivf`` pattern,
+    seed = ``seed``) assigns every vector an IVF list, and the ADC
+    shortlist is restricted to the ``nprobe`` lists nearest the query —
+    the IVF-PQ mirror."""
     import numpy as np
     dsub = 64 // m
     ctes, enc_joins, adc_terms = [], [], []
@@ -933,6 +938,49 @@ c{s}_{i} AS MATERIALIZED (
     chain = ",\n".join(ctes)
     qsql = "[" + ", ".join(str(float(x)) for x in QUERY_VEC) + "]::DOUBLE[]"
     qq = float(np.dot(QUERY_VEC, QUERY_VEC))
+    coarse, cand_filter = "", ""
+    if ivf_k is not None:
+        gchoice = np.random.RandomState(seed).choice(
+            sample, size=ivf_k, replace=False)
+        gvals = ", ".join(f"({j}, {int(gchoice[j]) + 1})"
+                          for j in range(ivf_k))
+        gctes = [f"""gc0 AS MATERIALIZED (
+  SELECT t.cid, s.emb AS cv
+  FROM (VALUES {gvals}) t(cid, rk) JOIN samp s USING (rk))"""]
+        gprev = "gc0"
+        for i in range(1, iters + 1):
+            gctes.append(f"""ga{i} AS MATERIALIZED (
+  SELECT vec_id, emb, cid FROM (
+    SELECT s.vec_id, s.emb, c.cid,
+      row_number() OVER (PARTITION BY s.vec_id ORDER BY
+        list_dot_product(c.cv, c.cv) - 2*list_dot_product(s.emb, c.cv),
+        c.cid) AS rn
+    FROM samp s CROSS JOIN {gprev} c) WHERE rn = 1),
+gc{i} AS MATERIALIZED (
+  SELECT c.cid, coalesce(mm.cv, c.cv) AS cv
+  FROM {gprev} c LEFT JOIN (
+    SELECT cid, list(avgv ORDER BY dim) AS cv FROM (
+      SELECT cid, dim, avg(val) AS avgv FROM (
+        SELECT cid, unnest(emb) AS val, generate_subscripts(emb, 1) AS dim
+        FROM ga{i})
+      GROUP BY cid, dim) GROUP BY cid) mm USING (cid))""")
+            gprev = f"gc{i}"
+        gctes.append(f"""gasg AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        list_dot_product(c.cv, c.cv) - 2*list_dot_product(e.emb, c.cv),
+        c.cid) AS rn
+    FROM e CROSS JOIN {gprev} c) WHERE rn = 1),
+gprobes AS MATERIALIZED (
+  SELECT cid FROM (
+    SELECT cid, row_number() OVER (ORDER BY
+      list_dot_product(cv, cv) - 2*list_dot_product({qsql}, cv),
+      cid) AS rn
+    FROM {gprev}) WHERE rn <= {nprobe})""")
+        coarse = ",\n".join(gctes) + ",\n"
+        cand_filter = ("  WHERE vec_id IN (SELECT vec_id FROM gasg "
+                       "WHERE cid IN (SELECT cid FROM gprobes))\n")
     return f"""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
@@ -940,11 +988,11 @@ WITH e AS (
 samp AS MATERIALIZED (
   SELECT vec_id, emb, row_number() OVER (ORDER BY vec_id) AS rk
   FROM e ORDER BY vec_id LIMIT {sample}),
-{chain},
+{coarse}{chain},
 shortlist AS MATERIALIZED (
   SELECT vec_id, round({' + '.join(adc_terms)}, 6) AS adc_d2
   FROM {' '.join(enc_joins)}
-  ORDER BY adc_d2 ASC, vec_id ASC LIMIT {rerank})
+{cand_filter}  ORDER BY adc_d2 ASC, vec_id ASC LIMIT {rerank})
 SELECT e.vec_id,
        round(list_dot_product(e.emb, e.emb)
              - 2*list_dot_product({qsql}, e.emb) + {qq!r}, 6) AS l2_d2
@@ -966,6 +1014,23 @@ def pq_ann_topk_q(spark, sf):
     return similarity.pq_ann_topk(e, "embedding", "vec_id", QUERY_VEC,
                                   k=20, m=16, ksub=32, sample_size=256,
                                   rerank=100)
+
+
+@q("ivf_pq_topk", _pq_oracle_sql(ivf_k=8, nprobe=5))
+def ivf_pq_topk_q(spark, sf):
+    """IVF-PQ, the production vector index (FAISS IVF8,PQ16): the coarse
+    quantizer prunes to the 5 of 8 lists nearest the query (recall@20
+    0.70-0.85 on these cluster-free gaussian embeddings — nprobe is the
+    standard recall/selectivity dial), ADC over 16-byte codes shortlists
+    100 candidates within them, exact L2 re-rank returns the top 20.
+    Raw-vector PQ (no residual refinement) — documented divergence from
+    classic FAISS, same API shape."""
+    e = _t(spark, sf, "embeddings")
+    e = e.withColumn("embedding",
+                     F.transform("embedding", lambda x: x.cast("double")))
+    return similarity.ivf_pq_topk(e, "embedding", "vec_id", QUERY_VEC,
+                                  k=20, n_centroids=8, nprobe=5, m=16,
+                                  ksub=32, sample_size=256, rerank=100)
 
 
 def _embedding_neardup_oracle_sql(bands: int = 8, planes: int = 4,

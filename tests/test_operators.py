@@ -1268,3 +1268,32 @@ def test_bpe_learn_merges_matches_python_randomized(spark):
                 seqs2[s.replace(pat, rep).replace(pat, rep)] = c
             seqs = seqs2
         assert got == exp, (seed, got, exp)
+
+
+def test_ivf_pq_topk_recall_and_pruning(spark):
+    """IVF-PQ end-to-end: recall floor vs exact L2, and the coarse
+    pruning actually restricts the shortlist to the probed lists."""
+    sf = "/root/testdata/sf0.001"
+    e = (spark.read.parquet(f"{sf}/embeddings.parquet")
+         .withColumn("embedding",
+                     F.transform("embedding", lambda x: x.cast("double"))))
+    q = [1.0 if i % 3 == 0 else (0.5 if i % 3 == 1 else -0.25)
+         for i in range(64)]
+    got = {r["vec_id"] for r in similarity.ivf_pq_topk(
+        e, "embedding", "vec_id", q, k=20, n_centroids=8, nprobe=5,
+        m=16, ksub=32, rerank=100).collect()}
+    rows = sorted(e.collect(), key=lambda r: r["vec_id"])
+    X = np.array([r["embedding"] for r in rows])
+    ids = np.array([r["vec_id"] for r in rows])
+    qv = np.array(q)
+    exact = set(ids[np.argsort(((X - qv) ** 2).sum(1),
+                               kind="stable")[:20]].tolist())
+    assert len(exact & got) / 20 >= 0.75, sorted(got)
+    # every returned id sits in one of the 5 probed coarse lists
+    C = similarity.train_ivf_centroids(e, "embedding", "vec_id",
+                                       n_centroids=8, sample_size=256)
+    d2c = (C * C).sum(1) - 2.0 * (C @ qv)
+    probes = set(int(i) for i in np.argsort(d2c, kind="stable")[:5])
+    asg = ((C * C).sum(1)[None, :] - 2.0 * (X @ C.T)).argmin(1)
+    list_of = dict(zip(ids.tolist(), asg.tolist()))
+    assert all(list_of[i] in probes for i in got)
