@@ -2629,6 +2629,42 @@ def link_pagerank(spark, sf):
     return ranks.select("node", F.round("pagerank", 6).alias("pagerank"))
 
 
+@q("link_bfs_depth", """
+WITH RECURSIVE edges AS MATERIALIZED (
+  SELECT DISTINCT user_id % 200 AS src, event_id % 200 AS dst
+  FROM events
+  WHERE user_id % 200 <> event_id % 200 AND (user_id + event_id) % 11 = 0),
+reach AS (
+  SELECT n AS node, 0 AS depth
+  FROM (SELECT src AS n FROM edges UNION SELECT dst AS n FROM edges)
+  WHERE n % 37 = 0
+  UNION
+  SELECT e.dst AS node, r.depth + 1 AS depth
+  FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.depth < 32)
+SELECT node, min(depth)::BIGINT AS depth FROM reach GROUP BY node
+""")
+def link_bfs_depth(spark, sf):
+    """Crawl depth from the seed set: minimum link distance from any seed
+    (nodes ≡ 0 mod 37) over a SPARSE slice of the synthetic link graph
+    (the (user_id+event_id) % 11 edge filter keeps out-degree ~2, so the
+    BFS actually has levels and some nodes stay unreached — the operator
+    returns reached nodes only). The oracle is a bounded recursive CTE
+    (depth < 32, the same bound bfs_depth raises past); min(depth) over
+    the generated closure equals the synchronous frontier expansion."""
+    e = _t(spark, sf, "events")
+    edges = (e.select((F.col("user_id") % 200).alias("src"),
+                      (F.col("event_id") % 200).alias("dst"),
+                      ((F.col("user_id") + F.col("event_id")) % 11)
+                      .alias("__k"))
+             .filter((F.col("src") != F.col("dst")) & (F.col("__k") == 0))
+             .drop("__k"))
+    nodes = (edges.select(F.col("src").alias("n"))
+             .union(edges.select(F.col("dst").alias("n"))).distinct())
+    seeds = nodes.filter(F.col("n") % 37 == 0)
+    return graph.bfs_depth(edges, seeds, max_iters=32)
+
+
 @q("anchor_text_agg", """
 WITH links AS (
   SELECT event_id % 500 AS target, event_type AS anchor FROM events),

@@ -1297,3 +1297,35 @@ def test_ivf_pq_topk_recall_and_pruning(spark):
     asg = ((C * C).sum(1)[None, :] - 2.0 * (X @ C.T)).argmin(1)
     list_of = dict(zip(ids.tolist(), asg.tolist()))
     assert all(list_of[i] in probes for i in got)
+
+
+def test_bfs_depth_chain_unreachable_and_raise(spark):
+    from disco_crawl_spark.operators import graph
+    # chain 0->1->...->9, a shortcut 0->5, an unreachable island 20->21,
+    # and a second seed 8 (so 9's depth is min(9 hops from 0, 1 from 8))
+    edges = [(i, i + 1) for i in range(9)] + [(0, 5), (20, 21)]
+    edf = spark.createDataFrame(edges, "src int, dst int")
+    seeds = spark.createDataFrame([(0,), (8,)], "n int")
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    got = {r["node"]: r["depth"]
+           for r in graph.bfs_depth(edf, seeds).collect()}
+    after = len(spark.sparkContext._jsc.getPersistentRDDs())
+    want = {0: 0, 8: 0,               # seeds
+            1: 1, 2: 2, 3: 3, 4: 4,  # chain from 0
+            5: 1, 6: 2, 7: 3,        # via the 0->5 shortcut
+            9: 1}                    # via seed 8, not the long chain
+    assert got == want                # 20, 21 unreached -> absent
+    # superseded per-round checkpoints released: at most the final
+    # settled table (plus nothing else) stays live
+    assert after - before <= 1
+    # a chain deeper than max_iters must raise, not return a partial BFS
+    deep = spark.createDataFrame([(i, i + 1) for i in range(6)],
+                                 "src int, dst int")
+    s0 = spark.createDataFrame([(0,)], "n int")
+    with pytest.raises(RuntimeError, match="frontier"):
+        graph.bfs_depth(deep, s0, max_iters=3)
+    # seed-only graph (frontier empties immediately) returns just seeds
+    lone = graph.bfs_depth(
+        spark.createDataFrame([(20, 21)], "src int, dst int"),
+        spark.createDataFrame([(5,)], "n int")).collect()
+    assert [(r["node"], r["depth"]) for r in lone] == [(5, 0)]
