@@ -46,7 +46,9 @@ __all__ = ["pagerank", "anchor_text_agg", "hits", "bfs_depth"]
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              iters: int = 5, damping: float = 0.85,
-             dedup_edges: bool = True) -> DataFrame:
+             dedup_edges: bool = True,
+             personalization: DataFrame | None = None,
+             seed_col: str | None = None) -> DataFrame:
     """Power-iteration PageRank over an edge table; returns (node, pagerank).
 
     Semantics (the textbook formulation, so the DuckDB oracle can unroll
@@ -58,6 +60,22 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
       where D_t = total rank mass on dangling nodes (no out-edges)
     * exactly ``iters`` synchronous rounds, no convergence test — the
       caller picks the round count (rank deltas decay ~d^t).
+
+    With ``personalization`` (a one-column DataFrame of seed node ids)
+    this becomes TrustRank (Gyöngyi et al. 2004) — the spam-demotion
+    variant a web crawl runs with a hand-vetted seed list: the teleport
+    vector p(v) is uniform over the SEEDS (0 elsewhere) instead of 1/N,
+    and both the (1-d) teleport term and the dangling redistribution use
+    p(v), so rank mass can only enter the graph at trusted nodes:
+
+    * r0(v) = p(v)
+    * r_{t+1}(v) = (1-d)*p(v) + d * (sum_{u->v} r_t(u)/outdeg(u)
+      + D_t*p(v))
+
+    Seeds absent from the node set are ignored (they can neither receive
+    nor forward mass); an empty effective seed set raises. p is a narrow
+    (node, p) table materialized once and joined per round — never a
+    driver-side structure.
 
     Multi-edges are collapsed first when ``dedup_edges`` (a crawl link
     graph counts a link once per (src, dst) page pair); self-loops are
@@ -97,7 +115,28 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     # materialized node blocks, like the IVF training-sample bound —
     # NOT a per-row collect
 
-    ranks = nodes.select("n", F.lit(1.0 / n_nodes).alias("r"))
+    pheld = set()
+    if personalization is not None:
+        scol = seed_col if seed_col is not None else personalization.columns[0]
+        seeds = (personalization.select(F.col(scol).alias("n")).distinct()
+                 .join(nodes, "n", "semi"))
+        n_seeds = seeds.count()
+        if n_seeds == 0:
+            contrib_edges.unpersist()
+            _release(nodes_held)
+            _release(deg_held)
+            raise ValueError("pagerank personalization: no seed node is "
+                             "present in the graph")
+        # narrow (node, p) teleport vector, materialized once — every
+        # round's blend joins it (never a driver-side dict)
+        pvec, pheld = _ckpt(
+            nodes.join(seeds.select("n", F.lit(1.0 / n_seeds).alias("p")),
+                       "n", "left")
+            .select("n", F.coalesce("p", F.lit(0.0)).alias("p")))
+        ranks = pvec.select("n", F.col("p").alias("r"))
+    else:
+        pvec = None
+        ranks = nodes.select("n", F.lit(1.0 / n_nodes).alias("r"))
     base = (1.0 - damping) / n_nodes
     held = set()
     for _ in range(iters):
@@ -107,19 +146,27 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                    .agg(F.sum(F.col("r") / F.col("outdeg")).alias("contrib")))
         dangling = (ranks.join(deg, ranks["n"] == deg["src"], "left_anti")
                     .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dmass")))
-        new_ranks = (nodes.join(contrib, nodes["n"] == contrib["dst"], "left")
-                     .crossJoin(F.broadcast(dangling))
-                     .select(nodes["n"],
-                             (F.lit(base) + F.lit(damping)
-                              * (F.coalesce(F.col("contrib"), F.lit(0.0))
-                                 + F.col("dmass") / F.lit(float(n_nodes))))
-                             .alias("r")))
+        joined = (nodes.join(contrib, nodes["n"] == contrib["dst"], "left")
+                  .crossJoin(F.broadcast(dangling)))
+        if pvec is None:
+            new_ranks = joined.select(
+                nodes["n"],
+                (F.lit(base) + F.lit(damping)
+                 * (F.coalesce(F.col("contrib"), F.lit(0.0))
+                    + F.col("dmass") / F.lit(float(n_nodes)))).alias("r"))
+        else:
+            new_ranks = joined.join(pvec, "n").select(
+                F.col("n"),
+                (F.lit(1.0 - damping) * F.col("p") + F.lit(damping)
+                 * (F.coalesce(F.col("contrib"), F.lit(0.0))
+                    + F.col("dmass") * F.col("p"))).alias("r"))
         ranks, new_held = _ckpt(new_ranks)
         _release(held)
         held = new_held
     contrib_edges.unpersist()
     _release(nodes_held)
     _release(deg_held)
+    _release(pheld)
     return ranks.select(F.col("n").alias("node"), F.col("r").alias("pagerank"))
 
 

@@ -2564,6 +2564,49 @@ SELECT n AS node, round(r, 6) AS pagerank FROM r{iters}"""
     return head + "".join(rounds) + tail
 
 
+def _trustrank_oracle_sql(n_mod: int = 200, iters: int = 5,
+                          damping: float = 0.85, seed_mod: int = 37) -> str:
+    """Exact SQL mirror of ``graph.pagerank(..., personalization=seeds)``
+    (TrustRank): the pagerank unroll with the teleport vector uniform
+    over the seed set (nodes ≡ 0 mod ``seed_mod``) instead of 1/N — both
+    the (1-d) teleport term and the dangling redistribution multiply
+    p(v), so mass re-enters only at trusted nodes. Same all-DOUBLE float
+    path as the Spark expression."""
+    head = f"""WITH edges AS (
+  SELECT DISTINCT user_id % {n_mod} AS src, event_id % {n_mod} AS dst
+  FROM events WHERE user_id % {n_mod} <> event_id % {n_mod}),
+nodes AS (SELECT src AS n FROM edges UNION SELECT dst AS n FROM edges),
+deg AS (SELECT src, count(*)::DOUBLE AS outdeg FROM edges GROUP BY src),
+seeds AS (SELECT n FROM nodes WHERE n % {seed_mod} = 0),
+ns AS (SELECT count(*)::DOUBLE AS cnt FROM seeds),
+pv AS (SELECT nd.n,
+              CASE WHEN s.n IS NULL THEN 0.0::DOUBLE
+                   ELSE (SELECT 1.0::DOUBLE / cnt FROM ns) END AS p
+       FROM nodes nd LEFT JOIN seeds s ON nd.n = s.n),
+r0 AS (SELECT n, p AS r FROM pv)"""
+    rounds = []
+    for t in range(1, iters + 1):
+        rounds.append(f""",
+r{t} AS (
+  SELECT nd.n,
+         (1.0::DOUBLE - {damping}::DOUBLE) * pv.p
+         + {damping}::DOUBLE * (coalesce(c.contrib, 0.0::DOUBLE)
+                                + dang.dmass * pv.p) AS r
+  FROM nodes nd
+  JOIN pv ON pv.n = nd.n
+  CROSS JOIN (SELECT coalesce(sum(p2.r), 0.0::DOUBLE) AS dmass
+              FROM r{t - 1} p2 LEFT JOIN deg d ON p2.n = d.src
+              WHERE d.src IS NULL) dang
+  LEFT JOIN (SELECT e.dst AS n, sum(p2.r / d.outdeg) AS contrib
+             FROM edges e
+             JOIN r{t - 1} p2 ON p2.n = e.src
+             JOIN deg d ON d.src = e.src
+             GROUP BY e.dst) c ON c.n = nd.n)""")
+    tail = f"""
+SELECT n AS node, round(r, 6) AS trustrank FROM r{iters}"""
+    return head + "".join(rounds) + tail
+
+
 def _hits_oracle_sql(n_mod: int = 200, iters: int = 5) -> str:
     """Exact SQL mirror of ``graph.hits``: the hub/authority mutual
     recursion unrolled as MATERIALIZED CTE quadruples (raw authority,
@@ -2663,6 +2706,25 @@ def link_bfs_depth(spark, sf):
              .union(edges.select(F.col("dst").alias("n"))).distinct())
     seeds = nodes.filter(F.col("n") % 37 == 0)
     return graph.bfs_depth(edges, seeds, max_iters=32)
+
+
+@q("link_trustrank", _trustrank_oracle_sql())
+def link_trustrank(spark, sf):
+    """TrustRank (Gyöngyi 2004): personalized PageRank whose teleport
+    vector is uniform over a vetted seed set (nodes ≡ 0 mod 37) — the
+    spam-demotion signal a crawl scheduler blends with raw authority.
+    Same 5-round unroll and float path as link_pagerank; only the
+    teleport/dangling terms change (p(v) instead of 1/N)."""
+    e = _t(spark, sf, "events")
+    edges = (e.select((F.col("user_id") % 200).alias("src"),
+                      (F.col("event_id") % 200).alias("dst"))
+             .filter(F.col("src") != F.col("dst")))
+    nodes = (edges.select(F.col("src").alias("n"))
+             .union(edges.select(F.col("dst").alias("n"))).distinct())
+    seeds = nodes.filter(F.col("n") % 37 == 0)
+    ranks = graph.pagerank(edges, iters=5, damping=0.85,
+                           personalization=seeds)
+    return ranks.select("node", F.round("pagerank", 6).alias("trustrank"))
 
 
 @q("anchor_text_agg", """

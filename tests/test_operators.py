@@ -1329,3 +1329,51 @@ def test_bfs_depth_chain_unreachable_and_raise(spark):
         spark.createDataFrame([(20, 21)], "src int, dst int"),
         spark.createDataFrame([(5,)], "n int")).collect()
     assert [(r["node"], r["depth"]) for r in lone] == [(5, 0)]
+
+
+def test_trustrank_matches_numpy_and_uniform_path_unchanged(spark):
+    from disco_crawl_spark.operators import graph
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (2, 1), (2, 3), (4, 0)]
+    edf = spark.createDataFrame(edges, "src int, dst int")
+    seeds = spark.createDataFrame([(0,), (4,), (99,)], "n int")  # 99 absent
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    got = {r["node"]: r["pagerank"]
+           for r in graph.pagerank(edf, iters=5,
+                                   personalization=seeds).collect()}
+    after = len(spark.sparkContext._jsc.getPersistentRDDs())
+    # independent numpy recomputation: teleport uniform over seeds {0, 4}
+    nodes = sorted({n for e in edges for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    out = {}
+    for s, t in edges:
+        out.setdefault(s, []).append(t)
+    d = 0.85
+    p = np.zeros(len(nodes))
+    for sd in (0, 4):
+        p[idx[sd]] = 1.0 / 2
+    r = p.copy()
+    for _ in range(5):
+        nxt = (1 - d) * p.copy()
+        dang = sum(r[idx[v]] for v in nodes if v not in out)
+        nxt += d * dang * p
+        for a, targets in out.items():
+            share = r[idx[a]] / len(targets)
+            for b in targets:
+                nxt[idx[b]] += d * share
+        r = nxt
+    for n in nodes:
+        assert abs(got[n] - r[idx[n]]) < 1e-12, (n, got[n], r[idx[n]])
+    # mass conserved; non-seed-reachable-only nodes got demoted vs seeds
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # superseded per-round checkpoints released (final ranks + pvec at most)
+    assert after - before <= 2
+    # uniform path must be bit-identical to before the personalization arg
+    uni = {r2["node"]: r2["pagerank"]
+           for r2 in graph.pagerank(edf, iters=5).collect()}
+    want_uni = _numpy_pagerank(edges, iters=5)
+    for k in want_uni:
+        assert abs(uni[k] - want_uni[k]) < 1e-12
+    # all seeds outside the graph -> raise, not a silent all-zero vector
+    with pytest.raises(ValueError, match="seed"):
+        graph.pagerank(edf, personalization=spark.createDataFrame(
+            [(99,)], "n int"))
