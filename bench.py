@@ -43,7 +43,8 @@ HEADLINE = [
     "anchor_text_agg", "inverted_postings", "tfidf_top_terms", "bm25_topk",
     "bm25_batch",
     "crawl_delta", "dedup_cross_corpus", "ccnet_perplexity",
-    "bpe_pair_stats", "bpe_learn_merges", "c4_line_filter", "domain_split",
+    "bpe_pair_stats", "bpe_learn_merges", "bpe_encode", "c4_line_filter",
+    "domain_split",
     "dsir_select",
     "quality_lr", "windowed_event_stats", "steward_hash_order",
     "json_extract",

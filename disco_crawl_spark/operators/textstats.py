@@ -1059,3 +1059,49 @@ def bm25_batch_topk(df: DataFrame, text_col: str, id_col: str,
             .filter(F.col("rank") <= k)
             .select("query_id", F.col("__id").alias(id_col),
                     "score", "rank"))
+
+
+def bpe_encode_count(df: DataFrame, text_col: str, id_col: str,
+                     merges: "list[tuple[str, str]]") -> DataFrame:
+    """Apply a learned BPE merge list to the corpus and count the
+    resulting tokens per document — the other half of the tokenizer
+    story (``bpe_learn_merges`` ships the artifact; this op is what a
+    data pipeline runs with it: exact token budgets per doc under the
+    trained tokenizer, not the ``bpe_ish_token_count`` heuristic).
+
+    ``merges`` is the ordered (sym_l, sym_r) list — the bounded
+    driver-side artifact (like the IVF centroids): a tokenizer ships
+    thousands of rules, never corpus-scale data. Merge application is
+    the same double leftmost-non-overlapping literal replace as the
+    learner, so learn→encode round-trips symbol-for-symbol and the
+    DuckDB oracle mirrors it with the identical ``replace`` calls.
+
+    Scale shape: encoding runs over the DISTINCT VOCABULARY, not the
+    corpus — one (id, word) count aggregation (map-side combinable),
+    one vocabulary projection applying all merges as a single nested
+    chain of JVM ``replace`` calls (pure codegen, no UDF, no per-merge
+    pass over the data), one join back on word, one final per-doc sum.
+    At 100 TB the vocab is millions of rows against billions of doc
+    words — the merge chain cost is O(vocab), the rest is two hash
+    aggregations and a join. Returns (id, n_bpe_tokens) for EVERY input
+    doc (empty/NULL text → 0)."""
+    toks = _ws_tokens_nn(text_col)
+    doc_words = (df.select(F.col(id_col), F.explode(toks).alias("w"))
+                 .groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("k")))
+    s = F.concat(F.lit(" "), F.concat_ws(" ", F.split("w", "")),
+                 F.lit(" </w> "))
+    for l, r in merges:
+        pat, rep = F.lit(f" {l} {r} "), F.lit(f" {l}{r} ")
+        s = F.replace(F.replace(s, pat, rep), pat, rep)
+    enc = (doc_words.select("w").distinct()
+           .select("w", F.size(F.filter(F.split(s, " "),
+                                        lambda x: x != ""))
+                   .cast("long").alias("n_syms")))
+    summed = (doc_words.join(enc, "w")
+              .groupBy(id_col)
+              .agg(F.sum(F.col("k") * F.col("n_syms"))
+                   .alias("n_bpe_tokens")))
+    return (df.select(F.col(id_col)).distinct()
+            .join(summed, id_col, "left")
+            .select(id_col, F.coalesce("n_bpe_tokens", F.lit(0))
+                    .cast("long").alias("n_bpe_tokens")))

@@ -2434,6 +2434,76 @@ SELECT step, sym_l, sym_r, pair_count FROM ({union}) ORDER BY step
 """
 
 
+def _bpe_encode_oracle_sql(n_merges: int = 10) -> str:
+    """Exact SQL mirror of learn-then-encode: the ``bpe_learn_merges``
+    unroll with the word identity carried through every seq CTE, then
+    the per-word symbol count joined back to the (doc, word) counts.
+    Pure integer/string arithmetic — must match exactly."""
+    ctes = []
+    for k in range(1, n_merges + 1):
+        ctes.append(f"""p{k} AS MATERIALIZED (
+  SELECT l, r, sum(cnt)::BIGINT AS c FROM (
+    SELECT syms[(i + 1)::INT] AS l, syms[(i + 2)::INT] AS r, cnt
+    FROM (SELECT list_filter(string_split(s, ' '), x -> x <> '') AS syms,
+                 cnt
+          FROM seq{k - 1}),
+         unnest(range(len(syms) - 1)) AS t(i))
+  GROUP BY l, r),
+b{k} AS MATERIALIZED (
+  SELECT l, r, c FROM p{k} ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+seq{k} AS MATERIALIZED (
+  SELECT q.w, replace(replace(q.s, ' ' || b.l || ' ' || b.r || ' ',
+                              ' ' || b.l || b.r || ' '),
+                      ' ' || b.l || ' ' || b.r || ' ',
+                      ' ' || b.l || b.r || ' ') AS s, q.cnt
+  FROM seq{k - 1} q CROSS JOIN b{k} b)""")
+    chain = ",\n".join(ctes)
+    return f"""
+WITH words AS MATERIALIZED (
+  SELECT w, count(*)::BIGINT AS cnt FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                 '\\s+'),
+                              x -> x <> '')) AS w
+    FROM documents) GROUP BY w),
+seq0 AS MATERIALIZED (
+  SELECT w, ' ' || array_to_string(
+           list_transform(range(length(w)), i -> w[(i + 1)::INT]), ' ')
+         || ' </w> ' AS s, cnt
+  FROM words),
+{chain},
+enc AS MATERIALIZED (
+  SELECT w, len(list_filter(string_split(s, ' '), x -> x <> ''))::BIGINT
+           AS n_syms
+  FROM seq{n_merges}),
+docw AS (
+  SELECT doc_id, w, count(*)::BIGINT AS k FROM (
+    SELECT doc_id, unnest(list_filter(string_split_regex(
+             lower(coalesce(text, '')), '\\s+'), x -> x <> '')) AS w
+    FROM documents) GROUP BY doc_id, w)
+SELECT d.doc_id,
+       coalesce(sum(dw.k * e.n_syms), 0)::BIGINT AS n_bpe_tokens
+FROM documents d
+LEFT JOIN docw dw ON dw.doc_id = d.doc_id
+LEFT JOIN enc e ON e.w = dw.w
+GROUP BY d.doc_id
+"""
+
+
+@q("bpe_encode", _bpe_encode_oracle_sql())
+def bpe_encode_q(spark, sf):
+    """Learn→encode round trip: induce the first 10 BPE merges on the
+    corpus (the bpe_learn_merges loop), then apply them — per-doc token
+    counts under the TRAINED tokenizer (exact budgets, not the
+    bpe_ish_token_count heuristic). The merge list is the bounded
+    driver-side artifact a tokenizer ships; encoding itself runs over
+    the distinct vocabulary only (textstats.bpe_encode_count)."""
+    d = _t(spark, sf, "documents")
+    mtab = textstats.bpe_learn_merges(d, "text", n_merges=10)
+    merges = [(r["sym_l"], r["sym_r"])
+              for r in mtab.orderBy("step").collect()]
+    return textstats.bpe_encode_count(d, "text", "doc_id", merges)
+
+
 @q("bpe_learn_merges", _bpe_merges_oracle_sql())
 def bpe_learn_merges_q(spark, sf):
     """Iterative BPE tokenizer induction: the first 10 learned merge

@@ -1377,3 +1377,37 @@ def test_trustrank_matches_numpy_and_uniform_path_unchanged(spark):
     with pytest.raises(ValueError, match="seed"):
         graph.pagerank(edf, personalization=spark.createDataFrame(
             [(99,)], "n int"))
+
+
+def _py_bpe_apply(word, merges):
+    """Independent double-leftmost-replace BPE application."""
+    s = " " + " ".join(word) + " </w> "
+    for l, r in merges:
+        pat, rep = f" {l} {r} ", f" {l}{r} "
+        s = s.replace(pat, rep).replace(pat, rep)
+    return [x for x in s.split(" ") if x]
+
+
+def test_bpe_encode_count_matches_python_mirror(spark):
+    from disco_crawl_spark.operators import textstats
+    texts = [(1, "aa aa ab aa"), (2, "aa b AA"), (3, None), (4, ""),
+             (5, "abab aa   ab")]
+    d = spark.createDataFrame(texts, "doc_id int, text string")
+    mtab = textstats.bpe_learn_merges(d, "text", n_merges=3)
+    merges = [(r["sym_l"], r["sym_r"])
+              for r in mtab.orderBy("step").collect()]
+    assert len(merges) >= 1
+    got = {r["doc_id"]: r["n_bpe_tokens"]
+           for r in textstats.bpe_encode_count(
+               d, "text", "doc_id", merges).collect()}
+    want = {}
+    for i, t in texts:
+        toks = [w for w in (t or "").lower().split() if w]
+        want[i] = sum(len(_py_bpe_apply(w, merges)) for w in toks)
+    assert got == want          # incl. 3 and 4 present with 0 tokens
+    assert got[3] == 0 and got[4] == 0
+    # an empty merge list degrades to chars + </w> per word
+    got0 = {r["doc_id"]: r["n_bpe_tokens"]
+            for r in textstats.bpe_encode_count(
+                d, "text", "doc_id", []).collect()}
+    assert got0[1] == sum(len(w) + 1 for w in "aa aa ab aa".split())
