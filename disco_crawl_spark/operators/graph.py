@@ -37,11 +37,12 @@ Scale notes (the 100 TB reading):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .ckpt import ckpt_tools
 
-__all__ = ["pagerank", "anchor_text_agg", "hits", "bfs_depth"]
+__all__ = ["pagerank", "anchor_text_agg", "hits", "bfs_depth",
+           "cocitation"]
 
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
@@ -344,3 +345,35 @@ def bfs_depth(edges: DataFrame, seeds: DataFrame, src: str = "src",
     e.unpersist()
     _release(fheld)
     return settled
+
+
+def cocitation(edges: DataFrame, src: str = "src", dst: str = "dst",
+               max_out_degree: int = 50, min_count: int = 2) -> DataFrame:
+    """Co-citation similarity (Small 1973, the webgraph related-pages /
+    mirror-detection primitive): two pages are related when many sources
+    link to BOTH. Returns (a, b, cocite) with a < b — the count of
+    distinct sources citing both endpoints.
+
+    Scale shape: the all-pairs blowup is bounded BEFORE the self-join by
+    capping each source's out-list at ``max_out_degree`` (keep the
+    lexicographically smallest targets — deterministic, so both engines
+    cap identically): a mega-hub directory page would otherwise
+    contribute O(outdeg²) pairs on its own while carrying almost no
+    similarity signal (the standard super-hub drop in co-citation /
+    collaborative-filtering pipelines). After the cap the join is
+    per-src bounded at C(cap, 2) pairs, partitioned on src, and the
+    final (a, b) count is one map-side-combinable aggregation;
+    ``min_count`` prunes the long singleton tail before it ships to the
+    caller. Multi-edges collapse first (a source cites a target once).
+    """
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .distinct())
+    w = Window.partitionBy("src").orderBy("dst")
+    capped = (e.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") <= max_out_degree).drop("__rn"))
+    x, y = capped.alias("x"), capped.alias("y")
+    return (x.join(y, (F.col("x.src") == F.col("y.src"))
+                   & (F.col("x.dst") < F.col("y.dst")))
+            .groupBy(F.col("x.dst").alias("a"), F.col("y.dst").alias("b"))
+            .agg(F.count(F.lit(1)).alias("cocite"))
+            .filter(F.col("cocite") >= min_count))

@@ -2797,6 +2797,32 @@ def link_trustrank(spark, sf):
     return ranks.select("node", F.round("pagerank", 6).alias("trustrank"))
 
 
+@q("link_cocitation", """
+WITH edges AS (
+  SELECT DISTINCT user_id % 200 AS src, event_id % 200 AS dst
+  FROM events WHERE user_id % 200 <> event_id % 200),
+capped AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY dst) AS rn
+    FROM edges) WHERE rn <= 50)
+SELECT x.dst AS a, y.dst AS b, count(*)::BIGINT AS cocite
+FROM capped x JOIN capped y ON x.src = y.src AND x.dst < y.dst
+GROUP BY x.dst, y.dst
+HAVING count(*) >= 2
+""")
+def link_cocitation(spark, sf):
+    """Co-citation similarity (related pages / mirror detection): pairs
+    of targets cited by >= 2 common sources, with each source's out-list
+    capped at 50 (lexicographically smallest targets — deterministic, so
+    both engines cap identically) BEFORE the per-src pair join."""
+    e = _t(spark, sf, "events")
+    edges = (e.select((F.col("user_id") % 200).alias("src"),
+                      (F.col("event_id") % 200).alias("dst"))
+             .filter(F.col("src") != F.col("dst")))
+    return graph.cocitation(edges, max_out_degree=50, min_count=2)
+
+
 @q("anchor_text_agg", """
 WITH links AS (
   SELECT event_id % 500 AS target, event_type AS anchor FROM events),

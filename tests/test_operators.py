@@ -1411,3 +1411,26 @@ def test_bpe_encode_count_matches_python_mirror(spark):
             for r in textstats.bpe_encode_count(
                 d, "text", "doc_id", []).collect()}
     assert got0[1] == sum(len(w) + 1 for w in "aa aa ab aa".split())
+
+
+def test_cocitation_cap_and_counts(spark):
+    from disco_crawl_spark.operators import graph
+    # sources 10,11,12 all cite {1,2}; 12 also cites 3; multi-edge dup
+    rows = [(10, 1), (10, 2), (11, 1), (11, 2), (11, 2),
+            (12, 1), (12, 2), (12, 3), (13, 9)]
+    edf = spark.createDataFrame(rows, "src int, dst int")
+    got = {(r["a"], r["b"]): r["cocite"]
+           for r in graph.cocitation(edf, min_count=2).collect()}
+    # (1,2) cited together by 10,11,12; (1,3)/(2,3) only by 12 -> pruned
+    assert got == {(1, 2): 3}
+    # min_count=1 keeps the singletons, ordered a < b
+    got1 = {(r["a"], r["b"]): r["cocite"]
+            for r in graph.cocitation(edf, min_count=1).collect()}
+    assert got1 == {(1, 2): 3, (1, 3): 1, (2, 3): 1}
+    # out-degree cap: a hub citing 0..9 contributes only pairs among its
+    # 3 smallest targets when capped at 3
+    hub = spark.createDataFrame([(99, i) for i in range(10)],
+                                "src int, dst int")
+    gotc = sorted((r["a"], r["b"]) for r in graph.cocitation(
+        hub, max_out_degree=3, min_count=1).collect())
+    assert gotc == [(0, 1), (0, 2), (1, 2)]
