@@ -2634,15 +2634,12 @@ SELECT n AS node, round(r, 6) AS pagerank FROM r{iters}"""
     return head + "".join(rounds) + tail
 
 
-def _trustrank_oracle_sql(n_mod: int = 200, iters: int = 5,
-                          damping: float = 0.85, seed_mod: int = 37) -> str:
-    """Exact SQL mirror of ``graph.pagerank(..., personalization=seeds)``
-    (TrustRank): the pagerank unroll with the teleport vector uniform
-    over the seed set (nodes ≡ 0 mod ``seed_mod``) instead of 1/N — both
-    the (1-d) teleport term and the dangling redistribution multiply
-    p(v), so mass re-enters only at trusted nodes. Same all-DOUBLE float
-    path as the Spark expression."""
-    head = f"""WITH edges AS (
+def _trustrank_cte_chain(n_mod: int = 200, iters: int = 5,
+                         damping: float = 0.85, seed_mod: int = 37) -> str:
+    """The TrustRank unroll as a CTE chain fragment (edges … r{iters}),
+    shared by the standalone ``link_trustrank`` oracle and the
+    ``frontier_priority`` composition oracle."""
+    head = f"""edges AS (
   SELECT DISTINCT user_id % {n_mod} AS src, event_id % {n_mod} AS dst
   FROM events WHERE user_id % {n_mod} <> event_id % {n_mod}),
 nodes AS (SELECT src AS n FROM edges UNION SELECT dst AS n FROM edges),
@@ -2672,9 +2669,66 @@ r{t} AS (
              JOIN r{t - 1} p2 ON p2.n = e.src
              JOIN deg d ON d.src = e.src
              GROUP BY e.dst) c ON c.n = nd.n)""")
-    tail = f"""
-SELECT n AS node, round(r, 6) AS trustrank FROM r{iters}"""
-    return head + "".join(rounds) + tail
+    return head + "".join(rounds)
+
+
+def _trustrank_oracle_sql(n_mod: int = 200, iters: int = 5,
+                          damping: float = 0.85, seed_mod: int = 37) -> str:
+    """Exact SQL mirror of ``graph.pagerank(..., personalization=seeds)``
+    (TrustRank): the pagerank unroll with the teleport vector uniform
+    over the seed set (nodes ≡ 0 mod ``seed_mod``) instead of 1/N — both
+    the (1-d) teleport term and the dangling redistribution multiply
+    p(v), so mass re-enters only at trusted nodes. Same all-DOUBLE float
+    path as the Spark expression."""
+    return (f"WITH {_trustrank_cte_chain(n_mod, iters, damping, seed_mod)}"
+            f"\nSELECT n AS node, round(r, 6) AS trustrank FROM r{iters}")
+
+
+def _frontier_priority_oracle_sql(n_mod: int = 200, iters: int = 5,
+                                  damping: float = 0.85,
+                                  seed_mod: int = 37, k: int = 50) -> str:
+    """Composition oracle: the TrustRank chain PLUS the bounded-recursion
+    BFS closure over the SAME graph and seed set, blended into a ranked
+    frontier. Priority is FIXED-POINT: the 6dp-rounded trustrank becomes
+    exact integer micros (round(tr*1e6) — an integer-valued double on
+    both engines, so the cast agrees), then milli-micros integer-divided
+    by (1 + depth). All-integer arithmetic: no float rounding can
+    diverge (a double round(tr/(1+depth), 6) measurably DID — Spark
+    0.002035 vs DuckDB 0.002034 on an exact decimal midpoint tr/2).
+
+    The recursive closure lives in its OWN subquery scope (a nested,
+    fully self-contained WITH RECURSIVE): hoisting RECURSIVE to the
+    outer WITH makes DuckDB 1.0 mis-evaluate the non-recursive
+    trustrank chain sharing that clause (6.1M garbage rows from a
+    200-row chain, measured), and AS MATERIALIZED under outer-RECURSIVE
+    hangs outright — scoping the recursion is the portable form."""
+    return f"""
+WITH {_trustrank_cte_chain(n_mod, iters, damping, seed_mod)},
+dep AS (
+  SELECT node, min(depth)::BIGINT AS depth FROM (
+    WITH RECURSIVE e2 AS (
+      SELECT DISTINCT user_id % {n_mod} AS src, event_id % {n_mod} AS dst
+      FROM events WHERE user_id % {n_mod} <> event_id % {n_mod}),
+    reach AS (
+      SELECT n AS node, 0 AS depth
+      FROM (SELECT src AS n FROM e2 UNION SELECT dst AS n FROM e2)
+      WHERE n % {seed_mod} = 0
+      UNION
+      SELECT e.dst AS node, r.depth + 1 AS depth
+      FROM reach r JOIN e2 e ON e.src = r.node
+      WHERE r.depth < 32)
+    SELECT node, depth FROM reach) GROUP BY node),
+tr AS (SELECT n AS node, round(r, 6) AS tr FROM r{iters})
+SELECT node, depth, priority_micro, rank FROM (
+  SELECT d.node, d.depth,
+         (round(t.tr * 1000000)::BIGINT * 1000) // (1 + d.depth)
+           AS priority_micro,
+         row_number() OVER (
+           ORDER BY (round(t.tr * 1000000)::BIGINT * 1000)
+                    // (1 + d.depth) DESC, d.node ASC) AS rank
+  FROM dep d JOIN tr t ON t.node = d.node)
+WHERE rank <= {k}
+"""
 
 
 def _hits_oracle_sql(n_mod: int = 200, iters: int = 5) -> str:
@@ -2821,6 +2875,42 @@ def link_cocitation(spark, sf):
                       (F.col("event_id") % 200).alias("dst"))
              .filter(F.col("src") != F.col("dst")))
     return graph.cocitation(edges, max_out_degree=50, min_count=2)
+
+
+@q("frontier_priority", _frontier_priority_oracle_sql())
+def frontier_priority(spark, sf):
+    """The crawl-policy composition the graph signals exist FOR: blend
+    TrustRank authority with seed-set crawl depth into a ranked frontier
+    (priority = trustrank / (1 + depth): authoritative pages near the
+    vetted seeds first — unreachable pages can't be scheduled and are
+    absent by construction). Composes graph.pagerank(personalization=)
+    and graph.bfs_depth over the SAME graph and seed set; priority is
+    FIXED-POINT (trustrank micros × 1000, integer-divided by 1+depth) so
+    both engines rank identical integers — a float division measurably
+    diverged on a decimal midpoint (see the oracle generator docstring).
+    The global top-k window runs on the already-joined frontier
+    (bounded); at 100 TB the rank would partition per host/steward batch
+    exactly like window_budget_rank."""
+    e = _t(spark, sf, "events")
+    edges = (e.select((F.col("user_id") % 200).alias("src"),
+                      (F.col("event_id") % 200).alias("dst"))
+             .filter(F.col("src") != F.col("dst")))
+    nodes = (edges.select(F.col("src").alias("n"))
+             .union(edges.select(F.col("dst").alias("n"))).distinct())
+    seeds = nodes.filter(F.col("n") % 37 == 0)
+    tr = (graph.pagerank(edges, iters=5, damping=0.85,
+                         personalization=seeds)
+          .select("node", F.round("pagerank", 6).alias("tr")))
+    dep = graph.bfs_depth(edges, seeds, max_iters=32)
+    pri = (dep.join(tr, "node")
+           .withColumn("tr_micros",
+                       F.round(F.col("tr") * 1e6, 0).cast("long"))
+           .select("node", "depth",
+                   F.expr("(tr_micros * 1000) div (1 + depth)")
+                   .alias("priority_micro")))
+    w = Window.orderBy(F.col("priority_micro").desc(), F.col("node").asc())
+    return (pri.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 50))
 
 
 @q("anchor_text_agg", """
