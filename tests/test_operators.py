@@ -1434,3 +1434,22 @@ def test_cocitation_cap_and_counts(spark):
     gotc = sorted((r["a"], r["b"]) for r in graph.cocitation(
         hub, max_out_degree=3, min_count=1).collect())
     assert gotc == [(0, 1), (0, 2), (1, 2)]
+
+
+def test_cocitation_plan_caps_before_join(spark):
+    """Plan pin for the docstring's claims: the out-degree cap (window)
+    sits BELOW the pair self-join, and the final (a,b) count has a
+    map-side partial aggregate."""
+    from disco_crawl_spark.operators import graph
+    from disco_crawl_spark import plans
+    edf = spark.range(200).selectExpr("id % 20 as src",
+                                      "(id * 7) % 50 as dst")
+    out = graph.cocitation(edf, max_out_degree=5, min_count=1)
+    s = plans.explain_str(out, "simple")
+    join_at = s.find("Join")
+    win_at = s.find("Window")
+    assert join_at != -1 and win_at != -1
+    # explain prints top-down: the window (cap) must appear BELOW (after)
+    # the join node it feeds
+    assert win_at > join_at, s
+    assert "partial_count" in s or "HashAggregate" in s, s
