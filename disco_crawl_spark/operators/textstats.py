@@ -1105,3 +1105,72 @@ def bpe_encode_count(df: DataFrame, text_col: str, id_col: str,
             .join(summed, id_col, "left")
             .select(id_col, F.coalesce("n_bpe_tokens", F.lit(0))
                     .cast("long").alias("n_bpe_tokens")))
+
+
+# Gopher (Rae et al. 2021, arXiv:2112.11446 §A1.1) document-quality rules.
+# The eight required "stop words" from the paper's final rule.
+GOPHER_REQUIRED_STOPWORDS = ("the", "be", "to", "of", "and",
+                             "that", "have", "with")
+
+
+def gopher_rules(df: DataFrame, text_col: str, id_col: str,
+                 min_words: int = 50, max_words: int = 100_000,
+                 min_mean_wl: float = 3.0, max_mean_wl: float = 10.0,
+                 max_symbol_ratio: float = 0.1,
+                 max_bullet_frac: float = 0.9,
+                 max_ellipsis_frac: float = 0.3,
+                 min_alpha_frac: float = 0.8,
+                 min_stop_hits: int = 2) -> DataFrame:
+    """Gopher document-quality rule set as one pure-Catalyst projection:
+    word-count bounds, mean-word-length bounds, symbol-to-word ratio
+    ('#' + '...'), bullet-started and ellipsis-ended line fractions,
+    fraction of words containing an alphabetic character, and the
+    required-stopword count.  Per-rule flags are folded into one
+    ``gopher_pass`` 0/1 so downstream filters read a single column.
+
+    100 TB shape: narrow per-row projection, no shuffle, whole-stage
+    codegen end to end; filters on ``gopher_pass`` push down to the scan
+    when the projection is materialized as a column.  Ratios are rounded
+    to 6 dp for display; the PASS flags compare the unrounded doubles
+    (identical IEEE division in Spark and DuckDB, so the oracle agrees).
+    """
+    t = F.col(text_col)
+    words = F.split(t, " ")
+    n_words = F.size(words)
+    n_chars = F.length(t)
+    mean_wl = F.try_divide(n_chars - n_words + 1, n_words)
+    n_hash = n_chars - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ell = F.regexp_count(t, F.lit(r"\.\.\."))
+    symbol_ratio = F.try_divide(n_hash + n_ell, n_words)
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    bullet_frac = F.try_divide(
+        F.size(F.filter(lines, lambda l: l.rlike(r"^[-*•]"))), n_lines)
+    ellipsis_frac = F.try_divide(
+        F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)$"))),
+        n_lines)
+    alpha_frac = F.try_divide(
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))), n_words)
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_REQUIRED_STOPWORDS])
+    stop_hits = F.size(F.array_intersect(
+        F.array_distinct(F.split(F.lower(t), " ")), stop_arr))
+    gopher_pass = (
+        n_words.between(min_words, max_words)
+        & mean_wl.between(min_mean_wl, max_mean_wl)
+        & (F.coalesce(symbol_ratio, F.lit(0.0)) <= max_symbol_ratio)
+        & (F.coalesce(bullet_frac, F.lit(0.0)) <= max_bullet_frac)
+        & (F.coalesce(ellipsis_frac, F.lit(0.0)) <= max_ellipsis_frac)
+        & (F.coalesce(alpha_frac, F.lit(0.0)) >= min_alpha_frac)
+        & (stop_hits >= min_stop_hits))
+    z = F.lit(0.0)
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(F.coalesce(mean_wl, z), 6).alias("mean_word_len"),
+        F.round(F.coalesce(symbol_ratio, z), 6).alias("symbol_ratio"),
+        F.round(F.coalesce(bullet_frac, z), 6).alias("bullet_line_frac"),
+        F.round(F.coalesce(ellipsis_frac, z), 6).alias("ellipsis_line_frac"),
+        F.round(F.coalesce(alpha_frac, z), 6).alias("alpha_word_frac"),
+        stop_hits.alias("n_stop_hits"),
+        F.when(gopher_pass, 1).otherwise(0).alias("gopher_pass"),
+    )

@@ -2939,6 +2939,85 @@ def anchor_text_agg_q(spark, sf):
     return graph.anchor_text_agg(links)
 
 
+@q("gopher_rules", r"""
+WITH s AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         length(text) AS n_chars,
+         length(text) - length(replace(text, '#', '')) AS n_hash,
+         len(regexp_extract_all(text, '\.\.\.')) AS n_ell,
+         len(string_split(text, chr(10))) AS n_lines,
+         len(list_filter(string_split(text, chr(10)),
+             l -> regexp_matches(l, '^[-*•]'))) AS n_bullet,
+         len(list_filter(string_split(text, chr(10)),
+             l -> regexp_matches(l, '(\.\.\.|…)$'))) AS n_elll,
+         len(list_filter(string_split(text, ' '),
+             w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+         len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+             ['the','be','to','of','and','that','have','with'])) AS n_stop
+  FROM documents)
+SELECT doc_id, n_words,
+       round(coalesce((n_chars - n_words + 1) / nullif(n_words, 0), 0), 6)
+         AS mean_word_len,
+       round(coalesce((n_hash + n_ell) / nullif(n_words, 0), 0), 6)
+         AS symbol_ratio,
+       round(coalesce(n_bullet / nullif(n_lines, 0), 0), 6)
+         AS bullet_line_frac,
+       round(coalesce(n_elll / nullif(n_lines, 0), 0), 6)
+         AS ellipsis_line_frac,
+       round(coalesce(n_alpha / nullif(n_words, 0), 0), 6)
+         AS alpha_word_frac,
+       n_stop AS n_stop_hits,
+       CASE WHEN n_words BETWEEN 50 AND 100000
+             AND (n_chars - n_words + 1) / nullif(n_words, 0)
+                 BETWEEN 3 AND 10
+             AND coalesce((n_hash + n_ell) / nullif(n_words, 0), 0) <= 0.1
+             AND coalesce(n_bullet / nullif(n_lines, 0), 0) <= 0.9
+             AND coalesce(n_elll / nullif(n_lines, 0), 0) <= 0.3
+             AND coalesce(n_alpha / nullif(n_words, 0), 0) >= 0.8
+             AND n_stop >= 2
+            THEN 1 ELSE 0 END AS gopher_pass
+FROM s
+""")
+def gopher_rules_q(spark, sf):
+    # Gopher (arXiv:2112.11446) quality rule set: one codegen projection,
+    # per-rule ratios + folded pass flag; PASS compares unrounded doubles
+    # (identical IEEE division both engines), display rounds to 6dp
+    d = _t(spark, sf, "documents")
+    return textstats.gopher_rules(d, "text", "doc_id")
+
+
+@q("dedup_fuzzy_edit", r"""
+WITH d AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents),
+k AS (
+  SELECT doc_id, t, length(t) AS ln, length(t) // 32 AS lb,
+         substr(t, 1, 16) AS pk, substr(reverse(t), 1, 16) AS sk
+  FROM d),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.t AS ta, b.t AS tb,
+         a.ln AS la, b.ln AS lbn
+  FROM k a JOIN k b ON a.lb = b.lb AND a.pk = b.pk AND a.doc_id < b.doc_id
+  WHERE abs(a.ln - b.ln) * 1000 <= greatest(a.ln, b.ln) * 200
+  UNION
+  SELECT a.doc_id, b.doc_id, a.t, b.t, a.ln, b.ln
+  FROM k a JOIN k b ON a.lb = b.lb AND a.sk = b.sk AND a.doc_id < b.doc_id
+  WHERE abs(a.ln - b.ln) * 1000 <= greatest(a.ln, b.ln) * 200)
+SELECT id_a, id_b,
+       (1000000 - levenshtein(ta, tb)::BIGINT * 1000000
+                  // greatest(la, lbn))::BIGINT AS edit_sim_micro
+FROM cand
+WHERE levenshtein(ta, tb)::BIGINT * 1000 <= greatest(la, lbn) * 200
+""")
+def dedup_fuzzy_edit_q(spark, sf):
+    # blocked (length-bucket x prefix/suffix) + Levenshtein-verified fuzzy
+    # dedup; integer-arithmetic threshold and fixed-point similarity keep
+    # the oracle bit-exact (no float rounding on a filtered value)
+    d = _t(spark, sf, "documents")
+    return dedup.fuzzy_edit_pairs(d, "text", "doc_id")
+
+
 # ===========================================================================
 # flagship (entry): dedup + quality + language over documents
 # ===========================================================================

@@ -1453,3 +1453,76 @@ def test_cocitation_plan_caps_before_join(spark):
     # the join node it feeds
     assert win_at > join_at, s
     assert "partial_count" in s or "HashAggregate" in s, s
+
+
+def test_gopher_rules_each_rule_fires(spark):
+    base = " ".join(["the be to of and word more text here now"] * 6)  # 60 w
+    rows = [
+        ("ok", base),
+        ("short", "the be of tiny"),                       # word count < 50
+        ("longwords", " ".join(["the", "be"] + ["x" * 30] * 58)),  # mwl > 10
+        ("symbols", " ".join(["the be of and"] + ["#"] * 56)),  # sym + alpha
+        ("bullets", "\n".join(["the be of and word text " * 9] +
+                              ["- item"] * 60)),           # >90% bullet lines
+        ("ellipsis", "\n".join(["the be of and word text " * 9] +
+                               ["trailing..."] * 30)),     # >30% '...' lines
+        ("nostop", " ".join(["alpha beta gamma delta"] * 15)),  # <2 stopwords
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r.asDict() for r in
+           textstats.gopher_rules(df, "text", "doc_id").collect()}
+    assert out["ok"]["gopher_pass"] == 1
+    for k in ("short", "longwords", "symbols", "bullets", "ellipsis",
+              "nostop"):
+        assert out[k]["gopher_pass"] == 0, (k, out[k])
+    # the specific ratio that fails each doc is the one out of bounds
+    assert out["short"]["n_words"] < 50
+    assert out["longwords"]["mean_word_len"] > 10
+    assert out["symbols"]["symbol_ratio"] > 0.1
+    assert out["bullets"]["bullet_line_frac"] > 0.9
+    assert out["ellipsis"]["ellipsis_line_frac"] > 0.3
+    assert out["nostop"]["n_stop_hits"] < 2
+    # line fractions: 60 bullet lines over 69 total
+    assert abs(out["bullets"]["bullet_line_frac"] - 60 / 61) < 1e-6
+
+
+def test_fuzzy_edit_pairs_blocking_and_threshold(spark):
+    common = "the quick brown fox jumps over the lazy dog " * 4
+    rows = [
+        ("a1", common + "tail one"),
+        ("a2", common + "tail two"),          # prefix block, sim >= 0.8
+        ("b1", "XYZQW start differs " + common),
+        ("b2", "QWERT other opening " + common),  # only the suffix block
+        ("c1", "completely unrelated content about spark shuffles"),
+        ("c2", "totally different text on duckdb oracle parity"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {(r["id_a"], r["id_b"]): r["edit_sim_micro"] for r in
+           dedup.fuzzy_edit_pairs(df, "text", "doc_id").collect()}
+    assert ("a1", "a2") in out
+    assert ("b1", "b2") in out
+    assert all(k in {("a1", "a2"), ("b1", "b2")} for k in out), out
+    # fixed-point similarity agrees with a python levenshtein mirror
+    def lev(s, t):
+        # O(nm) reference kernel
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            cur = [i]
+            for j, ct in enumerate(t, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (cs != ct)))
+            prev = cur
+        return prev[-1]
+
+    import re
+    norm = {k: re.sub(r"\s+", " ", v.lower()).strip() for k, v in rows}
+    for (ia, ib), micro in out.items():
+        l = lev(norm[ia], norm[ib])
+        gm = max(len(norm[ia]), len(norm[ib]))
+        assert l * 1000 <= gm * 200
+        assert micro == 1_000_000 - (l * 1_000_000) // gm
+    # pair found by BOTH blocks is emitted once (exact-dup doc)
+    df2 = spark.createDataFrame([("d1", common), ("d2", common)],
+                                ["doc_id", "text"])
+    out2 = dedup.fuzzy_edit_pairs(df2, "text", "doc_id").collect()
+    assert len(out2) == 1 and out2[0]["edit_sim_micro"] == 1_000_000
