@@ -41,7 +41,7 @@ HEADLINE = [
     "ann_cosine_topk", "ann_batch_queries", "ann_ivf_batch", "pq_ann_topk",
     "ivf_pq_topk", "semantic_dedup",
     "link_pagerank", "link_hits", "link_bfs_depth", "link_trustrank",
-    "link_cocitation", "frontier_priority",
+    "link_cocitation", "frontier_priority", "link_communities",
     "anchor_text_agg", "inverted_postings", "tfidf_top_terms", "bm25_topk",
     "bm25_batch",
     "crawl_delta", "dedup_cross_corpus", "ccnet_perplexity",

@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from .ckpt import ckpt_tools
 
 __all__ = ["pagerank", "anchor_text_agg", "hits", "bfs_depth",
-           "cocitation"]
+           "cocitation", "label_propagation"]
 
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
@@ -377,3 +377,55 @@ def cocitation(edges: DataFrame, src: str = "src", dst: str = "dst",
             .groupBy(F.col("x.dst").alias("a"), F.col("y.dst").alias("b"))
             .agg(F.count(F.lit(1)).alias("cocite"))
             .filter(F.col("cocite") >= min_count))
+
+
+def label_propagation(edges: DataFrame, src: str = "src", dst: str = "dst",
+                      iters: int = 4) -> DataFrame:
+    """Synchronous, deterministic label propagation communities (LPA,
+    Raghavan et al. 2007) over the undirected link graph: every node
+    starts labeled with itself; each round it adopts the most frequent
+    label among its neighbors, ties broken by the SMALLEST label.  Fixed
+    ``iters`` synchronous rounds make the result a pure function of the
+    graph (asynchronous/randomized LPA is not reproducible — useless for
+    an oracle-checked pipeline).  Detects host communities / mirror
+    farms / link rings between crawl rounds — the policy signal that
+    caps or downweights a whole community rather than one host.
+
+    Returns (node, community).
+
+    100 TB shape: per round exactly two map-side-combinable hash
+    aggregations — (node, neighbor-label) counts, then the per-node
+    winner via ``max(struct(cnt, -label))`` — no window, no sort.  The
+    symmetrized edge table is repartitioned on the join key and persisted
+    ONCE; labels are the only narrow table that moves per round, each
+    generation localCheckpoint-ed and the superseded one released
+    (the connected_components pattern).
+    """
+    a, b = F.col(src).alias("a"), F.col(dst).alias("b")
+    und = (edges.select(a, b)
+           .union(edges.select(F.col(dst).alias("a"),
+                               F.col(src).alias("b")))
+           .filter(F.col("a") != F.col("b"))
+           .distinct()
+           .repartition("b")
+           .sortWithinPartitions("b")
+           .persist())
+    labels = (und.select(F.col("a").alias("n")).distinct()
+              .select("n", F.col("n").alias("lab")))
+    sc = edges.sparkSession.sparkContext
+    _ckpt, _release = ckpt_tools(sc)
+    labels, held = _ckpt(labels)
+    for _ in range(iters):
+        nb = und.join(labels.withColumnRenamed("n", "b"), "b")
+        cnt = nb.groupBy("a", "lab").agg(F.count(F.lit(1)).alias("cnt"))
+        new = (cnt.groupBy("a")
+               .agg(F.max(F.struct(F.col("cnt"),
+                                   (-F.col("lab")).alias("neg")))
+                    .alias("w"))
+               .select(F.col("a").alias("n"),
+                       (-F.col("w.neg")).alias("lab")))
+        new, new_held = _ckpt(new)
+        _release(held)
+        labels, held = new, new_held
+    und.unpersist()
+    return labels.select("n", F.col("lab").alias("community"))

@@ -2939,6 +2939,63 @@ def anchor_text_agg_q(spark, sf):
     return graph.anchor_text_agg(links)
 
 
+def _lpa_oracle_sql(n_mod: int = 200, block: int = 40, cross_mod: int = 97,
+                    iters: int = 4) -> str:
+    """Exact SQL mirror of ``graph.label_propagation``: the synchronous
+    rounds are data-dependent so the fixed round count is unrolled as
+    chained CTEs (the pagerank/IVF idiom).  Each round is the
+    (node, neighbor-label) count plus the per-node winner elected by
+    ``row_number() OVER (ORDER BY cnt DESC, lab ASC)`` — the exact
+    tie-break Spark's ``max(struct(cnt, -lab))`` implements.  Chained
+    CTEs are ``AS MATERIALIZED``: DuckDB re-evaluates inlined chains
+    exponentially (the PQ-oracle lesson).  The synthetic community graph
+    derives deterministically from ``events``: nodes = ids mod
+    ``n_mod``, edges kept when both ends share a ``block`` or on a
+    sparse ``cross_mod`` hash — 5 planted blocks plus weak cross links,
+    so LPA has real structure to find."""
+    head = f"""WITH de AS MATERIALIZED (
+  SELECT DISTINCT user_id % {n_mod} AS s, event_id % {n_mod} AS d
+  FROM events
+  WHERE user_id % {n_mod} <> event_id % {n_mod}
+    AND ((user_id % {n_mod}) // {block} = (event_id % {n_mod}) // {block}
+         OR ((user_id % {n_mod}) * 31 + event_id % {n_mod})
+            % {cross_mod} = 0)),
+ue AS MATERIALIZED (
+  SELECT s AS a, d AS b FROM de UNION SELECT d AS a, s AS b FROM de),
+l0 AS MATERIALIZED (SELECT DISTINCT a AS n, a AS lab FROM ue)"""
+    rounds = []
+    for t in range(1, iters + 1):
+        rounds.append(f""",
+c{t} AS MATERIALIZED (
+  SELECT e.a, p.lab, count(*) AS cnt
+  FROM ue e JOIN l{t - 1} p ON p.n = e.b GROUP BY e.a, p.lab),
+l{t} AS MATERIALIZED (
+  SELECT a AS n, lab FROM (
+    SELECT a, lab,
+           row_number() OVER (PARTITION BY a
+                              ORDER BY cnt DESC, lab ASC) AS rn
+    FROM c{t}) WHERE rn = 1)""")
+    tail = f"""
+SELECT n AS node, lab AS community FROM l{iters}"""
+    return head + "".join(rounds) + tail
+
+
+@q("link_communities", _lpa_oracle_sql())
+def link_communities(spark, sf):
+    # deterministic synchronous LPA over the planted-block link graph;
+    # winner election is two hash aggs (max(struct)), never a window
+    e = _t(spark, sf, "events")
+    s = (F.col("user_id") % 200).alias("src")
+    d = (F.col("event_id") % 200).alias("dst")
+    edges = (e.select(s, d)
+             .filter(F.col("src") != F.col("dst"))
+             .filter(((F.col("src") / 40).cast("long")
+                      == (F.col("dst") / 40).cast("long"))
+                     | ((F.col("src") * 31 + F.col("dst")) % 97 == 0)))
+    return (graph.label_propagation(edges)
+            .select(F.col("n").alias("node"), "community"))
+
+
 @q("gopher_rules", r"""
 WITH s AS (
   SELECT doc_id,

@@ -1526,3 +1526,40 @@ def test_fuzzy_edit_pairs_blocking_and_threshold(spark):
                                 ["doc_id", "text"])
     out2 = dedup.fuzzy_edit_pairs(df2, "text", "doc_id").collect()
     assert len(out2) == 1 and out2[0]["edit_sim_micro"] == 1_000_000
+
+
+def test_label_propagation_planted_communities(spark):
+    from disco_crawl_spark.operators import graph
+    # two 5-cliques bridged by one edge: LPA must find the two blocks
+    cliq_a = [(i, j) for i in range(5) for j in range(5) if i < j]
+    cliq_b = [(i, j) for i in range(10, 15) for j in range(10, 15) if i < j]
+    edges = cliq_a + cliq_b + [(4, 10)]
+    edf = spark.createDataFrame(edges, "src int, dst int")
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    got = {r["n"]: r["community"]
+           for r in graph.label_propagation(edf, iters=4).collect()}
+    after = len(spark.sparkContext._jsc.getPersistentRDDs())
+
+    # independent python mirror of the synchronous deterministic rule
+    und = {}
+    for s, d in edges:
+        und.setdefault(s, set()).add(d)
+        und.setdefault(d, set()).add(s)
+    lab = {n: n for n in und}
+    for _ in range(4):
+        new = {}
+        for n, nbrs in und.items():
+            cnt = {}
+            for m in nbrs:
+                cnt[lab[m]] = cnt.get(lab[m], 0) + 1
+            new[n] = min(l for l, c in cnt.items()
+                         if c == max(cnt.values()))
+        lab = new
+    assert got == lab
+    # the planted blocks really are two communities
+    comms = {frozenset(n for n, c in got.items() if c == v)
+             for v in set(got.values())}
+    assert frozenset(range(5)) in comms
+    assert frozenset(range(10, 15)) in comms
+    # superseded round checkpoints were released (final labels stay live)
+    assert after - before <= 2
