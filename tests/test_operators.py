@@ -1563,3 +1563,23 @@ def test_label_propagation_planted_communities(spark):
     assert frozenset(range(10, 15)) in comms
     # superseded round checkpoints were released (final labels stay live)
     assert after - before <= 2
+
+
+def test_fuzzy_edit_plan_keeps_lev_out_of_joins(spark):
+    from disco_crawl_spark import plans
+    df = spark.createDataFrame(
+        [(i, f"doc text number {i}") for i in range(20)],
+        ["doc_id", "text"])
+    out = dedup.fuzzy_edit_pairs(df, "text", "doc_id")
+    s = plans.explain_str(out, "simple")
+    # the O(n*m) kernel must never be a condition of the BLOCKING joins
+    # (keyed on bk): as their residual it runs per block-matched row,
+    # including self-pairs — measured 2-3x the whole query.  On the
+    # later id-equi string-fetch joins a pushed residual evaluates once
+    # per candidate (equivalent to the post-join filter), so it's allowed
+    # there.  Also: no wide first()-style pair-dedup aggregate.
+    for line in s.splitlines():
+        if "Join" in line and "bk#" in line:
+            assert "levenshtein" not in line, line
+    assert "first(ta" not in s and "first(tb" not in s, s
+    assert "levenshtein" in s  # the verify does run, post-blocking
