@@ -33,7 +33,7 @@ HEADLINE = [
     "tpch_q1", "tpch_q3_topk", "tpch_q5_join_chain", "agg_counts",
     "window_budget_rank", "sessionize_lag", "seen_anti_join",
     "dedup_exact", "dedup_passages", "substring_dedup", "dedup_minhash_lsh",
-    "dedup_simhash",
+    "dedup_simhash", "containment_pairs",
     "dedup_embedding_cosine", "dedup_clusters", "dedup_keep_minhash",
     "repetition_stats", "corpus_mix_sample", "token_count", "quality_score",
     "gopher_rules", "dedup_fuzzy_edit",

@@ -736,3 +736,56 @@ def fuzzy_edit_pairs(df: DataFrame, text_col: str, id_col: str,
                               "* 1000000 DIV "
                               "CAST(greatest(la, lbn) AS BIGINT)"))
                     .cast("long").alias("edit_sim_micro")))
+
+
+def containment_pairs(df: DataFrame, text_col: str, id_col: str,
+                      ngram: int = 3, threshold_permille: int = 700,
+                      max_df: int = 50) -> DataFrame:
+    """One-sided n-gram containment (Broder's resemblance companion):
+    pairs where ``shared_grams / min(|grams(A)|, |grams(B)|)`` >= the
+    threshold — the quote/subset detector that symmetric Jaccard misses
+    when one doc embeds another much larger one.  Grams are hashed token
+    slices (``_gram_array``); containment denominators are each doc's
+    TRUE distinct-gram count, but pair generation drops grams present in
+    more than ``max_df`` docs (boilerplate stop-grams) — the posting-list
+    cap that bounds the inverted-index self-join at web scale, mirrored
+    exactly in the oracle.
+
+    Returns (id_a, id_b, shared, cont_micro) with the containment in
+    fixed-point micro units (integer arithmetic end to end — no float
+    compares on a filtered value).
+
+    100 TB shape: the gram table is localCheckpoint-ed once (three
+    branches read it: sizes, doc-frequency, pair join); the hot-gram set
+    is joined as a BROADCAST anti-join (only grams with ndocs > max_df
+    materialize on the driver side of the build, a set bounded by the
+    cap's own rarity); the pair aggregation shuffles narrow
+    (id_a, id_b) rows with map-side combine.
+    """
+    from .textstats import _gram_array
+    toks = F.split(F.col(text_col), " ")
+    grams = (df.select(F.col(id_col).alias("id"),
+                       F.explode(F.array_distinct(_gram_array(toks, ngram)))
+                       .alias("g"))
+             .localCheckpoint(eager=True))
+    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    hot = (grams.groupBy("g").agg(F.count(F.lit(1)).alias("ndocs"))
+           .filter(F.col("ndocs") > max_df)
+           .select("g"))
+    kept = grams.join(F.broadcast(hot), "g", "left_anti")
+    a = kept.select(F.col("id").alias("id_a"), "g")
+    b = kept.select(F.col("id").alias("id_b"), "g")
+    pairs = (a.join(b, "g")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("shared")))
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    mn = F.least("n_a", "n_b").cast("long")
+    return (pairs.join(na, "id_a").join(nb, "id_b")
+            .filter(F.col("shared").cast("long") * 1000
+                    >= mn * threshold_permille)
+            .select("id_a", "id_b", "shared",
+                    F.expr("CAST(shared AS BIGINT) * 1000000 DIV "
+                           "CAST(least(n_a, n_b) AS BIGINT)")
+                    .alias("cont_micro")))

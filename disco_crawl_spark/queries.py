@@ -2996,6 +2996,33 @@ def link_communities(spark, sf):
             .select(F.col("n").alias("node"), "community"))
 
 
+@q("containment_pairs", """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS g
+  FROM tok, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)),
+sz AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+hot AS (SELECT g FROM (SELECT g, count(*) AS ndocs FROM grams GROUP BY g)
+        WHERE ndocs > 50),
+kept AS (SELECT doc_id, g FROM grams ANTI JOIN hot USING (g)),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+SELECT id_a, id_b, shared,
+       (shared::BIGINT * 1000000 // least(sa.n, sb.n)::BIGINT)::BIGINT
+         AS cont_micro
+FROM p JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+WHERE shared::BIGINT * 1000 >= least(sa.n, sb.n)::BIGINT * 700
+""")
+def containment_pairs_q(spark, sf):
+    # one-sided n-gram containment (quote/subset detection): hashed-gram
+    # inverted index, broadcast anti-join on the hot-gram cap, narrow
+    # (id_a,id_b) pair agg; gram counts identical to the oracle's string
+    # grams (xxhash64 collision bound ~2^-64, the substring_dedup bound)
+    d = _t(spark, sf, "documents")
+    return dedup.containment_pairs(d, "text", "doc_id")
+
+
 @q("gopher_rules", r"""
 WITH s AS (
   SELECT doc_id,

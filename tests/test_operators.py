@@ -1583,3 +1583,29 @@ def test_fuzzy_edit_plan_keeps_lev_out_of_joins(spark):
             assert "levenshtein" not in line, line
     assert "first(ta" not in s and "first(tb" not in s, s
     assert "levenshtein" in s  # the verify does run, post-blocking
+
+
+def test_containment_pairs_planted_subset_and_hot_cap(spark):
+    quote = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [
+        ("inner", quote),
+        ("outer", quote + " kilo lima mike november oscar papa quebec "
+                          "romeo sierra tango uniform victor whiskey xray"),
+        ("other", "one two three four five six seven eight nine ten "
+                  "eleven twelve thirteen fourteen fifteen sixteen"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {(r["id_a"], r["id_b"]): r for r in
+           dedup.containment_pairs(df, "text", "doc_id").collect()}
+    # the quote is fully contained: all 8 of inner's 3-grams shared
+    assert set(out) == {("inner", "outer")}
+    r = out[("inner", "outer")]
+    assert r["shared"] == 8 and r["cont_micro"] == 1_000_000
+    # hot-gram cap: with max_df=1 every shared gram is "hot", pair gone —
+    # the cap bounds pair generation (denominators would stay true)
+    none = dedup.containment_pairs(df, "text", "doc_id", max_df=1).collect()
+    assert none == []
+    # symmetric Jaccard would have REJECTED this pair (the point of the op)
+    ja = dedup.token_jaccard_pairs(df, "text", "doc_id",
+                                   threshold=0.7).collect()
+    assert ("inner", "outer") not in {(x["a"], x["b"]) for x in ja}
