@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from . import functions as cf
-from .operators import dedup, graph, similarity, textstats
+from .operators import dedup, graph, schedule, similarity, textstats
 from .operators.diff import snapshot_diff
 
 QUERY_VEC = [1.0 if i % 3 == 0 else (0.5 if i % 3 == 1 else -0.25)
@@ -2994,6 +2994,48 @@ def link_communities(spark, sf):
                      | ((F.col("src") * 31 + F.col("dst")) % 97 == 0)))
     return (graph.label_propagation(edges)
             .select(F.col("n").alias("node"), "community"))
+
+
+@q("budget_waterfill", """
+WITH dem AS (
+  SELECT user_id % 200 AS host, count(*)::BIGINT AS demand
+  FROM events GROUP BY 1),
+bud AS (SELECT (sum(demand) * 2 // 5)::BIGINT AS b FROM dem),
+ranked AS (
+  SELECT host, demand,
+         row_number() OVER (ORDER BY demand, host) AS rn,
+         sum(demand) OVER (ORDER BY demand, host) AS prefix,
+         count(*) OVER () AS n
+  FROM dem),
+scalar AS (
+  SELECT coalesce(max(CASE WHEN prefix - demand + demand * (n - rn + 1)
+                                <= (SELECT b FROM bud)
+                           THEN rn END), 0) AS k,
+         coalesce(max(CASE WHEN prefix - demand + demand * (n - rn + 1)
+                                <= (SELECT b FROM bud)
+                           THEN prefix END), 0) AS pk,
+         max(n) AS nn
+  FROM ranked)
+SELECT host, demand,
+       (CASE WHEN rn <= k THEN demand
+             ELSE ((SELECT b FROM bud) - pk) // greatest(nn - k, 1)
+                  + CASE WHEN rn - k <=
+                         ((SELECT b FROM bud) - pk)
+                         - ((SELECT b FROM bud) - pk)
+                           // greatest(nn - k, 1) * (nn - k)
+                         THEN 1 ELSE 0 END
+        END)::BIGINT AS allocated
+FROM ranked, scalar
+""")
+def budget_waterfill_q(spark, sf):
+    # max-min fair (water-filling) reallocation of a global fetch budget
+    # across per-host demands — budget = 40% of total demand, a bounded
+    # 1-row driver scalar (the IVF-training-sample bound)
+    e = _t(spark, sf, "events")
+    dem = (e.groupBy((F.col("user_id") % 200).alias("host"))
+           .agg(F.count(F.lit(1)).cast("long").alias("demand")))
+    total = dem.agg(F.sum("demand")).collect()[0][0]
+    return schedule.budget_waterfill(dem, budget=total * 2 // 5)
 
 
 @q("containment_pairs", """

@@ -1609,3 +1609,42 @@ def test_containment_pairs_planted_subset_and_hot_cap(spark):
     ja = dedup.token_jaccard_pairs(df, "text", "doc_id",
                                    threshold=0.7).collect()
     assert ("inner", "outer") not in {(x["a"], x["b"]) for x in ja}
+
+
+def test_budget_waterfill_invariants_and_python_mirror(spark):
+    from disco_crawl_spark.operators import schedule
+    import random
+    rng = random.Random(7)
+    rows = [(h, rng.randint(1, 40)) for h in range(25)]
+    df = spark.createDataFrame(rows, "host long, demand long")
+    total = sum(d for _, d in rows)
+
+    def mirror(budget):
+        srt = sorted(rows, key=lambda x: (x[1], x[0]))
+        n = len(srt)
+        k, pk, prefix = 0, 0, 0
+        for i, (h, d) in enumerate(srt, 1):
+            if prefix + d * (n - i + 1) <= budget:
+                k, pk = i, prefix + d
+            prefix += d
+        rem = n - k
+        leftover = budget - pk
+        lvl = leftover // max(rem, 1)
+        extra = leftover - lvl * rem
+        out = {}
+        for i, (h, d) in enumerate(srt, 1):
+            out[h] = d if i <= k else lvl + (1 if i - k <= extra else 0)
+        return out
+
+    for budget in (0, 1, total // 3, total - 1, total, total + 50):
+        got = {r["host"]: r["allocated"] for r in
+               schedule.budget_waterfill(df, budget).collect()}
+        dem = dict(rows)
+        assert got == mirror(budget), budget
+        assert all(0 <= got[h] <= dem[h] for h in dem), budget
+        assert sum(got.values()) == min(budget, total), budget
+        # max-min fairness: every unsatisfied host gets at least as much
+        # as any other host's unsatisfied share minus the 1-slot remainder
+        unsat = [got[h] for h in dem if got[h] < dem[h]]
+        if unsat:
+            assert max(unsat) - min(unsat) <= 1, budget
