@@ -49,7 +49,7 @@ HEADLINE = [
     "domain_split",
     "dsir_select",
     "quality_lr", "windowed_event_stats", "steward_hash_order",
-    "budget_waterfill",
+    "budget_waterfill", "trap_templates",
     "json_extract",
 ]
 

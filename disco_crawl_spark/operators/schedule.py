@@ -82,3 +82,40 @@ def budget_waterfill(demands: DataFrame, budget: int,
                         .otherwise(0)))
     return (out.select("host", "demand",
                        alloc.cast("long").alias("allocated")))
+
+
+def trap_templates(urls: DataFrame, host_col: str = "host",
+                   path_col: str = "path", cap: int = 40) -> DataFrame:
+    """Spider-trap detection via URL structural templates: collapse every
+    digit run in the path to ``N`` and count distinct URLs per
+    (host, template).  A template whose URL count explodes (calendar
+    pages, session ids, faceted search) is an infinite-URL-space
+    signature — the frontier-hygiene gate crawlers apply before
+    scheduling (IRLbot's spam/trap budgeting, Mercator's dup-URL
+    observations); the reference has no equivalent (its scope filter is
+    host-level only, worker.py:231-268).
+
+    Returns (host, tmpl, n_urls, share_micro, is_trap): the distinct-URL
+    count per template, its fixed-point share of the host's distinct
+    URLs, and the over-``cap`` flag.
+
+    100 TB shape: two map-side-combinable hash aggregations — distinct
+    (host, template, path) then the (host, template) rollup — plus a
+    per-host total joined back on the host key (host cardinality is
+    bounded, and the join input is already the small rollup, never raw
+    URLs).  Pure built-ins, no UDF, no window.
+    """
+    t = urls.select(
+        F.col(host_col).alias("host"),
+        F.regexp_replace(F.col(path_col), "[0-9]+", "N").alias("tmpl"),
+        F.col(path_col).alias("path"))
+    per = (t.groupBy("host", "tmpl")
+           .agg(F.count_distinct("path").alias("n_urls")))
+    tot = (per.groupBy("host")
+           .agg(F.sum("n_urls").alias("host_urls")))
+    return (per.join(tot, "host")
+            .select("host", "tmpl", "n_urls",
+                    F.expr("CAST(n_urls AS BIGINT) * 1000000 DIV "
+                           "CAST(host_urls AS BIGINT)").alias("share_micro"),
+                    F.when(F.col("n_urls") > cap, 1).otherwise(0)
+                    .alias("is_trap")))

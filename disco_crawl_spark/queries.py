@@ -3038,6 +3038,44 @@ def budget_waterfill_q(spark, sf):
     return schedule.budget_waterfill(dem, budget=total * 2 // 5)
 
 
+@q("trap_templates", """
+WITH urls AS (
+  SELECT 'h' || (user_id % 50) AS host,
+         CASE event_type WHEN 'view' THEN '/page/' || event_id
+              WHEN 'click' THEN '/cal/2024/' || (event_id % 365)
+              WHEN 'error' THEN '/item?id=' || event_id
+              ELSE '/static/p' || (event_id % 20) END AS path
+  FROM events),
+per AS (SELECT host, regexp_replace(path, '[0-9]+', 'N', 'g') AS tmpl,
+               count(DISTINCT path)::BIGINT AS n_urls
+        FROM urls GROUP BY 1, 2),
+tot AS (SELECT host, sum(n_urls)::BIGINT AS host_urls FROM per GROUP BY 1)
+SELECT host, tmpl, n_urls,
+       (n_urls * 1000000 // host_urls)::BIGINT AS share_micro,
+       CASE WHEN n_urls > 40 THEN 1 ELSE 0 END AS is_trap
+FROM per JOIN tot USING (host)
+""")
+def trap_templates_q(spark, sf):
+    # spider-trap mining over the synthetic URL space derived from events
+    # (unbounded /page/<id> + /item?id=<id> templates vs bounded calendar
+    # and static ones) — frontier hygiene the reference lacks
+    e = _t(spark, sf, "events")
+    urls = e.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 50).cast("string"))
+        .alias("host"),
+        F.when(F.col("event_type") == "view",
+               F.concat(F.lit("/page/"), F.col("event_id").cast("string")))
+        .when(F.col("event_type") == "click",
+              F.concat(F.lit("/cal/2024/"),
+                       (F.col("event_id") % 365).cast("string")))
+        .when(F.col("event_type") == "error",
+              F.concat(F.lit("/item?id="), F.col("event_id").cast("string")))
+        .otherwise(F.concat(F.lit("/static/p"),
+                            (F.col("event_id") % 20).cast("string")))
+        .alias("path"))
+    return schedule.trap_templates(urls)
+
+
 @q("containment_pairs", """
 WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 grams AS (

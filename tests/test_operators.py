@@ -1648,3 +1648,20 @@ def test_budget_waterfill_invariants_and_python_mirror(spark):
         unsat = [got[h] for h in dem if got[h] < dem[h]]
         if unsat:
             assert max(unsat) - min(unsat) <= 1, budget
+
+
+def test_trap_templates_flags_infinite_spaces(spark):
+    from disco_crawl_spark.operators import schedule
+    rows = ([("a.gov", f"/cal/2024/{d}") for d in range(60)]      # trap
+            + [("a.gov", "/about"), ("a.gov", "/contact")]        # fine
+            + [("b.gov", f"/p{i}" ) for i in range(5)])           # fine
+    df = spark.createDataFrame(rows, ["host", "path"])
+    out = {(r["host"], r["tmpl"]): r for r in
+           schedule.trap_templates(df, cap=40).collect()}
+    trap = out[("a.gov", "/cal/N/N")]
+    assert trap["is_trap"] == 1 and trap["n_urls"] == 60
+    # share: 60 of a.gov's 62 distinct urls
+    assert trap["share_micro"] == 60 * 1_000_000 // 62
+    assert out[("a.gov", "/about")]["is_trap"] == 0
+    assert out[("b.gov", "/pN")]["is_trap"] == 0
+    assert out[("b.gov", "/pN")]["n_urls"] == 5  # digits collapse together
