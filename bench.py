@@ -49,7 +49,8 @@ HEADLINE = [
     "domain_split",
     "dsir_select",
     "quality_lr", "windowed_event_stats", "steward_hash_order",
-    "budget_waterfill", "trap_templates",
+    "budget_waterfill", "trap_templates", "recrawl_change_rates",
+    "politeness_audit",
     "json_extract",
 ]
 

@@ -119,3 +119,91 @@ def trap_templates(urls: DataFrame, host_col: str = "host",
                            "CAST(host_urls AS BIGINT)").alias("share_micro"),
                     F.when(F.col("n_urls") > cap, 1).otherwise(0)
                     .alias("is_trap")))
+
+
+def recrawl_change_rates(visits: DataFrame, url_col: str = "url_id",
+                         ts_col: str = "ts", content_col: str = "ver",
+                         tie_col: "str | None" = None) -> DataFrame:
+    """Per-URL change-rate estimation from a revisit log — the freshness
+    signal incremental crawlers schedule by (Cho & Garcia-Molina 2003:
+    revisit frequency proportional to the observed change rate).  For
+    each URL, order its visits by time and count transitions where the
+    observed content differs from the previous visit's.
+
+    Returns (url_id, n_visits, n_changed, change_rate_micro, last_ts):
+    the revisit count, observed changes, fixed-point changes-per-revisit
+    (0 for single-visit URLs), and the latest visit time — the inputs a
+    scheduler blends into a recrawl priority (the ``frontier_priority``
+    composition pattern).
+
+    ``tie_col`` breaks exact-timestamp ties deterministically (pass the
+    event id); without it equal-timestamp visit order would be
+    partition-layout-dependent.
+
+    100 TB shape: ONE shuffle on the URL key shared by the lag window
+    and the per-URL aggregate (same partitioning, no second exchange);
+    output is one narrow row per URL.  Pure built-ins, integer
+    arithmetic on the rate.
+    """
+    order = [F.col(ts_col)] + ([F.col(tie_col)] if tie_col else [])
+    w = Window.partitionBy(url_col).orderBy(*order)
+    prev = F.lag(F.col(content_col)).over(w)
+    lagged = visits.select(
+        F.col(url_col), F.col(ts_col), F.col(content_col),
+        F.when(prev.isNotNull() & (prev != F.col(content_col)), 1)
+        .otherwise(0).alias("chg"))
+    return (lagged.groupBy(url_col)
+            .agg(F.count(F.lit(1)).alias("n_visits"),
+                 F.sum("chg").cast("long").alias("n_changed"),
+                 F.max(ts_col).alias("last_ts"))
+            .select(F.col(url_col), "n_visits", "n_changed",
+                    F.when(F.col("n_visits") > 1,
+                           F.expr("CAST(n_changed AS BIGINT) * 1000000 DIV "
+                                  "(CAST(n_visits AS BIGINT) - 1)"))
+                    .otherwise(0).cast("long").alias("change_rate_micro"),
+                    "last_ts"))
+
+
+def politeness_audit(fetches: DataFrame, host_col: str = "host",
+                     ts_col: str = "ts",
+                     min_delay_sec: float = 120.0) -> DataFrame:
+    """Per-host politeness compliance over a fetch log: inter-fetch gaps
+    (lag window per host), the minimum observed gap, and how many gaps
+    undershot ``min_delay_sec`` — the audit a crawl operator runs to
+    prove the fleet honours crawl-delay before pointing it at real
+    hosts (the reference enforces politeness with sleeps,
+    worker.py:472-520, but never MEASURES compliance; at fleet scale
+    enforcement bugs are found by auditing the log, not the code).
+
+    Returns (host, n_fetches, min_gap_sec_micro, n_violations,
+    violation_rate_micro); single-fetch hosts report zero gaps and a
+    NULL min gap.
+
+    100 TB shape: one shuffle on the host key shared by the lag window
+    and the rollup; gaps are computed as integer microsecond deltas
+    (``unix_micros``) so both engines agree exactly.
+    """
+    w = Window.partitionBy(host_col).orderBy(ts_col)
+    lim_us = int(min_delay_sec * 1_000_000)
+    # timestampdiff handles TIMESTAMP and TIMESTAMP_NTZ alike (parquet
+    # scans yield NTZ, unix_micros would reject it)
+    lagged = (fetches.select(
+        F.col(host_col), F.col(ts_col).alias("__ts"),
+        F.lag(F.col(ts_col)).over(w).alias("__prev"))
+        .select(F.col(host_col),
+                F.expr("timestampdiff(MICROSECOND, __prev, __ts)")
+                .alias("gap_us")))
+    return (lagged.groupBy(host_col)
+            .agg(F.count(F.lit(1)).alias("n_fetches"),
+                 F.min("gap_us").alias("min_gap_us"),
+                 F.sum(F.when(F.col("gap_us") < lim_us, 1).otherwise(0))
+                 .cast("long").alias("n_violations"))
+            .select(F.col(host_col), "n_fetches",
+                    F.col("min_gap_us").cast("long")
+                    .alias("min_gap_sec_micro"),
+                    "n_violations",
+                    F.when(F.col("n_fetches") > 1,
+                           F.expr("CAST(n_violations AS BIGINT) * 1000000 "
+                                  "DIV (CAST(n_fetches AS BIGINT) - 1)"))
+                    .otherwise(0).cast("long")
+                    .alias("violation_rate_micro")))

@@ -3076,6 +3076,63 @@ def trap_templates_q(spark, sf):
     return schedule.trap_templates(urls)
 
 
+@q("recrawl_change_rates", """
+WITH visits AS (
+  SELECT event_id % 300 AS url_id, ts, event_id,
+         user_id % 4 AS ver
+  FROM events),
+lagged AS (
+  SELECT url_id, ts, ver,
+         CASE WHEN lag(ver) OVER (PARTITION BY url_id
+                                  ORDER BY ts, event_id) IS NOT NULL
+               AND lag(ver) OVER (PARTITION BY url_id
+                                  ORDER BY ts, event_id) <> ver
+              THEN 1 ELSE 0 END AS chg
+  FROM visits)
+SELECT url_id, count(*)::BIGINT AS n_visits,
+       sum(chg)::BIGINT AS n_changed,
+       (CASE WHEN count(*) > 1
+             THEN sum(chg)::BIGINT * 1000000 // (count(*)::BIGINT - 1)
+             ELSE 0 END)::BIGINT AS change_rate_micro,
+       max(ts) AS last_ts
+FROM lagged GROUP BY url_id
+""")
+def recrawl_change_rates_q(spark, sf):
+    # freshness estimation over the synthetic revisit log (url = event_id
+    # mod 300, content version = user_id mod 4); event_id tie-breaks
+    # equal timestamps so visit order is layout-independent
+    e = _t(spark, sf, "events")
+    visits = e.select((F.col("event_id") % 300).alias("url_id"),
+                      "ts", "event_id",
+                      (F.col("user_id") % 4).alias("ver"))
+    return schedule.recrawl_change_rates(visits, tie_col="event_id")
+
+
+@q("politeness_audit", """
+WITH f AS (SELECT user_id % 50 AS host, ts FROM events),
+g AS (SELECT host,
+             epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY host
+                                                   ORDER BY ts)) AS gap_us
+      FROM f)
+SELECT host, count(*)::BIGINT AS n_fetches,
+       min(gap_us)::BIGINT AS min_gap_sec_micro,
+       sum(CASE WHEN gap_us < 120000000 THEN 1 ELSE 0 END)::BIGINT
+         AS n_violations,
+       (CASE WHEN count(*) > 1
+             THEN sum(CASE WHEN gap_us < 120000000 THEN 1 ELSE 0 END)::BIGINT
+                  * 1000000 // (count(*)::BIGINT - 1)
+             ELSE 0 END)::BIGINT AS violation_rate_micro
+FROM g GROUP BY host
+""")
+def politeness_audit_q(spark, sf):
+    # per-host crawl-delay compliance over the synthetic fetch log
+    # (host = user_id mod 50): integer-microsecond gaps, one host-keyed
+    # shuffle shared by the lag window and the rollup
+    e = _t(spark, sf, "events")
+    f = e.select((F.col("user_id") % 50).alias("host"), "ts")
+    return schedule.politeness_audit(f, min_delay_sec=120.0)
+
+
 @q("containment_pairs", """
 WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 grams AS (

@@ -1665,3 +1665,54 @@ def test_trap_templates_flags_infinite_spaces(spark):
     assert out[("a.gov", "/about")]["is_trap"] == 0
     assert out[("b.gov", "/pN")]["is_trap"] == 0
     assert out[("b.gov", "/pN")]["n_urls"] == 5  # digits collapse together
+
+
+def test_recrawl_change_rates_transitions(spark):
+    from disco_crawl_spark.operators import schedule
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # url 1: A -> A -> B -> B -> A  (2 changes / 4 revisits)
+        *[(1, t0 + dt.timedelta(hours=i), i, v)
+          for i, v in enumerate(["A", "A", "B", "B", "A"])],
+        # url 2: constant (0 changes / 2 revisits)
+        *[(2, t0 + dt.timedelta(hours=i), 10 + i, "X") for i in range(3)],
+        # url 3: single visit -> rate 0
+        (3, t0, 99, "Z"),
+        # url 4: equal timestamps, tie broken by event id: A(5) -> B(6)
+        (4, t0, 5, "A"), (4, t0, 6, "B"),
+    ]
+    df = spark.createDataFrame(rows, ["url_id", "ts", "event_id", "ver"])
+    got = {r["url_id"]: r for r in
+           schedule.recrawl_change_rates(df, content_col="ver",
+                                         tie_col="event_id").collect()}
+    assert (got[1]["n_changed"], got[1]["change_rate_micro"]) == (2, 500_000)
+    assert (got[2]["n_changed"], got[2]["change_rate_micro"]) == (0, 0)
+    assert (got[3]["n_visits"], got[3]["change_rate_micro"]) == (1, 0)
+    assert got[4]["n_changed"] == 1
+    assert got[1]["last_ts"] == t0 + dt.timedelta(hours=4)
+
+
+def test_politeness_audit_gaps_and_violations(spark):
+    from disco_crawl_spark.operators import schedule
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # polite host: 3 fetches 200s apart
+        ("good", t0), ("good", t0 + dt.timedelta(seconds=200)),
+        ("good", t0 + dt.timedelta(seconds=400)),
+        # rude host: 30s and 500s gaps -> 1 violation of 2 gaps
+        ("rude", t0), ("rude", t0 + dt.timedelta(seconds=30)),
+        ("rude", t0 + dt.timedelta(seconds=530)),
+        # single fetch: no gaps, NULL min
+        ("solo", t0),
+    ]
+    df = spark.createDataFrame(rows, ["host", "ts"])
+    got = {r["host"]: r for r in
+           schedule.politeness_audit(df, min_delay_sec=120).collect()}
+    assert got["good"]["n_violations"] == 0
+    assert got["good"]["min_gap_sec_micro"] == 200_000_000
+    assert got["rude"]["n_violations"] == 1
+    assert got["rude"]["violation_rate_micro"] == 500_000
+    assert got["solo"]["min_gap_sec_micro"] is None
+    assert got["solo"]["violation_rate_micro"] == 0
