@@ -62,6 +62,26 @@ CASES = [
                     "distance is a codegen'd fold over the row's own "
                     "embedding, top-k is a TakeOrdered. No exchange "
                     "anywhere."),
+    ("dedup_fuzzy_edit", "Blocked Levenshtein verify: the blocking "
+                        "joins move only (id, length, block-key) rows; "
+                        "the candidate distinct is on narrow id pairs "
+                        "(no wide first() aggregate); the O(n*m) "
+                        "levenshtein kernel sits above the id-equi "
+                        "string-fetch joins, never as a blocking-join "
+                        "residual (as one it ran per block-matched row "
+                        "incl. self-pairs — measured 2-3x the query)."),
+    ("containment_pairs", "Inverted-index containment: the hot-gram cap "
+                          "is a BroadcastHashJoin LeftAnti (only "
+                          "over-cap grams build), the pair count is a "
+                          "map-side-combinable hash agg on (id_a, "
+                          "id_b), and true denominators join the small "
+                          "rollup — raw grams shuffle exactly once."),
+    ("budget_waterfill", "Water-filling allocation: the only window "
+                         "sorts the bounded HOST table (2 narrow "
+                         "columns); the level scalar is a 1-row "
+                         "aggregate broadcast back (BroadcastNestedLoop "
+                         "over 1 row, not a shuffle); per-URL work "
+                         "never appears in the plan."),
     ("link_cocitation", "The super-hub-bounded pair join: the out-degree "
                         "cap (row_number window) runs BEFORE the per-src "
                         "self-join, so the pair blowup is C(cap,2) per "
