@@ -36,7 +36,7 @@ HEADLINE = [
     "dedup_simhash", "containment_pairs",
     "dedup_embedding_cosine", "dedup_clusters", "dedup_keep_minhash",
     "repetition_stats", "corpus_mix_sample", "token_count", "quality_score",
-    "gopher_rules", "dedup_fuzzy_edit",
+    "gopher_rules", "dedup_fuzzy_edit", "compression_ratio",
     "domain_quality_gate", "decontaminate", "stratified_sample", "pack_chunks",
     "ann_cosine_topk", "ann_batch_queries", "ann_ivf_batch", "pq_ann_topk",
     "ivf_pq_topk", "semantic_dedup",

@@ -3133,6 +3133,15 @@ def politeness_audit_q(spark, sf):
     return schedule.politeness_audit(f, min_delay_sec=120.0)
 
 
+@q("compression_ratio", None)
+def compression_ratio_q(spark, sf):
+    """DEFLATE-ratio quality signal. rows-only: no ANSI engine exposes
+    zlib, so parity is pinned against python zlib directly in pytest
+    (byte-exact, same level)."""
+    d = _t(spark, sf, "documents")
+    return textstats.compression_ratio(d, "text", "doc_id")
+
+
 @q("containment_pairs", """
 WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 grams AS (

@@ -1716,3 +1716,22 @@ def test_politeness_audit_gaps_and_violations(spark):
     assert got["rude"]["violation_rate_micro"] == 500_000
     assert got["solo"]["min_gap_sec_micro"] is None
     assert got["solo"]["violation_rate_micro"] == 0
+
+
+def test_compression_ratio_matches_python_zlib(spark):
+    import zlib
+    rows = [("rep", "spam spam spam " * 50),
+            ("prose", "the quick brown fox jumps over one lazy dog while "
+                      "seventeen vexed zebras quietly mix bright jugs"),
+            ("empty", "")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           textstats.compression_ratio(df, "text", "doc_id").collect()}
+    for k, t in rows:
+        b = t.encode("utf-8")
+        assert got[k]["raw_len"] == len(b)
+        assert got[k]["zlib_len"] == len(zlib.compress(b, 6))
+        exp = (len(zlib.compress(b, 6)) * 1_000_000 // len(b)) if b else 0
+        assert got[k]["ratio_micro"] == exp
+    # the repetitive doc compresses far better than prose
+    assert got["rep"]["ratio_micro"] < got["prose"]["ratio_micro"] // 3
