@@ -35,6 +35,7 @@ HEADLINE = [
     "dedup_exact", "dedup_passages", "substring_dedup", "dedup_minhash_lsh",
     "dedup_simhash", "containment_pairs",
     "dedup_embedding_cosine", "dedup_clusters", "dedup_keep_minhash",
+    "dedup_keep_best",
     "repetition_stats", "corpus_mix_sample", "token_count", "quality_score",
     "gopher_rules", "dedup_fuzzy_edit", "compression_ratio",
     "domain_quality_gate", "decontaminate", "stratified_sample", "pack_chunks",

@@ -789,3 +789,35 @@ def containment_pairs(df: DataFrame, text_col: str, id_col: str,
                     F.expr("CAST(shared AS BIGINT) * 1000000 DIV "
                            "CAST(least(n_a, n_b) AS BIGINT)")
                     .alias("cont_micro")))
+
+
+def dedup_keep_best(df: DataFrame, pairs: DataFrame, id_col: str,
+                    score_col: str, a: str = "a", b: str = "b") -> DataFrame:
+    """Quality-aware canonical selection over a near-dup pair set: every
+    doc maps to its component, but the kept copy is the component's
+    HIGHEST-``score_col`` member (ties → smallest id), not its minimum
+    id.  This is the policy real training pipelines want — when a page
+    and its mirror differ in boilerplate, keep the cleaner/longer one,
+    not whichever crawled first (``dedup_keep`` keeps min-id; this
+    composes the same connected components with an argmax election).
+
+    Returns (id, comp, keep_id, is_canonical).
+
+    100 TB shape: connected components is the O(log d)-round pointer-
+    jumping operator; the election adds ONE map-side-combinable hash agg
+    on comp (``max(struct(score, -id))``) joined back broadcast-or-hash
+    on the narrow (comp, keep_id) table — no window, no sort.
+    """
+    comps = connected_components(df.select(id_col), pairs, id_col, a, b)
+    scored = (comps.join(df.select(F.col(id_col),
+                                   F.col(score_col).alias("__score")),
+                         comps["id"] == df[id_col])
+              .select("id", "comp", "__score"))
+    winners = (scored.groupBy("comp")
+               .agg(F.max(F.struct(F.col("__score"),
+                                   (-F.col("id")).alias("neg")))
+                    .alias("w"))
+               .select("comp", (-F.col("w.neg")).alias("keep_id")))
+    return (scored.join(winners, "comp")
+            .select(F.col("id").alias(id_col), "comp", "keep_id",
+                    (F.col("id") == F.col("keep_id")).alias("is_canonical")))

@@ -1503,6 +1503,47 @@ def dedup_clusters(spark, sf):
     return dedup.dedup_keep(d, pairs, "doc_id")
 
 
+@q("dedup_keep_best", """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS tk
+  FROM documents WHERE doc_id < 200),
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM toks a, toks b
+  WHERE a.doc_id < b.doc_id
+    AND round(len(list_intersect(a.tk, b.tk))::DOUBLE /
+              len(list_distinct(list_concat(a.tk, b.tk))), 6) >= 0.5),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION ALL SELECT b, a FROM pairs),
+walk AS (
+  SELECT doc_id AS id, doc_id AS comp FROM documents WHERE doc_id < 200
+  UNION
+  SELECT e.dst AS id, w.comp
+  FROM walk w JOIN edges e ON e.src = w.id),
+comps AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id),
+sc AS (SELECT c.id, c.comp, d.n_chars
+       FROM comps c JOIN documents d ON d.doc_id = c.id),
+win AS (SELECT comp, id AS keep_id FROM (
+          SELECT comp, id,
+                 row_number() OVER (PARTITION BY comp
+                                    ORDER BY n_chars DESC, id ASC) AS rn
+          FROM sc) WHERE rn = 1)
+SELECT s.id AS doc_id, s.comp, w.keep_id,
+       (s.id = w.keep_id) AS is_canonical
+FROM sc s JOIN win w ON w.comp = s.comp
+""")
+def dedup_keep_best_q(spark, sf):
+    # quality-aware canonical election: same component structure as
+    # dedup_clusters, but the kept copy is the LONGEST member (the
+    # keep-the-cleanest policy), tie -> smallest id; winner by
+    # max(struct(score, -id)) — no window on the Spark side
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    pairs = dedup.token_jaccard_pairs(d, "text", "doc_id", threshold=0.5,
+                                      id_cap=200)
+    return dedup.dedup_keep_best(d, pairs, "doc_id", "n_chars")
+
+
 @q("repetition_stats", """
 WITH base AS (
   SELECT doc_id, length(text) AS n_chars,

@@ -1735,3 +1735,21 @@ def test_compression_ratio_matches_python_zlib(spark):
         assert got[k]["ratio_micro"] == exp
     # the repetitive doc compresses far better than prose
     assert got["rep"]["ratio_micro"] < got["prose"]["ratio_micro"] // 3
+
+
+def test_dedup_keep_best_elects_highest_score(spark):
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 99), (4, 7), (5, 50)],
+        ["doc_id", "score"])
+    # component {1,2,3} (chain), component {4}, component {5}
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["a", "b"])
+    got = {r["doc_id"]: r for r in
+           dedup.dedup_keep_best(docs, pairs, "doc_id", "score").collect()}
+    # highest score wins; tie (2 vs 3 at 99) -> smallest id
+    assert all(got[i]["keep_id"] == 2 for i in (1, 2, 3))
+    assert got[2]["is_canonical"] and not got[1]["is_canonical"]
+    # singletons are their own canonical
+    assert got[4]["keep_id"] == 4 and got[4]["is_canonical"]
+    assert got[5]["keep_id"] == 5
+    # exactly one canonical per component
+    assert sum(1 for r in got.values() if r["is_canonical"]) == 3
