@@ -243,3 +243,90 @@ def run_seen_filter_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_politeness_gate_stream(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    available_now: bool = True,
+    capacity_tokens: int = 3,
+    refill_milli_per_sec: int = 100,
+):
+    """Streaming per-host politeness gate — the reference's sleep-based
+    crawl-delay (worker.py:450-461,505-506) re-expressed as a stateful
+    token bucket (``applyInPandasWithState``): fetch candidates stream in
+    as (host, ts, url); each host's bucket starts full
+    (``capacity_tokens``), refills at ``refill_milli_per_sec``
+    milli-tokens per event-time second, and each allowed fetch spends
+    1000 milli-tokens.  Rows are emitted tagged ``allow`` or ``defer`` —
+    the gate never drops (a deferred candidate re-enters the frontier;
+    losing it would be the unrecoverable direction, same contract as the
+    seen-filter stream).
+
+    Determinism: all arithmetic is integer (event-time microseconds ×
+    milli-tokens), and each micro-batch's group rows are processed in
+    (ts, url) order — the verdict sequence is a pure function of the
+    event times, never of arrival interleaving.  State per host is two
+    longs (bucket level, last refill time), checkpointed with the query:
+    a restarted stream continues with the tokens it had.
+
+    100 TB shape: state is O(hosts) × 16 bytes; the stream partitions by
+    host exactly like the batch schedule, so one host's gate never
+    shuffles to another task.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    cap_milli = capacity_tokens * 1000
+
+    src = (spark.readStream
+           .schema("host string, ts timestamp, url string")
+           .parquet(input_path))
+
+    def gate(key, pdfs, state: GroupState):
+        if state.exists:
+            tokens, last_us = int(state.get[0]), int(state.get[1])
+        else:
+            tokens, last_us = cap_milli, None
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if not len(pdf):
+            state.update((tokens, last_us if last_us is not None else 0))
+            return
+        pdf = pdf.sort_values(["ts", "url"], kind="mergesort")
+        # unit-explicit: .astype(int64) alone would yield ns or us
+        # depending on the Arrow/pandas storage unit
+        ts_us = (pdf["ts"].values.astype("datetime64[us]")
+                 .astype("int64").tolist())
+        verdicts = []
+        for t in ts_us:
+            if last_us is not None and t > last_us:
+                tokens = min(cap_milli,
+                             tokens + (t - last_us) * refill_milli_per_sec
+                             // 1_000_000)
+            last_us = t if last_us is None else max(last_us, t)
+            if tokens >= 1000:
+                tokens -= 1000
+                verdicts.append("allow")
+            else:
+                verdicts.append("defer")
+        out = pdf[["host", "ts", "url"]].assign(verdict=verdicts)
+        state.update((tokens, last_us))
+        yield out
+
+    out = src.groupBy("host").applyInPandasWithState(
+        gate,
+        outputStructType="host string, ts timestamp, url string, "
+                         "verdict string",
+        stateStructType="tokens long, last_us long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    writer = (out.writeStream.format("parquet")
+              .option("path", output_path)
+              .option("checkpointLocation", checkpoint_path)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

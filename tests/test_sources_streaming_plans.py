@@ -588,3 +588,42 @@ def test_round4_late_op_plan_quality(spark):
     assert sbb.count("Scan parquet") == 1, sbb
     assert plans.uses_broadcast_join(bb), sbb
     assert "Scan ExistingRDD" in sbb, sbb
+
+
+def test_politeness_gate_stream_token_bucket_and_restart(spark, tmp_path):
+    # the crawl-delay sleep as a stateful token bucket: verdicts are a pure
+    # function of event times; bucket level survives a restart
+    import datetime as dt
+    inp, outp, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(sec, host, url):
+        return (host, t0 + dt.timedelta(seconds=sec), url)
+
+    # capacity 2 tokens, refill 100 milli/s (one token per 10s)
+    batch1 = [at(0, "a", "u1"), at(1, "a", "u2"),   # drain the bucket
+              at(2, "a", "u3"),                      # deferred (0.1 tokens)
+              at(12, "a", "u4"),                     # refilled 1.2 -> allow
+              at(0, "b", "v1")]                      # independent host
+    spark.createDataFrame(batch1, "host string, ts timestamp, url string"
+                          ).coalesce(1).write.mode("append").parquet(inp)
+    q = streaming.run_politeness_gate_stream(
+        spark, inp, outp, ckpt, capacity_tokens=2, refill_milli_per_sec=100)
+    q.awaitTermination()
+    got = {r["url"]: r["verdict"] for r in spark.read.parquet(outp).collect()}
+    assert got == {"u1": "allow", "u2": "allow", "u3": "defer",
+                   "u4": "allow", "v1": "allow"}
+
+    # restart: host a's bucket carried ~0.2 tokens at t=12; at t=14 it has
+    # ~0.4 -> defer; at t=30 it has 2.0 (capped) -> allow
+    batch2 = [at(14, "a", "u5"), at(30, "a", "u6")]
+    spark.createDataFrame(batch2, "host string, ts timestamp, url string"
+                          ).coalesce(1).write.mode("append").parquet(inp)
+    q2 = streaming.run_politeness_gate_stream(
+        spark, inp, outp, ckpt, capacity_tokens=2, refill_milli_per_sec=100)
+    q2.awaitTermination()
+    got2 = {r["url"]: r["verdict"]
+            for r in spark.read.parquet(outp).collect()}
+    assert got2["u5"] == "defer" and got2["u6"] == "allow"
+    # the gate never drops: every candidate row was emitted exactly once
+    assert len(got2) == 7
