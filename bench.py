@@ -52,7 +52,7 @@ HEADLINE = [
     "quality_lr", "windowed_event_stats", "steward_hash_order",
     "budget_waterfill", "trap_templates", "recrawl_change_rates",
     "politeness_audit",
-    "json_extract",
+    "json_extract", "sitemap_parse",
 ]
 
 # bench corpus: ~130 crawlable hosts, ALL seeded so parallelism is maximal

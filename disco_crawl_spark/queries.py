@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from . import functions as cf
+from . import sources
 from .operators import dedup, graph, schedule, similarity, textstats
 from .operators.diff import snapshot_diff
 
@@ -3208,6 +3209,52 @@ def containment_pairs_q(spark, sf):
     # grams (xxhash64 collision bound ~2^-64, the substring_dedup bound)
     d = _t(spark, sf, "documents")
     return dedup.containment_pairs(d, "text", "doc_id")
+
+
+@q("sitemap_parse", """
+WITH x AS (
+  SELECT event_id AS sm_id,
+         '<url><loc>https://h' || (user_id % 50) || '.gov.au/p' || event_id
+         || '</loc>'
+         || CASE WHEN event_id % 3 <> 0
+                 THEN '<lastmod>2024-01-'
+                      || lpad(((event_id % 28) + 1)::VARCHAR, 2, '0')
+                      || '</lastmod>' ELSE '' END
+         || CASE WHEN event_id % 5 <> 0
+                 THEN '<changefreq>' || event_type || '</changefreq>'
+                 ELSE '' END
+         || '</url>' AS xml
+  FROM events)
+SELECT sm_id,
+       nullif(regexp_extract(xml, '<loc>([^<]+)</loc>', 1), '') AS loc,
+       nullif(regexp_extract(xml, '<lastmod>([^<]+)</lastmod>', 1), '')
+         AS lastmod,
+       nullif(regexp_extract(xml, '<changefreq>([^<]+)</changefreq>', 1), '')
+         AS changefreq
+FROM x
+WHERE nullif(regexp_extract(xml, '<loc>([^<]+)</loc>', 1), '') IS NOT NULL
+""")
+def sitemap_parse_q(spark, sf):
+    # sitemap-protocol ingestion: synthesize one <url> entry per event
+    # (some missing optional tags), parse with the pure-regexp extractor;
+    # the oracle parses per-row (one entry each), the Spark path runs the
+    # full multi-entry explode machinery
+    e = _t(spark, sf, "events")
+    day = F.lpad(((F.col("event_id") % 28) + 1).cast("string"), 2, "0")
+    xml = F.concat(
+        F.lit("<url><loc>https://h"),
+        (F.col("user_id") % 50).cast("string"),
+        F.lit(".gov.au/p"), F.col("event_id").cast("string"),
+        F.lit("</loc>"),
+        F.when(F.col("event_id") % 3 != 0,
+               F.concat(F.lit("<lastmod>2024-01-"), day,
+                        F.lit("</lastmod>"))).otherwise(""),
+        F.when(F.col("event_id") % 5 != 0,
+               F.concat(F.lit("<changefreq>"), F.col("event_type"),
+                        F.lit("</changefreq>"))).otherwise(""),
+        F.lit("</url>"))
+    sm = e.select(F.col("event_id").alias("sm_id"), xml.alias("xml"))
+    return sources.sitemap_entries(sm, "xml").drop("xml")
 
 
 @q("gopher_rules", r"""

@@ -13,7 +13,7 @@ from __future__ import annotations
 import gzip
 import io
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, text string, "
                 "lang string, redirect_to string")
@@ -159,3 +159,36 @@ def write_warc(records: list, fileobj, compress: bool = False):
     if compress:
         data = gzip.compress(data)
     fileobj.write(data)
+
+
+def sitemap_entries(df: DataFrame, xml_col: str) -> DataFrame:
+    """Parse sitemap-protocol ``<url>`` entries (sitemaps.org XML) out of
+    a string column holding one entry or a whole ``<urlset>`` per row:
+    extract every ``<loc>`` with its positionally-matching ``<lastmod>``
+    and ``<changefreq>`` (absent tags → NULL) — the seed-ingestion source
+    a crawler reads before the frontier exists.  The reference crawls
+    from a fixed seed list (conf.py AGENCIES); sitemap ingestion is the
+    standard web-scale replacement.
+
+    Pure ``regexp_extract_all`` + ``arrays_zip`` + ``explode`` —
+    entry-scoped regexes (match within ``<url>…</url>``) so a missing
+    optional tag cannot shift the positional pairing; no XML library, no
+    UDF: at 100 TB this is a codegen projection over whatever scan
+    carries the sitemap bodies.
+
+    Returns one row per ``<loc>``: (…input cols…, loc, lastmod,
+    changefreq).
+    """
+    entry = F.regexp_extract_all(F.col(xml_col),
+                                 F.lit(r"<url>(.*?)</url>"), F.lit(1))
+    z = F.explode(entry).alias("__entry")
+    one = lambda pat: F.nullif(  # noqa: E731 — tiny local extractor
+        F.regexp_extract(F.col("__entry"), pat, 1), F.lit(""))
+    return (df.select("*", z)
+            .select("*",
+                    one(r"<loc>([^<]+)</loc>").alias("loc"),
+                    one(r"<lastmod>([^<]+)</lastmod>").alias("lastmod"),
+                    one(r"<changefreq>([^<]+)</changefreq>")
+                    .alias("changefreq"))
+            .drop("__entry")
+            .filter(F.col("loc").isNotNull()))

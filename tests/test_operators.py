@@ -1753,3 +1753,22 @@ def test_dedup_keep_best_elects_highest_score(spark):
     assert got[5]["keep_id"] == 5
     # exactly one canonical per component
     assert sum(1 for r in got.values() if r["is_canonical"]) == 3
+
+
+def test_sitemap_entries_multi_entry_and_missing_tags(spark):
+    from disco_crawl_spark import sources
+    xml = ("<urlset><url><loc>https://a.gov/1</loc>"
+           "<lastmod>2024-01-01</lastmod><changefreq>daily</changefreq>"
+           "</url><url><loc>https://a.gov/2</loc></url>"
+           "<url><lastmod>2024-02-02</lastmod></url></urlset>")
+    df = spark.createDataFrame([(1, xml), (2, "<urlset></urlset>")],
+                               ["sm_id", "xml"])
+    got = sources.sitemap_entries(df, "xml").drop("xml").collect()
+    rows = {(r["sm_id"], r["loc"]): r for r in got}
+    # entry 1: all tags; entry 2: optional tags NULL; loc-less entry and
+    # empty sitemap produce no rows
+    assert set(rows) == {(1, "https://a.gov/1"), (1, "https://a.gov/2")}
+    full = rows[(1, "https://a.gov/1")]
+    assert full["lastmod"] == "2024-01-01" and full["changefreq"] == "daily"
+    bare = rows[(1, "https://a.gov/2")]
+    assert bare["lastmod"] is None and bare["changefreq"] is None
