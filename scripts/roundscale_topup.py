@@ -88,6 +88,26 @@ def main(argv: list) -> None:
             })
         merged_sizes.append(s)
 
+    # rungs never measured before (e.g. a new wider level) are APPENDED
+    # rather than silently dropped — same record shape as measure() writes
+    known = {int(s["m"][5:-1]) for s in merged_sizes
+             if s["m"].startswith("wide-")}
+    for n, f in sorted(fresh.items()):
+        if n in known:
+            continue
+        c4, c16 = f["runs"]["local[4]"], f["runs"]["local[16]"]
+        hw_eff = round((f["hw"][16] / f["hw"][4]) / 4, 3)
+        eff = round((rate(c16) / rate(c4)) / 4, 3)
+        merged_sizes.append({
+            "m": f"wide-{n}h", "hosts": n, "pages": c4["urls"],
+            "urls_per_round": c4["urls"] / c4.get("rounds", 10),
+            "c4": c4, "c16": c16, "eff": eff, "hw_eff": hw_eff,
+            "eff_vs_hw": round(min(1.0, eff / hw_eff), 3),
+            "passes": passes,
+            "topup_hw": {str(k): round(v / 1e6, 2)
+                         for k, v in f["hw"].items()},
+        })
+
     rec = {"ts": time.strftime("%Y-%m-%d %H:%M"),
            "merged_from": prev["ts"],
            "topup_hosts": hosts,
