@@ -681,25 +681,40 @@ def _write_scaling_report(this_run: "dict | None", corpus_pages: int,
             f"{s.get('passes', 2)} |"
             for s in rs["sizes"])
         big = rs["sizes"][-1]
-        # every record that measured the largest rung, so a weather-split
-        # window can't silently become the headline (nor silently vanish)
+        # every record that measured the WATCHED rungs — the largest, plus
+        # the most-measured one if different — so a weather-split window
+        # can't silently become the headline (nor silently vanish); the
+        # r3-ADVICE transparency rule survives the curve growing a new,
+        # lightly-measured widest level
+        most = max(rs["sizes"], key=lambda s: s.get("passes", 2))
+        watch = [big] + ([most] if most["m"] != big["m"] else [])
         big_windows = ""
-        seen_windows = [
-            (r["ts"], s["eff"], s["eff_vs_hw"], s.get("passes", 2))
-            for r in rs_recs for s in r["sizes"] if s["m"] == big["m"]]
         big_line = (f"**At the largest width the round loop reaches "
                     f"{big['eff']} raw / {big['eff_vs_hw']} "
-                    f"hardware-normalized efficiency.**")
-        if len(seen_windows) > 1:
-            big_windows = ("\nThe largest rung across every recorded "
-                           "measurement window (box weather moves single "
-                           "windows substantially — compare rungs within "
-                           "one window where possible; per-window notes in "
-                           "BENCH/CRAWL_BISECT.md):\n\n"
-                           "| window | eff raw | eff vs hw | passes |\n"
-                           "|---|---|---|---|\n" + "\n".join(
-                               f"| {ts} | {e} | {ev} | {p} |"
-                               for ts, e, ev, p in seen_windows) + "\n")
+                    f"hardware-normalized efficiency"
+                    + (" (one measurement window so far — weight it "
+                       "against the per-window spread of the "
+                       "most-measured rung below)"
+                       if big.get("passes", 2) <= 2 else "")
+                    + ".**")
+        for tgt in watch:
+            seen_windows = [
+                (r["ts"], s["eff"], s["eff_vs_hw"], s.get("passes", 2))
+                for r in rs_recs for s in r["sizes"] if s["m"] == tgt["m"]]
+            if len(seen_windows) <= 1:
+                continue
+            big_windows += ("\nThe `" + tgt["m"] + "` rung across every "
+                            "recorded measurement window (box weather "
+                            "moves single windows substantially — compare "
+                            "rungs within one window where possible; "
+                            "per-window notes in BENCH/CRAWL_BISECT.md):"
+                            "\n\n"
+                            "| window | eff raw | eff vs hw | passes |\n"
+                            "|---|---|---|---|\n" + "\n".join(
+                                f"| {ts} | {e} | {ev} | {p} |"
+                                for ts, e, ev, p in seen_windows) + "\n")
+            if tgt["m"] != big["m"]:
+                continue
             lo = min(w[1] for w in seen_windows)
             hi = max(w[1] for w in seen_windows)
             lov = min(w[2] for w in seen_windows)
