@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from .ckpt import ckpt_tools
 
 __all__ = ["pagerank", "anchor_text_agg", "hits", "bfs_depth",
-           "cocitation", "label_propagation"]
+           "cocitation", "label_propagation", "resolve_redirects"]
 
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
@@ -429,3 +429,84 @@ def label_propagation(edges: DataFrame, src: str = "src", dst: str = "dst",
         labels, held = new, new_held
     und.unpersist()
     return labels.select("n", F.col("lab").alias("community"))
+
+
+def resolve_redirects(redirects: DataFrame, src: str = "src",
+                      dst: str = "dst", max_hops: int = 8) -> DataFrame:
+    """Whole-graph redirect-chain resolution: for every URL in the
+    redirect map (sources and targets), the terminal URL its chain lands
+    on, the exact hop count, and whether the chain resolves within
+    ``max_hops``. The reference follows redirects one hop at a time with
+    ``allow_redirects=False`` during its scheme/www probes
+    (crawler-node/src/crawler/worker.py:286-340, is_redirect_local at
+    worker.py:228-245) and caps the walk; this is the batch analog a
+    frontier needs — collapsing every discovered URL to its redirect
+    terminal BEFORE the seen-check, so `a → b → c` never occupies three
+    frontier slots and re-crawls of moved sites dedup to the new home.
+
+    Input must be a FUNCTIONAL map (at most one ``dst`` per ``src`` — an
+    HTTP response has one Location header); duplicate sources would make
+    the walk nondeterministic, so duplicates raise. Returns
+    ``(url, final_url, hops, resolved)`` for every distinct URL in
+    src ∪ dst: terminals resolve to themselves at hop 0; a chain of
+    length L ≤ max_hops resolves with ``hops = L``; longer chains AND
+    cycles (a cycle never terminates) report ``final_url = NULL,
+    hops = max_hops, resolved = 0`` — exactly what a crawler's
+    too-many-redirects abort records.
+
+    Algorithm: pointer doubling on the map itself. Round k's table maps
+    each source to the node 2^k hops away — or to its terminal with the
+    exact hop count if the chain ends sooner (the left join simply
+    misses, freezing the row). ceil(log2(max_hops)) rounds therefore
+    settle every chain of length ≤ max_hops, and every row still
+    mid-chain afterwards has walked ≥ max_hops hops, which proves its
+    chain is longer than the cap — no cycle detection pass needed.
+    Each round is ONE self-join of the checkpointed map, shuffling on
+    the join key; rounds are O(log max_hops), not O(chain length), and
+    per-round plans stay flat (the connected_components lineage lesson).
+    At a 10^10-URL frontier the map is the redirect subset (~1-5% of
+    URLs); every stage is hash-partitioned on the URL — no driver-side
+    state, no collect.
+    """
+    sc = redirects.sparkSession.sparkContext
+    _ckpt, _release = ckpt_tools(sc)
+
+    m = redirects.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    jump = m.select("a", "b", F.lit(1).cast("long").alias("s"))
+    jump, held = _ckpt(jump)
+    dup = (jump.groupBy("a").count().filter(F.col("count") > 1).isEmpty())
+    if not dup:
+        _release(held)
+        raise ValueError("resolve_redirects needs a functional map: "
+                         "a src with two dsts has no single chain")
+    rounds = max(1, (max_hops - 1).bit_length())  # ceil(log2(max_hops))
+    for _ in range(rounds):
+        nxt = (jump.alias("l")
+               .join(jump.select(F.col("a").alias("b"),
+                                 F.col("b").alias("b2"),
+                                 F.col("s").alias("s2")).alias("r"),
+                     "b", "left")
+               .select(F.col("l.a").alias("a"),
+                       F.coalesce("r.b2", "l.b").alias("b"),
+                       (F.col("l.s")
+                        + F.coalesce("r.s2", F.lit(0))).alias("s")))
+        nxt, nheld = _ckpt(nxt)
+        _release(held)
+        jump, held = nxt, nheld
+    srcs = m.select(F.col("a").alias("t")).distinct()
+    uni = (m.select(F.col("a").alias("url"))
+           .union(m.select(F.col("b").alias("url"))).distinct())
+    mark = srcs.select(F.col("t").alias("b"), F.lit(1).alias("__in_map"))
+    res = (uni.join(jump.withColumnRenamed("a", "url"), "url", "left")
+           .join(mark, "b", "left"))
+    terminal = F.col("__in_map").isNull()
+    resolved = (F.col("b").isNotNull() & terminal
+                & (F.col("s") <= max_hops)) | F.col("b").isNull()
+    return res.select(
+        "url",
+        F.when(F.col("b").isNull(), F.col("url"))
+        .when(resolved, F.col("b")).alias("final_url"),
+        F.when(F.col("b").isNull(), F.lit(0).cast("long"))
+        .when(resolved, F.col("s"))
+        .otherwise(F.lit(max_hops).cast("long")).alias("hops"),
+        resolved.cast("int").alias("resolved"))

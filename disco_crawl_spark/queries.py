@@ -3336,6 +3336,46 @@ def dedup_fuzzy_edit_q(spark, sf):
     return dedup.fuzzy_edit_pairs(d, "text", "doc_id")
 
 
+@q("redirect_resolve", """
+WITH RECURSIVE m AS MATERIALIZED (
+  SELECT 'u' || node AS src, 'u' || ((3 * node + 7) % 600) AS dst
+  FROM (SELECT DISTINCT event_id % 600 AS node FROM events)
+  WHERE node % 5 <> 0),
+uni AS MATERIALIZED (
+  SELECT src AS url FROM m UNION SELECT dst FROM m),
+walk AS (
+  SELECT url, url AS cur, 0 AS hops FROM uni
+  UNION ALL
+  SELECT w.url, m.dst, w.hops + 1
+  FROM walk w JOIN m ON w.cur = m.src
+  WHERE w.hops < 8),
+last AS (
+  SELECT url, max_by(cur, hops) AS cur, max(hops) AS hops
+  FROM walk GROUP BY url)
+SELECT l.url,
+       CASE WHEN t.src IS NULL THEN l.cur END AS final_url,
+       (CASE WHEN t.src IS NULL THEN l.hops ELSE 8 END)::BIGINT AS hops,
+       (t.src IS NULL)::INT AS resolved
+FROM last l LEFT JOIN (SELECT DISTINCT src FROM m) t ON l.cur = t.src
+""")
+def redirect_resolve_q(spark, sf):
+    """Redirect-chain resolution over a synthetic functional redirect map
+    derived from events: node u (≢0 mod 5) redirects to (3u+7) mod 600 —
+    a rho-shaped functional graph with real tails AND real cycles, so both
+    the resolved and the too-many-redirects paths are exercised. The
+    operator walks by pointer doubling in ceil(log2(8)) = 3 self-joins;
+    the oracle walks the same map one hop at a time with a bounded
+    recursive CTE (hops < 8) and takes each URL's last row — identical
+    (url, final_url, hops, resolved) by the doubling invariant."""
+    e = _t(spark, sf, "events")
+    nodes = e.select((F.col("event_id") % 600).alias("node")).distinct()
+    m = (nodes.filter(F.col("node") % 5 != 0)
+         .select(F.concat(F.lit("u"), F.col("node")).alias("src"),
+                 F.concat(F.lit("u"), ((F.col("node") * 3 + 7) % 600))
+                 .alias("dst")))
+    return graph.resolve_redirects(m, max_hops=8)
+
+
 # ===========================================================================
 # flagship (entry): dedup + quality + language over documents
 # ===========================================================================

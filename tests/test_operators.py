@@ -1772,3 +1772,35 @@ def test_sitemap_entries_multi_entry_and_missing_tags(spark):
     assert full["lastmod"] == "2024-01-01" and full["changefreq"] == "daily"
     bare = rows[(1, "https://a.gov/2")]
     assert bare["lastmod"] is None and bare["changefreq"] is None
+
+
+def test_resolve_redirects_chains_cycles_and_cap(spark):
+    from disco_crawl_spark.operators import graph
+    # chain a→b→c→T (3 hops), 6-hop chain h0→…→h6 (over the cap of 4),
+    # 2-cycle x↔y, and a tail into the cycle z→x
+    edges = ([("a", "b"), ("b", "c"), ("c", "T")]
+             + [(f"h{i}", f"h{i+1}") for i in range(6)]
+             + [("x", "y"), ("y", "x"), ("z", "x")])
+    m = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["url"]: r for r in
+           graph.resolve_redirects(m, max_hops=4).collect()}
+    # every url in src ∪ dst appears exactly once
+    assert len(got) == 14
+    assert (got["a"]["final_url"], got["a"]["hops"],
+            got["a"]["resolved"]) == ("T", 3, 1)
+    assert (got["b"]["final_url"], got["b"]["hops"]) == ("T", 2)
+    assert (got["T"]["final_url"], got["T"]["hops"],
+            got["T"]["resolved"]) == ("T", 0, 1)
+    # h2→h6 is exactly 4 hops — resolves AT the cap; h0/h1 are too long
+    assert (got["h2"]["final_url"], got["h2"]["hops"]) == ("h6", 4)
+    for u in ("h0", "h1"):
+        assert (got[u]["final_url"], got[u]["hops"],
+                got[u]["resolved"]) == (None, 4, 0)
+    # cycle members and the tail into the cycle never resolve
+    for u in ("x", "y", "z"):
+        assert (got[u]["final_url"], got[u]["resolved"]) == (None, 0)
+    # non-functional map (two Locations for one src) raises
+    bad = spark.createDataFrame([("a", "b"), ("a", "c")], ["src", "dst"])
+    import pytest as _pt
+    with _pt.raises(ValueError, match="functional"):
+        graph.resolve_redirects(bad, max_hops=4)
