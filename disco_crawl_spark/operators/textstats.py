@@ -1213,3 +1213,66 @@ def compression_ratio(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
                     F.when(F.col("c.raw_len") > 0,
                            F.expr("c.zlib_len * 1000000 DIV c.raw_len"))
                     .otherwise(0).cast("long").alias("ratio_micro")))
+
+
+def host_line_dedup(df: DataFrame, text_col: str, id_col: str,
+                    group_col: str, min_docs: int = 3,
+                    segmenter: str = "newline",
+                    k_tokens: int = 12) -> DataFrame:
+    """Per-host boilerplate line removal (the CCNet/RefinedWeb hygiene
+    pass): a line whose normalized form (lower + trim) appears in
+    ``min_docs`` or more DISTINCT documents of the same group (host /
+    source) is chrome — nav bars, footers, cookie banners — and is
+    dropped from every document; C4-style per-line rules can't catch it
+    because each copy looks like prose. Returns
+    ``(id, clean_text, n_lines, n_dropped)`` with surviving lines
+    rejoined in original order.
+
+    ``segmenter`` mirrors ``c4_line_filter``: ``newline`` (the real
+    unit) or ``tokens`` (fixed ``k_tokens``-token blocks for corpora
+    without line structure).
+
+    Scale shape: explode → ONE (group, line)-keyed hash aggregation with
+    map-side combine (count distinct docs per line) → join the exploded
+    lines back on the same (group, line) key — the exchange is reused,
+    not repeated — → one (id)-keyed aggregation to reassemble. All
+    built-ins; the shuffled payload is (group, line-hash-sized strings),
+    never whole documents. At 100 TB run it per host partition: the
+    count and the join co-locate on the same key, and no host's line
+    table exceeds its own page count. This is the per-shard duplicate-
+    paragraph pass CCNet (Wenzek et al. 2020 §3.1) runs before LM
+    filtering.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    if segmenter == "newline":
+        lines = F.split(t, "\n")
+    elif segmenter == "tokens":
+        toks = _ws_tokens(t)
+        n_seg = F.ceil(F.size(toks) / F.lit(k_tokens)).cast("int")
+        lines = F.transform(
+            F.sequence(F.lit(0), F.greatest(n_seg, F.lit(1)) - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * k_tokens + 1, k_tokens), " "))
+    else:
+        raise ValueError(f"unknown segmenter {segmenter!r}")
+    seg = df.select(F.col(id_col).alias("id"),
+                    F.col(group_col).alias("grp"),
+                    F.posexplode(lines).alias("pos", "line"))
+    seg = seg.withColumn("norm", F.lower(F.trim(F.col("line"))))
+    counts = (seg.groupBy("grp", "norm")
+              .agg(F.count_distinct("id").alias("docs")))
+    j = seg.join(counts, ["grp", "norm"])
+    arr = F.array_sort(F.collect_list(
+        F.struct(F.col("pos").alias("p"), F.col("line").alias("ln"),
+                 (F.col("docs") >= min_docs).alias("boiler"))))
+    return (j.groupBy("id")
+            .agg(arr.alias("a"))
+            .select(
+                F.col("id").alias(id_col),
+                F.array_join(
+                    F.transform(F.filter("a", lambda x: ~x["boiler"]),
+                                lambda x: x["ln"]), "\n")
+                .alias("clean_text"),
+                F.size("a").cast("int").alias("n_lines"),
+                F.size(F.filter("a", lambda x: x["boiler"]))
+                .cast("int").alias("n_dropped")))

@@ -3376,6 +3376,50 @@ def redirect_resolve_q(spark, sf):
     return graph.resolve_redirects(m, max_hops=8)
 
 
+@q("host_line_dedup", r"""
+WITH base AS (
+  SELECT doc_id, source,
+    list_filter(string_split_regex(lower(coalesce(text,'')), '\s+'),
+                x -> x <> '') AS t
+  FROM documents),
+seg AS (
+  SELECT doc_id, source,
+    list_transform(range(greatest(ceil(len(t) / 2.0), 1)::INT),
+                   i -> array_to_string(t[i*2+1 : i*2+2], ' ')) AS lines
+  FROM base),
+ex AS (
+  SELECT doc_id, source, unnest(lines) AS line,
+         generate_subscripts(lines, 1) AS pos
+  FROM seg),
+cnt AS (
+  SELECT source, lower(trim(line)) AS norm, count(DISTINCT doc_id) AS docs
+  FROM ex GROUP BY 1, 2),
+j AS (
+  SELECT e.doc_id, e.pos, e.line, c.docs
+  FROM ex e JOIN cnt c
+    ON c.source = e.source AND c.norm = lower(trim(e.line)))
+SELECT doc_id,
+  coalesce(string_agg(line, chr(10) ORDER BY pos)
+           FILTER (WHERE docs < 2), '') AS clean_text,
+  count(*)::INT AS n_lines,
+  (count(*) FILTER (WHERE docs >= 2))::INT AS n_dropped
+FROM j GROUP BY doc_id
+""")
+def host_line_dedup_q(spark, sf):
+    """CCNet-style per-source boilerplate line removal. The synthetic
+    corpus has no newline structure, so the driver query segments into
+    fixed 2-token blocks (short enough that the shared vocabulary
+    produces real cross-document repeats — the counting/join/reassembly
+    path does real dropping at sf0.01); real newline segmentation and
+    the min_docs threshold are exercised on crafted pages in the unit
+    test. Text is pre-lowered to mirror the oracle's tokenization, the
+    same honest degradation as c4_line_filter."""
+    d = _t(spark, sf, "documents").withColumn("text", F.lower("text"))
+    return textstats.host_line_dedup(d, "text", "doc_id", "source",
+                                     min_docs=2, segmenter="tokens",
+                                     k_tokens=2)
+
+
 # ===========================================================================
 # flagship (entry): dedup + quality + language over documents
 # ===========================================================================

@@ -1804,3 +1804,43 @@ def test_resolve_redirects_chains_cycles_and_cap(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="functional"):
         graph.resolve_redirects(bad, max_hops=4)
+
+
+def test_host_line_dedup_drops_per_host_chrome_only(spark):
+    from disco_crawl_spark.operators import textstats
+    footer = "Contact us | Privacy | Terms"
+    rows = [
+        # host A: footer on all 3 pages (boilerplate), unique bodies
+        (1, "a.gov", f"alpha body one\n{footer}"),
+        (2, "a.gov", f"beta body two\n{footer}\nextra beta line"),
+        (3, "a.gov", f"  {footer.upper()}  \ngamma body three"),
+        # host B: the SAME footer but only 2 of 3 docs carry it —
+        # below min_docs=3, so it survives there
+        (4, "b.gov", f"delta body\n{footer}"),
+        (5, "b.gov", f"epsilon body\n{footer}"),
+        (6, "b.gov", "zeta body only"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    got = {r["doc_id"]: r for r in
+           textstats.host_line_dedup(df, "text", "doc_id", "source",
+                                     min_docs=3).collect()}
+    # host A: footer dropped everywhere (case/whitespace-insensitive
+    # counting — doc 3's upper-cased padded copy counts and drops too),
+    # original line order and original casing preserved in the kept text
+    assert got[1]["clean_text"] == "alpha body one"
+    assert got[2]["clean_text"] == "beta body two\nextra beta line"
+    assert got[3]["clean_text"] == "gamma body three"
+    assert (got[1]["n_lines"], got[1]["n_dropped"]) == (2, 1)
+    assert (got[3]["n_lines"], got[3]["n_dropped"]) == (2, 1)
+    # host B: footer below the threshold — untouched
+    assert got[4]["clean_text"] == f"delta body\n{footer}"
+    assert got[5]["n_dropped"] == 0
+    assert got[6]["clean_text"] == "zeta body only"
+    # all-boilerplate doc → empty clean_text, counts intact
+    df2 = spark.createDataFrame(
+        [(i, "c.gov", footer) for i in range(3)],
+        ["doc_id", "source", "text"])
+    got2 = textstats.host_line_dedup(df2, "text", "doc_id", "source",
+                                     min_docs=3).collect()
+    assert all(r["clean_text"] == "" and r["n_dropped"] == 1
+               for r in got2)
