@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["budget_waterfill"]
+__all__ = ["budget_waterfill", "mine_junk_params"]
 
 
 def budget_waterfill(demands: DataFrame, budget: int,
@@ -207,3 +207,66 @@ def politeness_audit(fetches: DataFrame, host_col: str = "host",
                                   "DIV (CAST(n_fetches AS BIGINT) - 1)"))
                     .otherwise(0).cast("long")
                     .alias("violation_rate_micro")))
+
+
+def mine_junk_params(urls: DataFrame, url_col: str = "url",
+                     hash_col: str = "content_hash",
+                     min_values: int = 2) -> DataFrame:
+    """URL query-parameter mining (the crawl-hygiene pass behind every
+    production canonicalizer, e.g. the URL-normalization rules search
+    engines learn): a parameter is JUNK when, everywhere it appears,
+    stripping it never changes the fetched content — session ids,
+    tracking tags, cache busters. The frontier then canonicalizes junk
+    params away BEFORE the seen-check, so ``?session=…`` variants stop
+    multiplying the frontier (the reference's suspicious-domain filter
+    at worker.py:152-181 catches whole hosts, never the per-param
+    pattern).
+
+    Evidence rule, computed from (url, content_hash) observations:
+    param ``k`` is junk iff (a) within EVERY group of URLs identical
+    except for ``k``'s value — same path, same other params — the
+    content hash is constant, and (b) ``k`` was actually observed with
+    ≥ ``min_values`` distinct values somewhere (one value = vacuous, no
+    evidence either way). Returns one row per param key:
+    ``(param, n_urls, n_values, junk)``.
+
+    Precondition: within one URL a given ``k=v`` pair appears at most
+    once (duplicate identical pairs would strip together); repeated
+    KEYS with different values are fine — each occurrence is judged
+    against the others.
+
+    Scale shape: split/explode the query string with built-ins (no
+    UDF), then two map-side-combinable hash aggregations — per
+    (param, url-minus-param) distinct-hash counts, then a per-param
+    rollup — plus one per-param distinct-value/url count joined on the
+    tiny param-key table. The shuffled rows are (param, path, others)
+    triples; the output is param-cardinality (thousands), never
+    URL-cardinality.
+    """
+    url = F.col(url_col)
+    path = F.substring_index(url, "?", 1)
+    qs = F.when(url.contains("?"),
+                F.substring_index(url, "?", -1)).otherwise(F.lit(""))
+    params = F.array_sort(F.filter(F.split(qs, "&"),
+                                   lambda x: x != ""))
+    base = urls.select(url.alias("u"), F.col(hash_col).alias("h"),
+                       path.alias("path"), params.alias("params"))
+    ex = (base.select("u", "h", "path", "params",
+                      F.explode("params").alias("p"))
+          .select("u", "h", "path",
+                  F.substring_index("p", "=", 1).alias("k"),
+                  F.substring_index(F.col("p"), "=", -1).alias("v"),
+                  F.array_join(F.array_remove(F.col("params"),
+                                              F.col("p")), "&")
+                  .alias("others")))
+    grp = (ex.groupBy("k", "path", "others")
+           .agg(F.count_distinct("h").alias("nh")))
+    per_key = grp.groupBy("k").agg(F.max("nh").alias("max_nh"))
+    stats = (ex.groupBy("k")
+             .agg(F.count_distinct("u").alias("n_urls"),
+                  F.count_distinct("v").alias("n_values")))
+    return (per_key.join(stats, "k")
+            .select(F.col("k").alias("param"), "n_urls", "n_values",
+                    ((F.col("max_nh") == 1)
+                     & (F.col("n_values") >= min_values))
+                    .cast("int").alias("junk")))

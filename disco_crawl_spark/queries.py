@@ -3420,6 +3420,56 @@ def host_line_dedup_q(spark, sf):
                                      k_tokens=2)
 
 
+@q("url_param_mining", """
+WITH urls AS (
+  SELECT '/p' || (event_id % 40) || '?page=' || (event_id % 3)
+         || '&ref=' || (user_id % 2) || '&session=' || (user_id % 23)
+           AS url,
+         md5('c|' || (event_id % 40) || '|' || (event_id % 3)) AS h
+  FROM events),
+base AS (
+  SELECT url, h, split_part(url, '?', 1) AS path,
+    list_sort(list_filter(string_split(split_part(url, '?', 2), '&'),
+                          x -> x <> '')) AS params
+  FROM urls),
+ex AS (SELECT url, h, path, params, unnest(params) AS p FROM base),
+kx AS (
+  SELECT url, h, path, split_part(p, '=', 1) AS k,
+         split_part(p, '=', 2) AS v,
+         array_to_string(list_filter(params, x -> x <> p), '&') AS others
+  FROM ex),
+grp AS (SELECT k, path, others, count(DISTINCT h) AS nh
+        FROM kx GROUP BY 1, 2, 3),
+mk AS (SELECT k, max(nh) AS max_nh FROM grp GROUP BY k),
+vs AS (SELECT k, count(DISTINCT url) AS n_urls,
+              count(DISTINCT v) AS n_values
+       FROM kx GROUP BY k)
+SELECT mk.k AS param, vs.n_urls, vs.n_values,
+       ((max_nh = 1) AND (n_values >= 2))::INT AS junk
+FROM mk JOIN vs ON mk.k = vs.k
+""")
+def url_param_mining_q(spark, sf):
+    """Junk query-param mining over a synthetic URL log derived from
+    events: content depends on (path, page) only, so ``session`` (23
+    values) and ``ref`` (2 values) must come out junk while ``page``
+    must not — a colliding (path, ref, session) group observing two
+    different pages exists at sf0.01 by birthday counting, and whatever
+    the corpus yields, both engines judge the identical observations."""
+    e = _t(spark, sf, "events")
+    s = lambda c: c.cast("string")
+    u = e.select(
+        F.concat(F.lit("/p"), s(F.col("event_id") % 40),
+                 F.lit("?page="), s(F.col("event_id") % 3),
+                 F.lit("&ref="), s(F.col("user_id") % 2),
+                 F.lit("&session="), s(F.col("user_id") % 23))
+        .alias("url"),
+        F.md5(F.concat_ws("|", F.lit("c"),
+                          s(F.col("event_id") % 40),
+                          s(F.col("event_id") % 3)))
+        .alias("content_hash"))
+    return schedule.mine_junk_params(u, "url", "content_hash")
+
+
 # ===========================================================================
 # flagship (entry): dedup + quality + language over documents
 # ===========================================================================

@@ -1844,3 +1844,28 @@ def test_host_line_dedup_drops_per_host_chrome_only(spark):
                                      min_docs=3).collect()
     assert all(r["clean_text"] == "" and r["n_dropped"] == 1
                for r in got2)
+
+
+def test_mine_junk_params_evidence_rules(spark):
+    from disco_crawl_spark.operators import schedule
+    rows = [
+        # /a?id=N drives content; sid is a session id (junk); lone=1 is
+        # single-valued everywhere (vacuous — NOT junk, no evidence)
+        ("/a?id=1&sid=x&lone=1", "h1"),
+        ("/a?id=1&sid=y&lone=1", "h1"),
+        ("/a?id=2&sid=x&lone=1", "h2"),
+        ("/a?id=2&sid=z&lone=1", "h2"),
+        # query-less URL contributes nothing
+        ("/plain", "h9"),
+    ]
+    df = spark.createDataFrame(rows, ["url", "content_hash"])
+    got = {r["param"]: r for r in
+           schedule.mine_junk_params(df, "url", "content_hash").collect()}
+    assert set(got) == {"id", "sid", "lone"}
+    # sid: same (path, id, lone) group, two values, one hash → junk
+    assert got["sid"]["junk"] == 1 and got["sid"]["n_values"] == 3
+    # id: the (path, sid=x, lone=1) group holds id=1→h1 and id=2→h2 → meaningful
+    assert got["id"]["junk"] == 0 and got["id"]["n_values"] == 2
+    # lone: constant value — vacuous, never junk
+    assert got["lone"]["junk"] == 0 and got["lone"]["n_values"] == 1
+    assert got["id"]["n_urls"] == 4
