@@ -53,6 +53,7 @@ HEADLINE = [
     "budget_waterfill", "trap_templates", "recrawl_change_rates",
     "politeness_audit",
     "json_extract", "sitemap_parse",
+    "redirect_resolve", "host_line_dedup", "url_param_mining",
 ]
 
 # bench corpus: ~130 crawlable hosts, ALL seeded so parallelism is maximal

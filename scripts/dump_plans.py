@@ -88,6 +88,20 @@ CASES = [
                         "source; the final (a,b) count is one "
                         "map-side-combinable hash aggregation behind the "
                         "join's own src partitioning."),
+    ("redirect_resolve", "Pointer doubling: ceil(log2(cap)) self-joins of "
+                         "the checkpointed redirect map — each round ONE "
+                         "hash exchange on the join key over an O(map) "
+                         "table with a flat plan (no lineage growth), so "
+                         "chain resolution is O(log cap) rounds, never "
+                         "O(chain length)."),
+    ("host_line_dedup", "The (group, line) count and the line join-back "
+                        "share one exchange key; the reassembly "
+                        "aggregation is the only other shuffle; whole "
+                        "documents never move — only exploded lines."),
+    ("url_param_mining", "Query-string split/explode stays in codegen; "
+                         "two map-side-combinable hash aggs over (param, "
+                         "path, others) triples; the final join is on the "
+                         "param-cardinality table, so AQE broadcasts it."),
 ]
 
 
