@@ -22,7 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["budget_waterfill", "mine_junk_params"]
+__all__ = ["budget_waterfill", "mine_junk_params",
+           "apply_param_canonicalization"]
 
 
 def budget_waterfill(demands: DataFrame, budget: int,
@@ -270,3 +271,48 @@ def mine_junk_params(urls: DataFrame, url_col: str = "url",
                     ((F.col("max_nh") == 1)
                      & (F.col("n_values") >= min_values))
                     .cast("int").alias("junk")))
+
+
+def apply_param_canonicalization(urls: DataFrame, junk: DataFrame,
+                                 url_col: str = "url",
+                                 param_col: str = "param",
+                                 junk_col: str = "junk") -> DataFrame:
+    """Apply mined junk-param verdicts (``mine_junk_params``) to a URL
+    set: every convicted parameter is stripped and the survivors are
+    re-emitted in sorted order, yielding the canonical form the frontier
+    seen-check should key on. Returns one row per DISTINCT input URL:
+    ``(url, canonical_url)`` — downstream, ``count(distinct
+    canonical_url) / count(distinct url)`` is the frontier-shrink win.
+
+    Scale shape: the verdict table is param-cardinality (thousands of
+    rows) and broadcasts; the URL side explodes its query string with
+    built-ins, drops convicted params against the broadcast map (no
+    shuffle), and reassembles per URL with one hash aggregation on the
+    URL itself — the same key the seen-check shuffles on anyway, so at
+    10^10 URLs this pass rides the exchange the frontier already pays.
+    """
+    u = urls.select(F.col(url_col).alias("url")).distinct()
+    url = F.col("url")
+    path = F.substring_index(url, "?", 1)
+    qs = F.when(url.contains("?"),
+                F.substring_index(url, "?", -1)).otherwise(F.lit(""))
+    params = F.filter(F.split(qs, "&"), lambda x: x != "")
+    ex = (u.select("url", path.alias("path"),
+                   F.explode_outer(params).alias("p"))
+          .withColumn("k", F.substring_index("p", "=", 1)))
+    verdicts = junk.select(F.col(param_col).alias("k"),
+                           F.col(junk_col).alias("__junk"))
+    kept = (ex.join(F.broadcast(verdicts), "k", "left")
+            .withColumn("keep",
+                        F.col("p").isNotNull()
+                        & (F.coalesce("__junk", F.lit(0)) == 0)))
+    agg = (kept.groupBy("url")
+           .agg(F.any_value("path").alias("path"),
+                F.array_sort(F.collect_list(
+                    F.when(F.col("keep"), F.col("p")))).alias("kp")))
+    return agg.select(
+        "url",
+        F.when(F.size("kp") > 0,
+               F.concat(F.col("path"), F.lit("?"),
+                        F.array_join("kp", "&")))
+        .otherwise(F.col("path")).alias("canonical_url"))

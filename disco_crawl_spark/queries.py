@@ -3420,8 +3420,7 @@ def host_line_dedup_q(spark, sf):
                                      k_tokens=2)
 
 
-@q("url_param_mining", """
-WITH urls AS (
+_PARAM_URLS_CTES = """urls AS (
   SELECT '/p' || (event_id % 40) || '?page=' || (event_id % 3)
          || '&ref=' || (user_id % 2) || '&session=' || (user_id % 23)
            AS url,
@@ -3443,7 +3442,28 @@ grp AS (SELECT k, path, others, count(DISTINCT h) AS nh
 mk AS (SELECT k, max(nh) AS max_nh FROM grp GROUP BY k),
 vs AS (SELECT k, count(DISTINCT url) AS n_urls,
               count(DISTINCT v) AS n_values
-       FROM kx GROUP BY k)
+       FROM kx GROUP BY k)"""
+
+
+def _param_urls(spark, sf):
+    """The synthetic URL log _PARAM_URLS_CTES mirrors (shared by the
+    mining and the canonicalization queries)."""
+    e = _t(spark, sf, "events")
+    s = lambda c: c.cast("string")
+    return e.select(
+        F.concat(F.lit("/p"), s(F.col("event_id") % 40),
+                 F.lit("?page="), s(F.col("event_id") % 3),
+                 F.lit("&ref="), s(F.col("user_id") % 2),
+                 F.lit("&session="), s(F.col("user_id") % 23))
+        .alias("url"),
+        F.md5(F.concat_ws("|", F.lit("c"),
+                          s(F.col("event_id") % 40),
+                          s(F.col("event_id") % 3)))
+        .alias("content_hash"))
+
+
+@q("url_param_mining", f"""
+WITH {_PARAM_URLS_CTES}
 SELECT mk.k AS param, vs.n_urls, vs.n_values,
        ((max_nh = 1) AND (n_values >= 2))::INT AS junk
 FROM mk JOIN vs ON mk.k = vs.k
@@ -3455,19 +3475,37 @@ def url_param_mining_q(spark, sf):
     must not — a colliding (path, ref, session) group observing two
     different pages exists at sf0.01 by birthday counting, and whatever
     the corpus yields, both engines judge the identical observations."""
-    e = _t(spark, sf, "events")
-    s = lambda c: c.cast("string")
-    u = e.select(
-        F.concat(F.lit("/p"), s(F.col("event_id") % 40),
-                 F.lit("?page="), s(F.col("event_id") % 3),
-                 F.lit("&ref="), s(F.col("user_id") % 2),
-                 F.lit("&session="), s(F.col("user_id") % 23))
-        .alias("url"),
-        F.md5(F.concat_ws("|", F.lit("c"),
-                          s(F.col("event_id") % 40),
-                          s(F.col("event_id") % 3)))
-        .alias("content_hash"))
-    return schedule.mine_junk_params(u, "url", "content_hash")
+    return schedule.mine_junk_params(_param_urls(spark, sf),
+                                     "url", "content_hash")
+
+
+@q("url_canonical_strip", f"""
+WITH {_PARAM_URLS_CTES},
+junkkeys AS (
+  SELECT mk.k FROM mk JOIN vs ON mk.k = vs.k
+  WHERE max_nh = 1 AND n_values >= 2),
+du AS (SELECT DISTINCT url, path, params FROM base),
+keptp AS (
+  SELECT d.url, d.path, x.p
+  FROM du d, unnest(d.params) AS x(p)
+  WHERE split_part(x.p, '=', 1) NOT IN (SELECT k FROM junkkeys)),
+agg AS (
+  SELECT url, any_value(path) AS path, list_sort(list(p)) AS kp
+  FROM keptp GROUP BY url)
+SELECT d.url,
+       CASE WHEN a.kp IS NOT NULL AND len(a.kp) > 0
+            THEN d.path || '?' || array_to_string(a.kp, '&')
+            ELSE d.path END AS canonical_url
+FROM du d LEFT JOIN agg a ON d.url = a.url
+""")
+def url_canonical_strip_q(spark, sf):
+    """Mine → strip, end to end: convict junk params on the synthetic
+    URL log, then canonicalize every distinct URL by dropping them —
+    the form the frontier seen-check should key on. At sf0.01 the 4,6xx
+    observed URL variants collapse to the (path, page) cross product."""
+    u = _param_urls(spark, sf)
+    junk = schedule.mine_junk_params(u, "url", "content_hash")
+    return schedule.apply_param_canonicalization(u, junk)
 
 
 # ===========================================================================

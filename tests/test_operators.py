@@ -1869,3 +1869,23 @@ def test_mine_junk_params_evidence_rules(spark):
     # lone: constant value — vacuous, never junk
     assert got["lone"]["junk"] == 0 and got["lone"]["n_values"] == 1
     assert got["id"]["n_urls"] == 4
+
+
+def test_apply_param_canonicalization_strips_and_reorders(spark):
+    from disco_crawl_spark.operators import schedule
+    urls = spark.createDataFrame(
+        [("/a?sid=1&id=2", "h"), ("/a?id=2&sid=9", "h"),
+         ("/b?sid=7", "h"), ("/plain", "h"),
+         ("/a?sid=1&id=2", "h")],     # duplicate observation
+        ["url", "content_hash"])
+    junk = spark.createDataFrame(
+        [("sid", 1), ("id", 0)], ["param", "junk"])
+    got = {r["url"]: r["canonical_url"] for r in
+           schedule.apply_param_canonicalization(urls, junk).collect()}
+    # one row per DISTINCT url; junk stripped; kept params sorted
+    assert len(got) == 4
+    assert got["/a?sid=1&id=2"] == "/a?id=2"
+    assert got["/a?id=2&sid=9"] == "/a?id=2"     # variants collapse
+    # all params junk → bare path; query-less URL passes through
+    assert got["/b?sid=7"] == "/b"
+    assert got["/plain"] == "/plain"
