@@ -54,7 +54,7 @@ HEADLINE = [
     "politeness_audit",
     "json_extract", "sitemap_parse",
     "redirect_resolve", "host_line_dedup", "url_param_mining",
-    "url_canonical_strip",
+    "url_canonical_strip", "host_reciprocity", "round_novelty",
 ]
 
 # bench corpus: ~130 crawlable hosts, ALL seeded so parallelism is maximal

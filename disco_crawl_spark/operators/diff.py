@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["snapshot_diff"]
+__all__ = ["snapshot_diff", "content_novelty"]
 
 
 def snapshot_diff(old_df: DataFrame, new_df: DataFrame, key_col: str,
@@ -64,3 +64,38 @@ def snapshot_diff(old_df: DataFrame, new_df: DataFrame, key_col: str,
         F.col("key"), status.alias("status"),
         F.col("h_old").isNotNull().cast("int").alias("in_old"),
         F.col("h_new").isNotNull().cast("int").alias("in_new"))
+
+
+def content_novelty(df: DataFrame, text_col: str, round_col: str,
+                    ngram: int = 3) -> DataFrame:
+    """Per-crawl-round content novelty: of the distinct token
+    ``ngram``-grams a round's pages contain, what fraction was never
+    seen in ANY earlier round. The crawl-policy stopping signal the
+    reference never computes — when a host's rounds stop producing new
+    shingles, further budget there is waste (the frontier should shift
+    to hosts still yielding novelty). Returns
+    ``(round, n_grams, n_new, novelty_micro)``; novelty is fixed-point
+    micros (integer division, engine-portable).
+
+    Scale shape: explode 64-bit gram keys (never gram strings — the
+    decontaminate trick), distinct per (round, gram), then min-round
+    per gram and one join back on the gram key: two hash aggregations
+    plus one co-partitioned join, all map-side-combinable. At 100 TB
+    the gram table is the big side; everything keys on the 8-byte gram
+    so skew is hash-flat by construction.
+    """
+    from .textstats import _gram_array
+    toks = F.filter(F.split(F.lower(F.coalesce(F.col(text_col),
+                                               F.lit(""))), r"\s+"),
+                    lambda x: x != "")
+    g = (df.select(F.col(round_col).alias("round"),
+                   F.explode(_gram_array(toks, ngram)).alias("g"))
+         .distinct())
+    first = g.groupBy("g").agg(F.min("round").alias("r0"))
+    per = (g.join(first, "g")
+           .groupBy("round")
+           .agg(F.count(F.lit(1)).alias("n_grams"),
+                F.sum((F.col("r0") == F.col("round")).cast("long"))
+                .alias("n_new")))
+    return per.withColumn("novelty_micro",
+                          F.expr("(n_new * 1000000) div n_grams"))

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from . import functions as cf
 from . import sources
 from .operators import dedup, graph, schedule, similarity, textstats
-from .operators.diff import snapshot_diff
+from .operators.diff import content_novelty, snapshot_diff
 
 QUERY_VEC = [1.0 if i % 3 == 0 else (0.5 if i % 3 == 1 else -0.25)
              for i in range(64)]
@@ -3506,6 +3506,64 @@ def url_canonical_strip_q(spark, sf):
     u = _param_urls(spark, sf)
     junk = schedule.mine_junk_params(u, "url", "content_hash")
     return schedule.apply_param_canonicalization(u, junk)
+
+
+@q("host_reciprocity", """
+WITH pe AS (
+  SELECT DISTINCT user_id % 200 AS ps, event_id % 200 AS pd
+  FROM events WHERE user_id % 200 <> event_id % 200),
+e AS (
+  SELECT DISTINCT ps % 40 AS a, pd % 40 AS b FROM pe
+  WHERE ps % 40 <> pd % 40),
+m AS (
+  SELECT e.a, e.b FROM e JOIN e r ON e.a = r.b AND e.b = r.a),
+o AS (SELECT a, count(*) AS out_deg FROM e GROUP BY a),
+mm AS (SELECT a, count(*) AS mutual FROM m GROUP BY a)
+SELECT o.a AS node, out_deg, coalesce(mm.mutual, 0) AS mutual,
+       (coalesce(mm.mutual, 0) * 1000000) // out_deg AS reciprocity_micro
+FROM o LEFT JOIN mm ON o.a = mm.a
+""")
+def host_reciprocity_q(spark, sf):
+    """Link-farm signal over the host graph: collapse the synthetic page
+    link graph (the link_* idiom) to 40 hosts, then per-host distinct
+    out-degree, reciprocated-edge count, and the fixed-point ratio.
+    Organic authority is one-directional; spam cliques reciprocate."""
+    ev = _t(spark, sf, "events")
+    pe = (ev.select((F.col("user_id") % 200).alias("ps"),
+                    (F.col("event_id") % 200).alias("pd"))
+          .filter(F.col("ps") != F.col("pd")).distinct())
+    he = (pe.select((F.col("ps") % 40).alias("src"),
+                    (F.col("pd") % 40).alias("dst"))
+          .filter(F.col("src") != F.col("dst")))
+    return graph.reciprocity(he)
+
+
+@q("round_novelty", r"""
+WITH toks AS (
+  SELECT doc_id % 6 AS rnd,
+    list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                x -> x <> '') AS t
+  FROM documents),
+ex AS (
+  SELECT DISTINCT rnd, array_to_string(t[i:i+2], ' ') AS g
+  FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS s(i)),
+fr AS (SELECT g, min(rnd) AS r0 FROM ex GROUP BY g)
+SELECT rnd AS round, count(*) AS n_grams,
+       count(*) FILTER (WHERE r0 = rnd) AS n_new,
+       (count(*) FILTER (WHERE r0 = rnd) * 1000000) // count(*)
+         AS novelty_micro
+FROM ex JOIN fr USING (g) GROUP BY rnd
+""")
+def round_novelty_q(spark, sf):
+    """Per-round content novelty: rounds simulated as doc_id mod 6; of
+    each round's distinct token 3-grams, the fraction first seen in that
+    round. The Spark side explodes xxhash64 gram KEYS (the decontaminate
+    trick — grams never materialize as strings) while the oracle uses
+    the gram strings themselves; the compared values are counts, equal
+    up to the same 2^-64 collision bound the house already accepts."""
+    d = _t(spark, sf, "documents")
+    d = d.withColumn("rnd", F.col("doc_id") % 6)
+    return content_novelty(d, "text", "rnd", ngram=3)
 
 
 # ===========================================================================

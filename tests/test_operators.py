@@ -1889,3 +1889,41 @@ def test_apply_param_canonicalization_strips_and_reorders(spark):
     # all params junk → bare path; query-less URL passes through
     assert got["/b?sid=7"] == "/b"
     assert got["/plain"] == "/plain"
+
+
+def test_reciprocity_mutual_vs_one_way(spark):
+    from disco_crawl_spark.operators import graph
+    # a↔b mutual; a→c, c→d one-way; self-loop d→d ignored; duplicate
+    # edge a→b collapses
+    edges = [("a", "b"), ("b", "a"), ("a", "c"), ("c", "d"),
+             ("d", "d"), ("a", "b")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r for r in graph.reciprocity(df).collect()}
+    assert set(got) == {"a", "b", "c"}          # d has no real out-edge
+    assert (got["a"]["out_deg"], got["a"]["mutual"]) == (2, 1)
+    assert got["a"]["reciprocity_micro"] == 500000
+    assert (got["b"]["out_deg"], got["b"]["mutual"],
+            got["b"]["reciprocity_micro"]) == (1, 1, 1000000)
+    assert (got["c"]["mutual"], got["c"]["reciprocity_micro"]) == (0, 0)
+
+
+def test_content_novelty_rounds(spark):
+    from disco_crawl_spark.operators.diff import content_novelty
+    rows = [
+        (0, "alpha beta gamma delta"),          # grams: ab g, bgd → 2
+        (1, "alpha beta gamma epsilon"),        # abg repeats, bge new
+        (1, "zeta eta theta iota"),             # 2 new grams
+        (2, "alpha beta gamma delta"),          # all 2 grams old
+        (2, "xi"),                              # too short — no grams
+    ]
+    df = spark.createDataFrame(rows, ["rnd", "text"])
+    got = {r["round"]: r for r in
+           content_novelty(df, "text", "rnd", ngram=3).collect()}
+    assert (got[0]["n_grams"], got[0]["n_new"],
+            got[0]["novelty_micro"]) == (2, 2, 1000000)
+    # round 1: grams {abg, bge, zet, eth} → abg old, 3 new
+    assert (got[1]["n_grams"], got[1]["n_new"]) == (4, 3)
+    assert got[1]["novelty_micro"] == 750000
+    # round 2: both grams seen in round 0 → zero novelty
+    assert (got[2]["n_grams"], got[2]["n_new"],
+            got[2]["novelty_micro"]) == (2, 0, 0)
