@@ -821,3 +821,49 @@ def dedup_keep_best(df: DataFrame, pairs: DataFrame, id_col: str,
     return (scored.join(winners, "comp")
             .select(F.col("id").alias(id_col), "comp", "keep_id",
                     (F.col("id") == F.col("keep_id")).alias("is_canonical")))
+
+
+def mirror_host_pairs(pages: DataFrame, host_col: str, hash_col: str,
+                      threshold_micro: int = 500000) -> DataFrame:
+    """Mirror-host detection: host pairs whose PAGE-CONTENT-HASH sets
+    overlap above a Jaccard threshold — the same site served under two
+    domains (regional mirrors, www/cdn splits, wholesale scrapes). A
+    crawler that detects mirrors stops paying fetch budget for the copy;
+    the reference's www/non-www lock (worker.py:286-340) is the 2-host
+    special case of exactly this. Returns
+    ``(host_a, host_b, inter, size_a, size_b, jaccard_micro, mirror)``
+    for every host pair sharing ≥ 1 content hash, ``host_a < host_b``.
+
+    Scale shape: the inverted-index join — distinct (host, hash) once,
+    self-join ON THE HASH so only hosts sharing actual content ever
+    meet (never a host×host cross product), count distinct shared
+    hashes per pair, then join two per-host size aggregates (broadcast:
+    host cardinality). Jaccard in fixed-point integer arithmetic. A
+    pathological hash shared by thousands of hosts (a blank page) would
+    quadratically blow the pair space — the same hot-key hazard
+    containment_pairs caps; filter boilerplate hashes upstream (they
+    are exactly the ``host_line_dedup`` chrome).
+    """
+    hh = (pages.select(F.col(host_col).alias("h"),
+                       F.col(hash_col).alias("x")).distinct())
+    sizes = hh.groupBy("h").agg(F.count(F.lit(1)).alias("sz"))
+    pairs = (hh.alias("l")
+             .join(hh.withColumnRenamed("h", "h2").alias("r"), "x")
+             .filter(F.col("h") < F.col("h2"))
+             .groupBy("h", "h2")
+             .agg(F.count(F.lit(1)).alias("inter")))
+    out = (pairs
+           .join(F.broadcast(sizes.withColumnRenamed("h", "__a")
+                             .withColumnRenamed("sz", "size_a")),
+                 F.col("h") == F.col("__a"))
+           .join(F.broadcast(sizes.withColumnRenamed("h", "__b")
+                             .withColumnRenamed("sz", "size_b")),
+                 F.col("h2") == F.col("__b"))
+           .select(F.col("h").alias("host_a"),
+                   F.col("h2").alias("host_b"),
+                   "inter", "size_a", "size_b"))
+    jac = F.expr("(inter * 1000000) div (size_a + size_b - inter)")
+    return (out.withColumn("jaccard_micro", jac)
+            .withColumn("mirror",
+                        (F.col("jaccard_micro") >= threshold_micro)
+                        .cast("int")))

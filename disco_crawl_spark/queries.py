@@ -3566,6 +3566,95 @@ def round_novelty_q(spark, sf):
     return content_novelty(d, "text", "rnd", ngram=3)
 
 
+@q("rel_canonical", """
+WITH b AS (
+  SELECT user_id, event_id,
+         'https://h' || (user_id % 50) || '.gov.au/p' || event_id AS url,
+         'https://h' || (user_id % 50) || '.gov.au/p'
+           || (event_id - (event_id % 4)) AS cu
+  FROM events),
+p AS (
+  SELECT url,
+    CASE WHEN event_id % 3 = 0
+         THEN '<html><head><link rel="canonical" href="' || cu
+              || '"></head></html>'
+         WHEN event_id % 3 = 1
+         THEN '<html><head><link href="' || cu
+              || '" rel="canonical"></head></html>'
+         ELSE '<html><head></head></html>' END AS html
+  FROM b)
+SELECT url,
+  coalesce(
+    nullif(regexp_extract(html,
+      '<link[^>]*rel="canonical"[^>]*href="([^"]*)"', 1), ''),
+    nullif(regexp_extract(html,
+      '<link[^>]*href="([^"]*)"[^>]*rel="canonical"', 1), ''),
+    url) AS canonical_url,
+  (coalesce(
+    nullif(regexp_extract(html,
+      '<link[^>]*rel="canonical"[^>]*href="([^"]*)"', 1), ''),
+    nullif(regexp_extract(html,
+      '<link[^>]*href="([^"]*)"[^>]*rel="canonical"', 1), ''))
+   IS NOT NULL)::INT AS declared
+FROM p
+""")
+def rel_canonical_q(spark, sf):
+    """rel=canonical extraction over synthesized page heads: a third of
+    the pages declare rel-first, a third href-first (both attribute
+    orders exercised), a third nothing — undeclared pages canonicalize
+    to themselves. Pure-regexp projection, the sitemap_entries idiom."""
+    e = _t(spark, sf, "events")
+    s = lambda c: c.cast("string")
+    cu = F.concat(F.lit("https://h"), s(F.col("user_id") % 50),
+                  F.lit(".gov.au/p"),
+                  s(F.col("event_id") - (F.col("event_id") % 4)))
+    html = (F.when(F.col("event_id") % 3 == 0,
+                   F.concat(F.lit('<html><head><link rel="canonical" '
+                                  'href="'), cu, F.lit('"></head></html>')))
+            .when(F.col("event_id") % 3 == 1,
+                  F.concat(F.lit('<html><head><link href="'), cu,
+                           F.lit('" rel="canonical"></head></html>')))
+            .otherwise('<html><head></head></html>'))
+    pages = e.select(
+        F.concat(F.lit("https://h"), s(F.col("user_id") % 50),
+                 F.lit(".gov.au/p"), s(F.col("event_id"))).alias("url"),
+        html.alias("html"))
+    return sources.rel_canonical_map(pages, "url", "html")
+
+
+@q("mirror_hosts", """
+WITH p AS (
+  SELECT 'h' || (user_id % 30) AS h,
+         md5('c|' || (user_id % 15) || '|' || (event_id % 40)) AS x
+  FROM events),
+hh AS (SELECT DISTINCT h, x FROM p),
+sz AS (SELECT h, count(*) AS sz FROM hh GROUP BY h),
+pr AS (
+  SELECT l.h AS host_a, r.h AS host_b, count(*) AS inter
+  FROM hh l JOIN hh r ON l.x = r.x AND l.h < r.h
+  GROUP BY 1, 2)
+SELECT host_a, host_b, inter, a.sz AS size_a, b.sz AS size_b,
+       (inter * 1000000) // (a.sz + b.sz - inter) AS jaccard_micro,
+       ((inter * 1000000) // (a.sz + b.sz - inter) >= 500000)::INT
+         AS mirror
+FROM pr JOIN sz a ON pr.host_a = a.h JOIN sz b ON pr.host_b = b.h
+""")
+def mirror_hosts_q(spark, sf):
+    """Mirror-host detection over a synthetic 30-host page log where
+    host k and host k+15 serve the identical content-hash space (the
+    planted mirrors) and all other pairs share nothing: the
+    inverted-index self-join must surface exactly the 15 planted pairs,
+    each at Jaccard ≈ 1."""
+    e = _t(spark, sf, "events")
+    s = lambda c: c.cast("string")
+    pages = e.select(
+        F.concat(F.lit("h"), s(F.col("user_id") % 30)).alias("host"),
+        F.md5(F.concat_ws("|", F.lit("c"), s(F.col("user_id") % 15),
+                          s(F.col("event_id") % 40)))
+        .alias("content_hash"))
+    return dedup.mirror_host_pairs(pages, "host", "content_hash")
+
+
 # ===========================================================================
 # flagship (entry): dedup + quality + language over documents
 # ===========================================================================

@@ -192,3 +192,32 @@ def sitemap_entries(df: DataFrame, xml_col: str) -> DataFrame:
                     .alias("changefreq"))
             .drop("__entry")
             .filter(F.col("loc").isNotNull()))
+
+
+def rel_canonical_map(df: DataFrame, url_col: str = "url",
+                      html_col: str = "html") -> DataFrame:
+    """Extract each page's declared ``<link rel="canonical">`` target —
+    the publisher-side dedup hint every production crawler honors (print
+    views, tracking-parameter variants, and pagination all declare the
+    same canonical, so the frontier can collapse them WITHOUT fetching
+    twice; the reference never reads the tag). Returns
+    ``(url, canonical_url, declared)``: the declared href when present
+    (either attribute order), else the URL itself; ``declared`` flags
+    pages that actually carried the tag.
+
+    Pure regexp projection — no XML/HTML library, no UDF, no shuffle;
+    like ``sitemap_entries`` it runs inside the scan's codegen stage, so
+    at 100 TB it is free relative to the fetch that produced the bytes.
+    Relative hrefs pass through verbatim (resolve downstream with the
+    same normalize_href chain links use).
+    """
+    h = F.col(html_col).cast("string")
+    pat_rel_first = '<link[^>]*rel="canonical"[^>]*href="([^"]*)"'
+    pat_href_first = '<link[^>]*href="([^"]*)"[^>]*rel="canonical"'
+    href = F.coalesce(
+        F.nullif(F.regexp_extract(h, pat_rel_first, 1), F.lit("")),
+        F.nullif(F.regexp_extract(h, pat_href_first, 1), F.lit("")))
+    return df.select(
+        F.col(url_col).alias("url"),
+        F.coalesce(href, F.col(url_col)).alias("canonical_url"),
+        href.isNotNull().cast("int").alias("declared"))

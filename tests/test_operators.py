@@ -1927,3 +1927,42 @@ def test_content_novelty_rounds(spark):
     # round 2: both grams seen in round 0 → zero novelty
     assert (got[2]["n_grams"], got[2]["n_new"],
             got[2]["novelty_micro"]) == (2, 0, 0)
+
+
+def test_rel_canonical_map_attribute_orders_and_fallback(spark):
+    from disco_crawl_spark import sources
+    rows = [
+        ("u1", '<head><link rel="canonical" href="https://c/1"></head>'),
+        ("u2", '<head><link href="https://c/2" rel="canonical"></head>'),
+        ("u3", '<head><link rel="stylesheet" href="/style.css"></head>'),
+        ("u4", None),
+        ("u5", '<head><link rel="canonical" href=""></head>'),
+    ]
+    df = spark.createDataFrame(rows, ["url", "html"])
+    got = {r["url"]: r for r in
+           sources.rel_canonical_map(df, "url", "html").collect()}
+    assert (got["u1"]["canonical_url"], got["u1"]["declared"]) == \
+        ("https://c/1", 1)
+    assert (got["u2"]["canonical_url"], got["u2"]["declared"]) == \
+        ("https://c/2", 1)
+    # stylesheet link, missing html, and empty href all fall back to self
+    for u in ("u3", "u4", "u5"):
+        assert (got[u]["canonical_url"], got[u]["declared"]) == (u, 0)
+
+
+def test_mirror_host_pairs_planted_mirror(spark):
+    from disco_crawl_spark.operators import dedup
+    rows = (
+        # A and B share 3 of 4 hashes (Jaccard 3/5); C is disjoint;
+        # duplicate (host, hash) observations collapse
+        [("A", f"x{i}") for i in (1, 2, 3, 4)]
+        + [("B", f"x{i}") for i in (1, 2, 3)] + [("B", "y9"), ("B", "x1")]
+        + [("C", "z1"), ("C", "z2")])
+    df = spark.createDataFrame(rows, ["host", "content_hash"])
+    got = dedup.mirror_host_pairs(df, "host", "content_hash",
+                                  threshold_micro=500000).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["host_a"], r["host_b"], r["inter"]) == ("A", "B", 3)
+    assert (r["size_a"], r["size_b"]) == (4, 4)
+    assert r["jaccard_micro"] == 600000 and r["mirror"] == 1
