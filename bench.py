@@ -55,7 +55,7 @@ HEADLINE = [
     "json_extract", "sitemap_parse",
     "redirect_resolve", "host_line_dedup", "url_param_mining",
     "url_canonical_strip", "host_reciprocity", "round_novelty",
-    "rel_canonical", "mirror_hosts",
+    "rel_canonical", "mirror_hosts", "dom_templates", "recrawl_schedule",
 ]
 
 # bench corpus: ~130 crawlable hosts, ALL seeded so parallelism is maximal

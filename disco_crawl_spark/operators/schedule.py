@@ -316,3 +316,41 @@ def apply_param_canonicalization(urls: DataFrame, junk: DataFrame,
                F.concat(F.col("path"), F.lit("?"),
                         F.array_join("kp", "&")))
         .otherwise(F.col("path")).alias("canonical_url"))
+
+
+def recrawl_priority(rates: DataFrame, now: str, url_col: str = "url_id",
+                     rate_col: str = "change_rate_micro",
+                     ts_col: str = "last_ts", k: int = 100) -> DataFrame:
+    """Turn ``recrawl_change_rates`` output into the revisit schedule
+    itself: priority = staleness × observed change rate (Cho &
+    Garcia-Molina 2003 — revisit effort proportional to change
+    frequency, weighted by how long since we looked). Returns the
+    global top-``k`` ``(url_id, age_sec, change_rate_micro,
+    priority_micro)`` — the next recrawl batch.
+
+    ``priority_micro = age_sec * (1 + change_rate_micro)``: the +1
+    keeps never-changed pages aging (everything is eventually
+    re-verified), and the whole expression stays in BIGINT — age caps
+    at ~10^8 s, the rate at 10^6, product ≤ 10^14, no float and no
+    overflow. ``now`` is an explicit literal so runs are reproducible
+    (never wall-clock).
+
+    Scale shape: a projection over the per-URL rates table plus ONE
+    TakeOrdered top-k (never a global sort); ties cannot exist because
+    the URL id is the final sort key. At 10^10 URLs run per steward
+    batch / host shard exactly like window_budget_rank.
+    """
+    # age via MICROSECOND diff then integer-divide: Spark's
+    # timestampdiff(SECOND) and DuckDB's date_diff('second') disagree by
+    # one on sub-second timestamps (boundary-crossing vs truncation);
+    # floor(microseconds / 1e6) is identical in both engines (the
+    # politeness_audit NTZ lesson, one unit finer)
+    age = F.expr(
+        f"timestampdiff(MICROSECOND, {ts_col}, timestamp'{now}') "
+        f"div 1000000").cast("long")
+    scored = rates.select(
+        F.col(url_col), age.alias("age_sec"), F.col(rate_col),
+        (age * (F.lit(1) + F.col(rate_col))).alias("priority_micro"))
+    return (scored
+            .orderBy(F.col("priority_micro").desc(), F.col(url_col))
+            .limit(k))

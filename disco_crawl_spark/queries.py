@@ -3655,6 +3655,95 @@ def mirror_hosts_q(spark, sf):
     return dedup.mirror_host_pairs(pages, "host", "content_hash")
 
 
+@q("dom_templates", """
+WITH p AS (
+  SELECT 'h' || (user_id % 20) AS host,
+    '<html><head><title>t</title></head><body>'
+    || CASE WHEN event_id % 4 = 0
+            THEN '<div><h1></h1><p></p><p></p></div>'
+            WHEN event_id % 4 = 1
+            THEN '<div><h1></h1><ul><li></li></ul></div>'
+            ELSE '<article><p></p></article>' END
+    || '</body></html>' AS html
+  FROM events),
+t AS (
+  SELECT host,
+    md5(array_to_string(
+      regexp_extract_all(html, '<([a-z][a-z0-9]*)', 1), ',')) AS template
+  FROM p),
+per AS (SELECT host, template, count(*) AS n_pages
+        FROM t GROUP BY 1, 2),
+tot AS (SELECT host, sum(n_pages) AS total FROM per GROUP BY host)
+SELECT per.host, per.template, per.n_pages,
+       (per.n_pages * 1000000) // tot.total AS share_micro,
+       ((per.n_pages * 1000000) // tot.total >= 300000)::INT AS hot
+FROM per JOIN tot ON per.host = tot.host
+""")
+def dom_templates_q(spark, sf):
+    """DOM-template mining over synthesized pages: 20 hosts serving
+    three markup skeletons (two at 25% share, one at 50% — the hot one),
+    fingerprinted by opening-tag sequence. Identical regexp + md5 in
+    both engines; shares in fixed-point micros."""
+    e = _t(spark, sf, "events")
+    s = lambda c: c.cast("string")
+    body = (F.when(F.col("event_id") % 4 == 0,
+                   "<div><h1></h1><p></p><p></p></div>")
+            .when(F.col("event_id") % 4 == 1,
+                  "<div><h1></h1><ul><li></li></ul></div>")
+            .otherwise("<article><p></p></article>"))
+    pages = e.select(
+        F.concat(F.lit("h"), s(F.col("user_id") % 20)).alias("host"),
+        F.concat(F.lit("<html><head><title>t</title></head><body>"),
+                 body, F.lit("</body></html>")).alias("html"))
+    return sources.dom_template_stats(pages, "host", "html")
+
+
+@q("recrawl_schedule", """
+WITH visits AS (
+  SELECT event_id % 300 AS url_id, ts, event_id,
+         user_id % 4 AS ver
+  FROM events),
+lagged AS (
+  SELECT url_id, ts, ver,
+         CASE WHEN lag(ver) OVER (PARTITION BY url_id
+                                  ORDER BY ts, event_id) IS NOT NULL
+               AND lag(ver) OVER (PARTITION BY url_id
+                                  ORDER BY ts, event_id) <> ver
+              THEN 1 ELSE 0 END AS chg
+  FROM visits),
+rates AS (
+  SELECT url_id,
+         (CASE WHEN count(*) > 1
+               THEN sum(chg)::BIGINT * 1000000 // (count(*)::BIGINT - 1)
+               ELSE 0 END)::BIGINT AS change_rate_micro,
+         max(ts) AS last_ts
+  FROM lagged GROUP BY url_id),
+scored AS (
+  SELECT url_id,
+         ((epoch_us(TIMESTAMP '2025-01-01 00:00:00') - epoch_us(last_ts))
+          // 1000000)::BIGINT AS age_sec,
+         change_rate_micro,
+         ((epoch_us(TIMESTAMP '2025-01-01 00:00:00') - epoch_us(last_ts))
+          // 1000000)::BIGINT
+           * (1 + change_rate_micro) AS priority_micro
+  FROM rates)
+SELECT * FROM scored
+ORDER BY priority_micro DESC, url_id LIMIT 50
+""")
+def recrawl_schedule_q(spark, sf):
+    """The full freshness loop: estimate per-URL change rates from the
+    synthetic revisit log, then rank by staleness x change rate against
+    a FIXED now-literal (reproducible) and keep the top-50 — the next
+    recrawl batch. The url_id tail key makes the top-k cutoff exact in
+    both engines."""
+    e = _t(spark, sf, "events")
+    visits = e.select((F.col("event_id") % 300).alias("url_id"),
+                      "ts", "event_id",
+                      (F.col("user_id") % 4).alias("ver"))
+    rates = schedule.recrawl_change_rates(visits, tie_col="event_id")
+    return schedule.recrawl_priority(rates, "2025-01-01 00:00:00", k=50)
+
+
 # ===========================================================================
 # flagship (entry): dedup + quality + language over documents
 # ===========================================================================

@@ -221,3 +221,40 @@ def rel_canonical_map(df: DataFrame, url_col: str = "url",
         F.col(url_col).alias("url"),
         F.coalesce(href, F.col(url_col)).alias("canonical_url"),
         href.isNotNull().cast("int").alias("declared"))
+
+
+def dom_template_stats(df: DataFrame, host_col: str, html_col: str,
+                       hot_micro: int = 300000) -> DataFrame:
+    """DOM-template fingerprinting: hash each page's opening-tag
+    sequence (markup skeleton, text stripped) and measure how much of a
+    host each template covers. CMS-generated sites concentrate on a few
+    skeletons — pages sharing a template differ only in content, so a
+    high-share template is the structural analog of
+    ``host_line_dedup``'s chrome (and the DOM-level sibling of
+    ``trap_templates``' URL mining): extract its static furniture once,
+    diff only the slots. Returns
+    ``(host, template, n_pages, share_micro, hot)`` per (host,
+    template); ``hot`` flags templates covering ≥ ``hot_micro`` of the
+    host's pages.
+
+    Scale shape: the tag-sequence extraction is a regexp projection in
+    codegen beside the scan (no UDF — the skeleton never leaves the
+    executor as anything but its md5); then ONE (host, template) hash
+    aggregation with map-side combine plus a per-host rollup joined on
+    the small host table. Nothing URL-cardinality ever shuffles except
+    the 32-byte fingerprints.
+    """
+    h = F.col(html_col).cast("string")
+    tags = F.regexp_extract_all(h, F.lit("<([a-z][a-z0-9]*)"), 1)
+    tpl = F.md5(F.array_join(tags, ","))
+    per = (df.select(F.col(host_col).alias("host"),
+                     tpl.alias("template"))
+           .groupBy("host", "template")
+           .agg(F.count(F.lit(1)).alias("n_pages")))
+    totals = per.groupBy("host").agg(F.sum("n_pages").alias("total"))
+    return (per.join(F.broadcast(totals), "host")
+            .withColumn("share_micro",
+                        F.expr("(n_pages * 1000000) div total"))
+            .drop("total")
+            .withColumn("hot", (F.col("share_micro") >= hot_micro)
+                        .cast("int")))

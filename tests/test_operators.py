@@ -1966,3 +1966,45 @@ def test_mirror_host_pairs_planted_mirror(spark):
     assert (r["host_a"], r["host_b"], r["inter"]) == ("A", "B", 3)
     assert (r["size_a"], r["size_b"]) == (4, 4)
     assert r["jaccard_micro"] == 600000 and r["mirror"] == 1
+
+
+def test_dom_template_stats_shares_and_hot_flag(spark):
+    from disco_crawl_spark import sources
+    tpl_a = "<html><body><div><p>%s</p></div></body></html>"
+    tpl_b = "<html><body><ul><li>%s</li></ul></body></html>"
+    rows = ([("A", tpl_a % f"text {i}") for i in range(3)]
+            + [("A", tpl_b % "x")]
+            + [("B", tpl_b % "y")])
+    df = spark.createDataFrame(rows, ["host", "html"])
+    got = sources.dom_template_stats(df, "host", "html",
+                                     hot_micro=500000).collect()
+    by = {(r["host"], r["n_pages"]): r for r in got}
+    # host A: template a covers 3/4 (hot), template b 1/4; text content
+    # does not perturb the fingerprint
+    assert (by[("A", 3)]["share_micro"], by[("A", 3)]["hot"]) == (750000, 1)
+    assert (by[("A", 1)]["share_micro"], by[("A", 1)]["hot"]) == (250000, 0)
+    assert (by[("B", 1)]["share_micro"], by[("B", 1)]["hot"]) == (1000000, 1)
+    # identical skeleton hashes across hosts
+    assert by[("A", 1)]["template"] == by[("B", 1)]["template"]
+
+
+def test_recrawl_priority_staleness_times_rate(spark):
+    from disco_crawl_spark.operators import schedule
+    import datetime as dt
+    ts = lambda d: dt.datetime(2025, 1, 1) - dt.timedelta(days=d)
+    rates = spark.createDataFrame(
+        [(1, 500000, ts(10)),    # stale AND changing → top
+         (2, 500000, ts(1)),     # changing but fresh
+         (3, 0, ts(10)),         # stale but static: ages via the +1
+         (4, 1000000, ts(0))],   # age 0 → zero priority
+        ["url_id", "change_rate_micro", "last_ts"])
+    got = schedule.recrawl_priority(
+        rates, "2025-01-01 00:00:00", k=3).collect()
+    # stale+changing first, then fresh+changing (rate dominates the
+    # age gap here), then stale+static; age-0 falls off the top-3
+    assert [r["url_id"] for r in got] == [1, 2, 3]
+    top = got[0]
+    assert top["age_sec"] == 10 * 86400
+    assert top["priority_micro"] == 10 * 86400 * 500001
+    # static page's priority is exactly its age (rate 0 → factor 1)
+    assert got[2]["priority_micro"] == 10 * 86400
