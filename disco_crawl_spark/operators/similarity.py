@@ -631,3 +631,43 @@ def ivf_pq_topk(df: DataFrame, emb_col: str, id_col: str, query: list,
         id_col, query, rerank)
     cand = [r[id_col] for r in shortlist.collect()]
     return _exact_l2_rerank(df, emb_col, id_col, cand, query, k)
+
+
+def sq8_reconstruction(df: DataFrame, emb_col: str,
+                       id_col: str) -> DataFrame:
+    """Scalar int8 quantization error — the memory-for-recall trade
+    every billion-vector index makes before anything fancier (FAISS
+    ScalarQuantizer; PQ's simpler sibling, already covered by
+    ``pq_encode``): per-dimension corpus [min, max], each value snapped
+    to its nearest of 256 levels, and the per-vector reconstruction MSE
+    that decides whether int8 (4× smaller, ~4× faster scans) is
+    acceptable for the rerank stage. Returns ``(id, mse_micro)`` —
+    fixed-point micros.
+
+    Determinism: quantization is ``floor(t + 0.5)`` — never ``round()``,
+    whose half-even/half-up conventions diverge across engines on exact
+    midpoints (the frontier_priority lesson, applied to the quantizer
+    itself); degenerate dimensions (hi == lo) reconstruct exactly.
+
+    Scale shape: posexplode to (dim, value) — map-side combine collapses
+    the per-dim min/max to dims × partitions rows before the exchange;
+    the dim stats table (64 rows) broadcasts back; per-vector MSE is one
+    hash aggregation on the id. Nothing wider than (id, dim, value)
+    ever shuffles, and the quantize/dequantize arithmetic runs in
+    codegen.
+    """
+    embd = F.transform(F.col(emb_col), lambda x: x.cast("double"))
+    d = df.select(F.col(id_col).alias("id"),
+                  F.posexplode(embd).alias("i", "v"))
+    mm = d.groupBy("i").agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    r = d.join(F.broadcast(mm), "i")
+    span = F.col("hi") - F.col("lo")
+    q = F.floor((F.col("v") - F.col("lo")) * F.lit(255.0) / span
+                + F.lit(0.5))
+    dq = F.when(F.col("hi") > F.col("lo"),
+                F.col("lo") + q * span / F.lit(255.0)).otherwise(F.col("lo"))
+    err = F.col("v") - dq
+    return (r.groupBy("id")
+            .agg(F.floor(F.avg(err * err) * F.lit(1000000.0) + F.lit(0.5))
+                 .cast("bigint").alias("mse_micro"))
+            .select(F.col("id").alias(id_col), "mse_micro"))

@@ -3744,6 +3744,87 @@ def recrawl_schedule_q(spark, sf):
     return schedule.recrawl_priority(rates, "2025-01-01 00:00:00", k=50)
 
 
+@q("embedding_sq8", """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+d AS (SELECT vec_id, unnest(x) AS v, generate_subscripts(x, 1) AS i
+      FROM e),
+mm AS (SELECT i, min(v) AS lo, max(v) AS hi FROM d GROUP BY i),
+r AS (
+  SELECT vec_id, v,
+    CASE WHEN hi > lo
+         THEN lo + floor((v - lo) * 255.0 / (hi - lo) + 0.5)
+              * (hi - lo) / 255.0
+         ELSE lo END AS dq
+  FROM d JOIN mm USING (i))
+SELECT vec_id,
+       floor(avg((v - dq) * (v - dq)) * 1000000.0 + 0.5)::BIGINT
+         AS mse_micro
+FROM r GROUP BY vec_id
+""")
+def embedding_sq8_q(spark, sf):
+    """Scalar int8 quantization error per vector: per-dimension corpus
+    [min, max], nearest of 256 levels via floor(t + 0.5) (never round —
+    the cross-engine midpoint lesson), fixed-point MSE. The go/no-go
+    measurement before swapping the rerank stage to int8 codes."""
+    e = _t(spark, sf, "embeddings")
+    return similarity.sq8_reconstruction(e, "embedding", "vec_id")
+
+
+@q("split_leakage", f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS tk
+  FROM documents WHERE doc_id < 200),
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM toks a, toks b
+  WHERE a.doc_id < b.doc_id
+    AND round(len(list_intersect(a.tk, b.tk))::DOUBLE /
+              len(list_distinct(list_concat(a.tk, b.tk))), 6) >= 0.5),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION ALL SELECT b, a FROM pairs),
+walk AS (
+  SELECT doc_id AS id, doc_id AS comp FROM documents WHERE doc_id < 200
+  UNION
+  SELECT e.dst AS id, w.comp
+  FROM walk w JOIN edges e ON e.src = w.id),
+comps AS (SELECT id AS doc_id, min(comp) AS comp FROM walk GROUP BY id),
+splits AS (
+  SELECT doc_id,
+         CASE WHEN h < {_SPLIT_T_CUT} THEN 'train'
+              WHEN h < {_SPLIT_V_CUT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT doc_id,
+               ('0x' || substr(md5('42|' || source), 1, 8))
+                 ::UBIGINT::BIGINT AS h
+        FROM documents WHERE doc_id < 200))
+SELECT c.comp, count(*)::BIGINT AS n_docs,
+       count(DISTINCT s.split)::BIGINT AS n_splits,
+       (count(DISTINCT s.split) > 1)::INT AS leaky
+FROM comps c JOIN splits s ON c.doc_id = s.doc_id
+GROUP BY c.comp
+""")
+def split_leakage_q(spark, sf):
+    """Eval-leakage audit: near-dup components (the dedup_clusters graph)
+    joined against the leakage-safe domain_split — a component whose
+    members straddle two splits means a near-duplicate of a test doc is
+    in train. domain_split hashes the SOURCE, near-dups cluster by
+    CONTENT, so cross-source duplicates are exactly what this catches."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    pairs = dedup.token_jaccard_pairs(d, "text", "doc_id", threshold=0.5,
+                                      id_cap=200)
+    comps = dedup.dedup_keep(d, pairs, "doc_id")
+    splits = textstats.domain_split(d, "source", "doc_id",
+                                    fractions=(0.9, 0.05), seed=42)
+    return (comps.select("doc_id", F.col("keep_id").alias("comp"))
+            .join(splits.select("doc_id", "split"), "doc_id")
+            .groupBy("comp")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.count_distinct("split").alias("n_splits"))
+            .withColumn("leaky",
+                        (F.col("n_splits") > 1).cast("int")))
+
+
 # ===========================================================================
 # flagship (entry): dedup + quality + language over documents
 # ===========================================================================

@@ -2008,3 +2008,54 @@ def test_recrawl_priority_staleness_times_rate(spark):
     assert top["priority_micro"] == 10 * 86400 * 500001
     # static page's priority is exactly its age (rate 0 → factor 1)
     assert got[2]["priority_micro"] == 10 * 86400
+
+
+def test_sq8_reconstruction_known_grid(spark):
+    from disco_crawl_spark.operators import similarity
+    # dim0 spans [0, 2]; dim1 is degenerate (constant) → exact
+    rows = [(1, [0.0, 5.0]), (2, [1.0, 5.0]), (3, [2.0, 5.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {r["vec_id"]: r["mse_micro"] for r in
+           similarity.sq8_reconstruction(df, "embedding",
+                                         "vec_id").collect()}
+    # endpoints are exactly representable; the midpoint snaps to level
+    # 128 → dq = 256/255, err² ≈ 1.5379e-5, mse = err²/2 → 8 micros
+    assert got[1] == 0 and got[3] == 0
+    assert got[2] == 8
+
+
+def test_split_leakage_cross_source_duplicate(spark):
+    import hashlib
+    from disco_crawl_spark.operators import dedup, textstats
+
+    def split_of(source):
+        h = int(hashlib.md5(f"42|{source}".encode()).hexdigest()[:8], 16)
+        return ("train" if h < int(0.9 * 2**32)
+                else "val" if h < int(0.95 * 2**32) else "test")
+
+    # find two sources landing in different splits
+    srcs = [f"src{i}" for i in range(50)]
+    s_a = next(s for s in srcs if split_of(s) == "train")
+    s_b = next(s for s in srcs if split_of(s) != "train")
+    rows = [
+        (1, s_a, "identical leaked document text body"),
+        (2, s_b, "identical leaked document text body"),  # cross-split dup
+        (3, s_a, "a completely different and unrelated page"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    pairs = dedup.token_jaccard_pairs(df, "text", "doc_id", threshold=0.5,
+                                      id_cap=200)
+    comps = dedup.dedup_keep(df, pairs, "doc_id")
+    splits = textstats.domain_split(df, "source", "doc_id",
+                                    fractions=(0.9, 0.05), seed=42)
+    from pyspark.sql import functions as F
+    out = {r["comp"]: r for r in
+           (comps.select("doc_id", F.col("keep_id").alias("comp"))
+            .join(splits.select("doc_id", "split"), "doc_id")
+            .groupBy("comp")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.count_distinct("split").alias("n_splits"))
+            .withColumn("leaky", (F.col("n_splits") > 1).cast("int"))
+            ).collect()}
+    assert (out[1]["n_docs"], out[1]["n_splits"], out[1]["leaky"]) == (2, 2, 1)
+    assert (out[3]["n_docs"], out[3]["leaky"]) == (1, 0)
