@@ -56,6 +56,9 @@ HEADLINE = [
     "redirect_resolve", "host_line_dedup", "url_param_mining",
     "url_canonical_strip", "host_reciprocity", "round_novelty",
     "rel_canonical", "mirror_hosts", "dom_templates", "recrawl_schedule",
+    "embedding_sq8", "split_leakage", "cms_heavy_hitters",
+    "cdx_surt_index", "rendezvous_shards", "length_quantiles",
+    "script_mix",
 ]
 
 # bench corpus: ~130 crawlable hosts, ALL seeded so parallelism is maximal

@@ -116,3 +116,39 @@ def filename_guess(url: Column) -> Column:
         & last.rlike(r"^.+\.[^.]{2,8}$")
     )
     return F.when(ok, last)
+
+
+def surt_key(url: Column) -> Column:
+    """SURT (Sort-friendly URL Reordering Transform) canonical key — the
+    CDX index key Common Crawl / Wayback use so that one index RANGE SCAN
+    answers "every capture under this host (or host suffix, or path
+    prefix)": ``com,example)/path?a=1&b=2`` sorts all of example.com
+    together, subdomains adjacent, parents before children.
+
+    Transform (public SURT spec, the subset our synthetic URLs
+    exercise): lowercase; strip scheme, leading ``www.``, port, and
+    fragment; reverse host labels joined by commas; append ``)`` + path;
+    sort query params byte-wise (the ``url_canonicalize`` rule, so two
+    capture URLs differing only in param order share a key).
+
+    Pure Catalyst — regexp + split/reverse/sort/join built-ins, no UDF;
+    this runs beside the scan in whole-stage codegen, so keying 10^10
+    capture records costs no exchange at all (the global SORT the CDX
+    contract wants is the writer's range partition, not this
+    expression's)."""
+    u = F.lower(url)
+    u = F.regexp_replace(u, r"^[a-z][a-z0-9+.-]*://", "")   # scheme
+    u = F.regexp_replace(u, r"#.*$", "")                    # fragment
+    hostport = F.regexp_replace(F.split(u, "/", 2)[0], r"^www\.", "")
+    host = F.regexp_replace(hostport, r":\d+$", "")
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    rest = F.when(u.contains("/"),
+                  F.concat(F.lit("/"), F.split(u, "/", 2)[1])
+                  ).otherwise(F.lit("/"))
+    path = F.split(rest, r"\?", 2)[0]
+    qs = F.when(rest.contains("?"), F.split(rest, r"\?", 2)[1])
+    params = F.array_join(
+        F.array_sort(F.filter(F.split(qs, "&"), lambda p: p != "")), "&")
+    tail = F.when(qs.isNotNull() & (params != ""),
+                  F.concat(path, F.lit("?"), params)).otherwise(path)
+    return F.concat(rev, F.lit(")"), tail)

@@ -22,8 +22,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["budget_waterfill", "mine_junk_params",
-           "apply_param_canonicalization"]
+__all__ = ["budget_waterfill", "trap_templates", "recrawl_change_rates",
+           "politeness_audit", "mine_junk_params",
+           "apply_param_canonicalization", "recrawl_priority",
+           "rendezvous_assign", "rendezvous_churn"]
 
 
 def budget_waterfill(demands: DataFrame, budget: int,
@@ -354,3 +356,52 @@ def recrawl_priority(rates: DataFrame, now: str, url_col: str = "url_id",
     return (scored
             .orderBy(F.col("priority_micro").desc(), F.col(url_col))
             .limit(k))
+
+
+def _hrw_weight(key_col: str, shard: str, seed: int):
+    return F.conv(F.substring(
+        F.md5(F.concat_ws("|", F.lit(str(seed)), F.lit(shard),
+                          F.col(key_col).cast("string"))), 1, 8),
+        16, 10).cast("bigint")
+
+
+def rendezvous_assign(df: DataFrame, key_col: str, shards: "list[str]",
+                      seed: int = 42, out_col: str = "shard") -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment: each key goes
+    to ``argmax over shards of md5(seed|shard|key)``.  This is the
+    minimal-churn generalization of the reference's modulo steward hash
+    (steward.py:100-130 hashes hosts into a FIXED steward count — any
+    fleet resize remaps ~``n/(n+1)`` of all hosts and cold-starts their
+    politeness state): under HRW, adding a shard moves only the keys the
+    NEW shard now wins, expected ``1/(n+1)`` of them, and removing one
+    moves only the removed shard's keys. No key ever moves between two
+    surviving shards (each surviving shard's weight is unchanged, so a
+    key it already won it still wins) — ``rendezvous_churn``'s test
+    pins exactly that.
+
+    Scale shape: the weight list is a row-local literal struct array
+    (shard fleets are 10^1-10^3 entries) folded with ``array_max`` —
+    pure codegen beside the scan, NO shuffle, no shard table join; the
+    10^10-key frontier pays zero exchange for (re)assignment.  Ties
+    (p ~ 2^-32 per pair) break deterministically to the highest shard
+    index, mirrored exactly by the oracle's descending-index CASE."""
+    arr = F.array(*[
+        F.struct(_hrw_weight(key_col, s, seed).alias("h"),
+                 F.lit(i).alias("i"), F.lit(s).alias("shard"))
+        for i, s in enumerate(shards)])
+    return df.withColumn(out_col, F.array_max(arr)["shard"])
+
+
+def rendezvous_churn(df: DataFrame, key_col: str, shards_before: "list[str]",
+                     shards_after: "list[str]", seed: int = 42) -> DataFrame:
+    """Transition matrix of an HRW fleet resize over the distinct keys of
+    ``df``: (shard_before, shard_after, n_keys).  Off-diagonal mass is
+    the churn; the HRW invariant says every off-diagonal row's
+    ``shard_after`` is a NEWLY ADDED shard (grow) / its ``shard_before``
+    a removed one (shrink).  One distinct + one tiny aggregation; both
+    assignments are row-local."""
+    keys = df.select(F.col(key_col)).distinct()
+    a = rendezvous_assign(keys, key_col, shards_before, seed, "shard_before")
+    b = rendezvous_assign(a, key_col, shards_after, seed, "shard_after")
+    return (b.groupBy("shard_before", "shard_after")
+            .agg(F.count(F.lit(1)).alias("n_keys")))

@@ -1276,3 +1276,43 @@ def host_line_dedup(df: DataFrame, text_col: str, id_col: str,
                 F.size("a").cast("int").alias("n_lines"),
                 F.size(F.filter("a", lambda x: x["boiler"]))
                 .cast("int").alias("n_dropped")))
+
+
+def script_mix(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Unicode-script composition per document — the mC4/CCNet language-
+    pipeline gate that catches what trigram lang-id can't: mixed-script
+    spam, mojibake (declared-Latin pages full of replacement/Cyrillic
+    bytes), and wrong-script boilerplate around a short real text.
+    Counts Latin letters, CJK ideographs, Cyrillic, digits, and
+    whitespace by deleting each class's complement (one regexp_replace
+    per class — chars, not bytes, both engines agree), and reports the
+    dominant-script fraction as fixed-point micros (integer division —
+    the cross-engine midpoint-safe display idiom).
+
+    Returns (id, n_chars_s, n_latin, n_cjk, n_cyrillic, n_digit,
+    latin_frac_micro).
+
+    Scale shape: a pure projection — five codegen regexp passes beside
+    the scan, no UDF, no exchange of any kind; at 100 TB this pipelines
+    with whatever aggregation consumes it."""
+    t = F.col(text_col)
+
+    def n_of(cls: str):
+        return F.length(F.regexp_replace(t, f"[^{cls}]", ""))
+
+    n = F.length(t)
+    lat = n_of("a-zA-Z")
+    b = lambda c: c.cast("bigint")
+    return df.select(
+        F.col(id_col),
+        b(n).alias("n_chars_s"),
+        b(lat).alias("n_latin"),
+        b(n_of("一-鿿")).alias("n_cjk"),
+        b(n_of("Ѐ-ӿ")).alias("n_cyrillic"),
+        b(n_of("0-9")).alias("n_digit"),
+        # the count MUST widen to BIGINT before *1e6: Spark length() is
+        # INT and 2200 chars * 1000000 silently wraps past 2^31
+        F.expr(f"CAST(length(regexp_replace({text_col}, '[^a-zA-Z]', ''))"
+               f" AS BIGINT) * 1000000"
+               f" DIV nullif(length({text_col}), 0)")
+        .alias("latin_frac_micro"))

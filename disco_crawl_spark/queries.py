@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from . import functions as cf
 from . import sources
-from .operators import dedup, graph, schedule, similarity, textstats
+from .operators import dedup, graph, schedule, similarity, sketch, textstats
 from .operators.diff import content_novelty, snapshot_diff
 
 QUERY_VEC = [1.0 if i % 3 == 0 else (0.5 if i % 3 == 1 else -0.25)
@@ -3823,6 +3823,231 @@ def split_leakage_q(spark, sf):
                  F.count_distinct("split").alias("n_splits"))
             .withColumn("leaky",
                         (F.col("n_splits") > 1).cast("int")))
+
+
+_CMS_HOSTS_CTE = """hosts AS (
+  SELECT 'host-' || (CASE WHEN event_id % 10 < 7 THEN event_id % 5
+                          ELSE event_id % 500 END) || '.gov.au' AS host
+  FROM events)"""
+
+
+@q("cms_heavy_hitters", f"""
+WITH {_CMS_HOSTS_CTE},
+js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+pr AS (SELECT j,
+         (('0x' || substr(md5('42|' || j || '|' || host), 1, 8))::UBIGINT
+            % 256)::BIGINT AS bucket
+       FROM hosts, js),
+counters AS (SELECT j, bucket, count(*)::BIGINT AS cnt
+             FROM pr GROUP BY 1, 2),
+cand AS (SELECT DISTINCT host FROM hosts),
+probes AS (SELECT host, j,
+             (('0x' || substr(md5('42|' || j || '|' || host), 1, 8))::UBIGINT
+                % 256)::BIGINT AS bucket
+           FROM cand, js),
+est AS (SELECT p.host, min(coalesce(c.cnt, 0)) AS est
+        FROM probes p LEFT JOIN counters c USING (j, bucket) GROUP BY 1),
+hot AS (SELECT * FROM est
+        WHERE est >= (SELECT count(*) // 20 FROM events)),
+exact AS (SELECT h.host, count(*)::BIGINT AS exact
+          FROM hosts h JOIN hot USING (host) GROUP BY 1)
+SELECT h.host, h.est, e.exact, h.est - e.exact AS overcount
+FROM hot h JOIN exact e USING (host)
+""")
+def cms_heavy_hitters_q(spark, sf):
+    """Count-min-sketch heavy hosts over a skewed synthetic host log (5
+    hot hosts at ~14% each over a 500-host tail): 4x256 deterministic
+    md5-bucket counters, threshold = 5% of rows, exact audit counts on
+    the sketch-flagged candidates only. The sketch's one-sided error
+    (est >= exact, so no true heavy hitter is ever missed) is visible in
+    the overcount column — and because every hash is the portable md5
+    idiom, the ESTIMATES themselves (not just the exact counts)
+    hash-match the oracle."""
+    e = _t(spark, sf, "events")
+    hid = F.when(F.col("event_id") % 10 < 7, F.col("event_id") % 5) \
+        .otherwise(F.col("event_id") % 500)
+    hosts = e.select(F.concat(F.lit("host-"), hid.cast("string"),
+                              F.lit(".gov.au")).alias("host"))
+    thr = hosts.count() // 20
+    return sketch.cms_heavy_hitters(hosts, "host", thr,
+                                    depth=4, width=256, seed=42)
+
+
+_CDX_CAPS_CTE = """caps AS (
+  SELECT 'HTTP://WWW.Host' || (event_id % 40) || '.Example.GOV.au:8080/Dir'
+         || (user_id % 7) || '/page'
+         || (CASE WHEN event_id % 2 = 0
+                  THEN '?b=' || (event_id % 3) || '&a=' || (user_id % 2)
+                  ELSE '?a=' || (user_id % 2) || '&b=' || (event_id % 3)
+             END)
+         || '#sec-' || (event_id % 4) AS url,
+         ts
+  FROM events)"""
+
+
+@q("cdx_surt_index", f"""
+WITH {_CDX_CAPS_CTE},
+t1 AS (SELECT url, ts,
+         regexp_replace(regexp_replace(lower(url),
+                        '^[a-z][a-z0-9+.-]*://', ''), '#.*$', '') AS u
+       FROM caps),
+parts AS (SELECT url, ts,
+    regexp_replace(regexp_replace(split_part(u, '/', 1), '^www\\.', ''),
+                   ':[0-9]+$', '') AS host,
+    CASE WHEN contains(u, '/')
+         THEN '/' || substr(u, strpos(u, '/') + 1) ELSE '/' END AS rest
+  FROM t1),
+keyed AS (SELECT url, ts,
+    array_to_string(list_reverse(string_split(host, '.')), ',')
+      || ')' ||
+    (CASE WHEN contains(rest, '?')
+          AND array_to_string(list_sort(list_filter(
+                string_split(split_part(rest, '?', 2), '&'),
+                x -> x <> '')), '&') <> ''
+     THEN split_part(rest, '?', 1) || '?' ||
+          array_to_string(list_sort(list_filter(
+            string_split(split_part(rest, '?', 2), '&'),
+            x -> x <> '')), '&')
+     ELSE split_part(rest, '?', 1) END) AS surt
+  FROM parts)
+SELECT surt, count(*)::BIGINT AS n_captures,
+       count(DISTINCT url)::BIGINT AS n_urls,
+       min(ts) AS first_ts, max(ts) AS last_ts
+FROM keyed GROUP BY surt
+""")
+def cdx_surt_index_q(spark, sf):
+    """CDX capture index keyed by SURT (the Common Crawl / Wayback
+    sort-friendly URL key): scheme/port/fragment stripped, host
+    lowercased, www-stripped and label-reversed, query params sorted —
+    so all captures of one resource share a key no matter how the URL
+    was written, and one index range scan covers a whole host. The
+    synthetic capture log alternates param order by row parity, so the
+    n_urls column proves the collapse (two spelled forms, one key).
+    The key is pure codegen (functions.surt_key); the group-by is the
+    index build."""
+    e = _t(spark, sf, "events")
+    s = lambda c: c.cast("string")
+    qstr = F.when(
+        F.col("event_id") % 2 == 0,
+        F.concat(F.lit("?b="), s(F.col("event_id") % 3),
+                 F.lit("&a="), s(F.col("user_id") % 2))
+    ).otherwise(
+        F.concat(F.lit("?a="), s(F.col("user_id") % 2),
+                 F.lit("&b="), s(F.col("event_id") % 3)))
+    caps = e.select(
+        F.concat(F.lit("HTTP://WWW.Host"), s(F.col("event_id") % 40),
+                 F.lit(".Example.GOV.au:8080/Dir"), s(F.col("user_id") % 7),
+                 F.lit("/page"), qstr,
+                 F.lit("#sec-"), s(F.col("event_id") % 4)).alias("url"),
+        F.col("ts"))
+    return (caps.withColumn("surt", cf.surt_key(F.col("url")))
+            .groupBy("surt")
+            .agg(F.count(F.lit(1)).alias("n_captures"),
+                 F.count_distinct("url").alias("n_urls"),
+                 F.min("ts").alias("first_ts"),
+                 F.max("ts").alias("last_ts")))
+
+
+_HRW_SHARDS = [f"fetcher-{i:02d}" for i in range(8)]
+_HRW_SHARDS_GROWN = [f"fetcher-{i:02d}" for i in range(9)]
+
+
+def _hrw_oracle_sql(shards_before: list, shards_after: list,
+                    seed: int = 42) -> str:
+    """Oracle generator for rendezvous_churn: per-shard md5 weights as
+    computed columns, argmax as greatest() + a DESCENDING-index CASE
+    (mirrors the Spark array_max struct tie-break: highest index wins)."""
+    def w(s):
+        return ("('0x' || substr(md5('" + str(seed) + "|" + s +
+                "|' || host), 1, 8))::UBIGINT::BIGINT")
+
+    # a SELECT can't reference its own computed columns —
+    # nest: hosts -> weights -> weights+m -> case
+    def assign(shards, out):
+        cols = ", ".join(f"{w(s)} AS h{i}" for i, s in enumerate(shards))
+        m = "greatest(" + ", ".join(f"h{i}" for i in range(len(shards))) + ")"
+        case = ("CASE " + " ".join(
+            f"WHEN h{i} = m THEN '{s}'"
+            for i, s in reversed(list(enumerate(shards)))) + " END")
+        return (f"SELECT host, {case} AS {out} FROM "
+                f"(SELECT *, {m} AS m FROM "
+                f"(SELECT host, {cols} FROM hosts) t1_{out}) t2_{out}")
+
+    return f"""
+WITH hosts AS (
+  SELECT DISTINCT 'host-' || (event_id % 313) || '.gov.au' AS host
+  FROM events),
+ab AS ({assign(shards_before, 'shard_before')}),
+aa AS ({assign(shards_after, 'shard_after')})
+SELECT shard_before, shard_after, count(*)::BIGINT AS n_keys
+FROM ab JOIN aa USING (host)
+GROUP BY 1, 2
+"""
+
+
+@q("rendezvous_shards", _hrw_oracle_sql(_HRW_SHARDS, _HRW_SHARDS_GROWN))
+def rendezvous_shards_q(spark, sf):
+    """HRW fleet-resize transition matrix over 313 synthetic hosts, 8
+    fetchers -> 9: every off-diagonal row lands on the ADDED shard (the
+    HRW minimal-churn invariant the modulo steward hash lacks — resizing
+    a modulo fleet remaps ~8/9 of hosts; HRW moves ~1/9, and never
+    between two surviving shards). Assignment is row-local codegen
+    (literal struct array + array_max), zero shuffle."""
+    e = _t(spark, sf, "events")
+    hosts = e.select(F.concat(F.lit("host-"),
+                              (F.col("event_id") % 313).cast("string"),
+                              F.lit(".gov.au")).alias("host"))
+    return schedule.rendezvous_churn(hosts, "host", _HRW_SHARDS,
+                                     _HRW_SHARDS_GROWN, seed=42)
+
+
+@q("length_quantiles", """
+WITH n AS (SELECT count(*) AS n FROM documents),
+bins AS (SELECT (n_chars // 64)::BIGINT AS bin, count(*)::BIGINT AS cnt
+         FROM documents GROUP BY 1),
+cum AS (SELECT bin, cnt,
+          sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+        FROM bins),
+ps AS (SELECT unnest([50, 90, 99]) AS p_pct),
+ks AS (SELECT p_pct::BIGINT AS p_pct,
+              ((p_pct * n + 99) // 100)::BIGINT AS k
+       FROM ps, n)
+SELECT p_pct, k, (min(bin) * 64)::BIGINT AS est
+FROM cum JOIN ks ON cum.cum >= ks.k
+GROUP BY 1, 2
+""")
+def length_quantiles_q(spark, sf):
+    """Doc-length p50/p90/p99 via the binned-quantile sketch: one
+    map-side-combinable bin count (never a global sort of rows), a
+    cumulative sum over the bounded bin table, lower-edge estimates
+    within one bin width below the true order statistic. The corpus-card
+    length distribution (Gopher A3 / CCNet shard stats) at
+    any-cardinality scale."""
+    d = _t(spark, sf, "documents")
+    return sketch.binned_quantiles(d, "n_chars", [50, 90, 99],
+                                   bin_width=64)
+
+
+@q("script_mix", r"""
+SELECT doc_id,
+  length(text)::BIGINT AS n_chars_s,
+  length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::BIGINT AS n_latin,
+  length(regexp_replace(text, '[^\x{4E00}-\x{9FFF}]', '', 'g'))::BIGINT
+    AS n_cjk,
+  length(regexp_replace(text, '[^\x{0400}-\x{04FF}]', '', 'g'))::BIGINT
+    AS n_cyrillic,
+  length(regexp_replace(text, '[^0-9]', '', 'g'))::BIGINT AS n_digit,
+  (length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1000000)
+    // nullif(length(text), 0) AS latin_frac_micro
+FROM documents
+""")
+def script_mix_q(spark, sf):
+    """Unicode-script composition (mC4/CCNet script gate): per-doc Latin
+    / CJK / Cyrillic / digit character counts and the Latin fraction in
+    fixed-point micros — the mixed-script spam + mojibake detector that
+    trigram lang-id misses. Pure codegen projection, no shuffle."""
+    d = _t(spark, sf, "documents")
+    return textstats.script_mix(d, "text", "doc_id")
 
 
 # ===========================================================================

@@ -330,3 +330,93 @@ def run_politeness_gate_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_hot_hosts_stream(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    available_now: bool = True,
+    threshold: int = 10,
+    depth: int = 4,
+    width: int = 256,
+    n_shards: int = 8,
+    seed: int = 42,
+):
+    """Streaming heavy-host monitor with BOUNDED state: the batch
+    count-min sketch (operators/sketch.py) as a stateful stream.  Fetch
+    events stream in as (host, ts, url); hosts are sharded by
+    md5(host) % n_shards and each shard's state is its own depth x width
+    int64 counter grid stored as fixed bytes — ``n_shards * depth *
+    width * 8`` bytes TOTAL regardless of host cardinality, the same
+    bounded-state contract as the Bloom seen-filter stream (an exact
+    per-host-count GroupState would be O(hosts) and grow forever).
+    Because sharding sends EVERY occurrence of a host to one shard, a
+    shard's sub-grid sees exactly that host's full stream: estimates
+    equal a batch CMS built per shard, and with ``n_shards=1`` equal the
+    batch ``cms_estimate`` bit-for-bit (the parity test pins this).
+
+    Each micro-batch folds its rows into the grid, then emits every
+    DISTINCT host of the batch whose current estimate reaches
+    ``threshold`` — (host, est), an at-latest-estimate monitor feed.
+    CMS error is one-sided (est >= true count), so a true heavy host is
+    never missed once its traffic arrives; state checkpoints with the
+    query, so a restarted stream continues its counts.
+
+    Hashing is the same portable md5-prefix family as the batch sketch
+    (hashlib here, F.md5/DuckDB md5 there) — one hash spec across the
+    batch operator, the stream, and the SQL oracle."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = (spark.readStream
+           .schema("host string, ts timestamp, url string")
+           .parquet(input_path))
+
+    def _buckets(host: str) -> list:
+        return [int(hashlib.md5(f"{seed}|{j}|{host}".encode())
+                    .hexdigest()[:8], 16) % width
+                for j in range(depth)]
+
+    def fold(key, pdfs, state: GroupState):
+        if state.exists:
+            grid = np.frombuffer(state.get[0], dtype=np.int64) \
+                     .reshape(depth, width).copy()
+        else:
+            grid = np.zeros((depth, width), dtype=np.int64)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf):
+            counts = pdf["host"].value_counts()
+            rows = np.arange(depth)
+            for host, c in counts.items():
+                grid[rows, _buckets(host)] += int(c)
+            est = {h: int(grid[rows, _buckets(h)].min())
+                   for h in counts.index}
+            hot = sorted(h for h, e in est.items() if e >= threshold)
+            if hot:
+                yield pd.DataFrame({"host": hot,
+                                    "est": [est[h] for h in hot]})
+        state.update((grid.tobytes(),))
+
+    shard = (F.conv(F.substring(F.md5(F.col("host")), 1, 8), 16, 10)
+             .cast("bigint") % n_shards)
+    out = (src.withColumn("shard", shard)
+           .groupBy("shard")
+           .applyInPandasWithState(
+               fold,
+               outputStructType="host string, est long",
+               stateStructType="grid binary",
+               outputMode="append",
+               timeoutConf=GroupStateTimeout.NoTimeout,
+           ))
+    writer = (out.writeStream.format("parquet")
+              .option("path", output_path)
+              .option("checkpointLocation", checkpoint_path)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -102,6 +102,21 @@ CASES = [
                          "two map-side-combinable hash aggs over (param, "
                          "path, others) triples; the final join is on the "
                          "param-cardinality table, so AQE broadcasts it."),
+    ("cms_heavy_hitters", "Count-min sketch: the counter build exchanges "
+                          "at most depth*width partial counters per "
+                          "partition (map-side combine over the exploded "
+                          "probe array); the merged grid broadcasts back "
+                          "for the point queries — key cardinality never "
+                          "crosses the wire."),
+    ("cdx_surt_index", "SURT keying entirely inside whole-stage codegen "
+                       "beside the scan (regexp/split/reverse/sort "
+                       "built-ins, no Python); the only exchange is the "
+                       "index group-by on the finished key."),
+    ("rendezvous_shards", "HRW assignment as a row-local literal struct "
+                          "array + array_max — both fleet assignments "
+                          "compute with ZERO exchanges; the only shuffles "
+                          "are the candidate distinct and the tiny "
+                          "transition-matrix aggregation."),
 ]
 
 

@@ -2059,3 +2059,110 @@ def test_split_leakage_cross_source_duplicate(spark):
             ).collect()}
     assert (out[1]["n_docs"], out[1]["n_splits"], out[1]["leaky"]) == (2, 2, 1)
     assert (out[3]["n_docs"], out[3]["leaky"]) == (1, 0)
+
+
+def test_cms_overestimate_never_misses_hot_key(spark):
+    from pyspark.sql import functions as F
+    from disco_crawl_spark.operators import sketch
+    rows = [("hot",)] * 50 + [(f"tail-{i}",) for i in range(100)]
+    df = spark.createDataFrame(rows, ["k"])
+    # width 16 << 101 keys forces collisions: estimates may overcount,
+    # must never undercount (the CMS one-sided guarantee)
+    est = {r["k"]: r["est"] for r in
+           sketch.cms_estimate(sketch.cms_counters(df, "k", 4, 16),
+                               df, "k", 4, 16).collect()}
+    assert est["hot"] >= 50
+    assert all(est[f"tail-{i}"] >= 1 for i in range(100))
+    hh = sketch.cms_heavy_hitters(df, "k", threshold=30, depth=4,
+                                  width=16).collect()
+    by_k = {r["k"]: r for r in hh}
+    assert "hot" in by_k and by_k["hot"]["exact"] == 50
+    # every reported row keeps est >= exact
+    assert all(r["overcount"] >= 0 for r in hh)
+    # false candidates (collision victims) are possible but each one's
+    # overcount exposes it: exact stays its true tiny count
+    for r in hh:
+        if r["k"] != "hot":
+            assert r["exact"] == 1
+
+
+def test_surt_key_golden(spark):
+    from pyspark.sql import functions as F
+    from disco_crawl_spark import functions as cf
+    cases = [
+        ("HTTP://WWW.Example.GOV.au:8080/A/B?b=2&a=1#f",
+         "au,gov,example)/a/b?a=1&b=2"),
+        ("https://sub.site.com/x", "com,site,sub)/x"),
+        ("http://host.com", "com,host)/"),
+        ("http://host.com/p?", "com,host)/p"),
+        # param order collapses to one key
+        ("http://h.org/p?a=1&b=2", "org,h)/p?a=1&b=2"),
+        ("http://h.org/p?b=2&a=1", "org,h)/p?a=1&b=2"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    got = [r["surt"] for r in
+           df.select(cf.surt_key(F.col("url")).alias("surt")).collect()]
+    assert got == [w for _, w in cases]
+
+
+def test_rendezvous_moves_only_to_new_shard(spark):
+    from pyspark.sql import functions as F
+    from disco_crawl_spark.operators import schedule
+    keys = spark.createDataFrame([(f"host-{i}.gov.au",)
+                                  for i in range(200)], ["host"])
+    before = [f"s{i:02d}" for i in range(4)]
+    after = before + ["s04"]
+    m = schedule.rendezvous_churn(keys, "host", before, after).collect()
+    moved = stayed = 0
+    for r in m:
+        if r["shard_before"] == r["shard_after"]:
+            stayed += r["n_keys"]
+        else:
+            # HRW invariant: a key never moves between two SURVIVING
+            # shards when one is added — movers all land on the new one
+            assert r["shard_after"] == "s04"
+            moved += r["n_keys"]
+    assert moved + stayed == 200
+    assert 0 < moved < 200 // 2          # ~1/5 expected, far under half
+    # shrink is the mirror image: only the removed shard's keys move
+    m2 = schedule.rendezvous_churn(keys, "host", after, before).collect()
+    for r in m2:
+        if r["shard_before"] != r["shard_after"]:
+            assert r["shard_before"] == "s04"
+    # and the two matrices are transposes of each other (same hash family)
+    fwd = {(r["shard_before"], r["shard_after"]): r["n_keys"] for r in m}
+    rev = {(r["shard_after"], r["shard_before"]): r["n_keys"] for r in m2}
+    assert fwd == rev
+
+
+def test_binned_quantiles_within_one_bin_of_exact(spark):
+    from disco_crawl_spark.operators import sketch
+    vals = list(range(1000))                   # 0..999, uniform
+    df = spark.createDataFrame([(v,) for v in vals], ["n"])
+    got = {r["p_pct"]: r for r in
+           sketch.binned_quantiles(df, "n", [50, 90, 99],
+                                   bin_width=10).collect()}
+    for p in (50, 90, 99):
+        k = (p * 1000 + 99) // 100
+        exact = sorted(vals)[k - 1]            # k-th smallest
+        est = got[p]["est"]
+        assert got[p]["k"] == k
+        assert est <= exact < est + 10, (p, est, exact)
+
+
+def test_script_mix_counts_unicode_classes(spark):
+    from disco_crawl_spark.operators import textstats
+    rows = [
+        (1, "abc XYZ 123"),          # 6 latin, 3 digit
+        (2, "汉字漢字 привет ab"),    # 4 cjk, 6 cyrillic, 2 latin
+        (3, ""),                     # empty → NULL fraction
+        (4, "a" * 3000),             # >2147 chars: count*1e6 must not
+    ]                                # wrap past 2^31 (widened to BIGINT)
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           textstats.script_mix(df, "text", "doc_id").collect()}
+    assert (got[1]["n_latin"], got[1]["n_digit"], got[1]["n_cjk"]) == (6, 3, 0)
+    assert got[1]["latin_frac_micro"] == 6 * 1000000 // 11
+    assert (got[2]["n_cjk"], got[2]["n_cyrillic"], got[2]["n_latin"]) == (4, 6, 2)
+    assert got[3]["n_chars_s"] == 0 and got[3]["latin_frac_micro"] is None
+    assert got[4]["latin_frac_micro"] == 1000000

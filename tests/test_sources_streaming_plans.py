@@ -627,3 +627,85 @@ def test_politeness_gate_stream_token_bucket_and_restart(spark, tmp_path):
     assert got2["u5"] == "defer" and got2["u6"] == "allow"
     # the gate never drops: every candidate row was emitted exactly once
     assert len(got2) == 7
+
+
+def test_rendezvous_assign_plan_has_no_exchange(spark):
+    """The HRW docstring claims zero-shuffle assignment: the literal
+    struct-array argmax must compile to a pure projection."""
+    from disco_crawl_spark.operators import schedule
+    from disco_crawl_spark import plans
+    keys = spark.range(100).selectExpr("concat('h', id) AS host")
+    df = schedule.rendezvous_assign(keys, "host",
+                                    [f"s{i}" for i in range(8)])
+    s = plans.explain_str(df, "simple")
+    assert "Exchange" not in s, s
+    assert "Python" not in s, s           # pure codegen, no UDF
+
+
+def test_surt_key_plan_pure_projection(spark):
+    from pyspark.sql import functions as F
+    from disco_crawl_spark import functions as cf, plans
+    df = (spark.range(100)
+          .selectExpr("concat('http://www.h', id, '.gov.au/p?b=1&a=2') AS u")
+          .select(cf.surt_key(F.col("u")).alias("surt")))
+    s = plans.explain_str(df, "simple")
+    assert "Exchange" not in s, s
+    assert "Python" not in s, s
+
+
+def test_cms_plan_partial_combine_and_broadcast_probe(spark):
+    """cms_counters must partial-aggregate (map-side combine bounds each
+    partition's exchange at depth*width counters); cms_estimate must
+    BROADCAST the counter grid to the probes."""
+    from disco_crawl_spark.operators import sketch
+    from disco_crawl_spark import plans
+    df = spark.range(1000).selectExpr("concat('k', id % 37) AS k")
+    counters = sketch.cms_counters(df, "k", 4, 64)
+    sc = plans.explain_str(counters, "simple")
+    assert "partial_count" in sc, sc
+    est = sketch.cms_estimate(counters, df, "k", 4, 64)
+    se = plans.explain_str(est, "simple")
+    assert "BroadcastHashJoin" in se or "BroadcastExchange" in se, se
+
+
+def test_hot_hosts_stream_parity_and_restart(spark, tmp_path):
+    """Streaming CMS: estimates match the batch sketch bit-for-bit
+    (n_shards=1 -> same grid, same md5 family), state is the fixed
+    counter grid (restart continues counts), emission is threshold-hot
+    hosts of each batch."""
+    from disco_crawl_spark.operators import sketch
+    inp, outp, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+
+    def rows(host, n):
+        return [(host, "2024-01-01 00:00:00", f"https://{host}/u{i}")
+                for i in range(n)]
+
+    batch1 = (rows("hot.gov.au", 30) + rows("warm.gov.au", 5)
+              + [(f"t{i}.gov.au", "2024-01-01 00:00:00", "https://x/")
+                 for i in range(10)])
+    (spark.createDataFrame(batch1, "host string, ts string, url string")
+     .selectExpr("host", "cast(ts as timestamp) ts", "url")
+     .coalesce(1).write.mode("append").parquet(inp))
+    q = streaming.run_hot_hosts_stream(spark, inp, outp, ckpt,
+                                       threshold=10, n_shards=1)
+    q.awaitTermination()
+    first = {r["host"]: r["est"] for r in spark.read.parquet(outp).collect()}
+    assert set(first) == {"hot.gov.au"}          # only the hot host emitted
+    # parity: batch CMS over the same rows gives the identical estimate
+    bdf = spark.createDataFrame([(h,) for h, _, _ in batch1], ["host"])
+    best = {r["host"]: r["est"] for r in sketch.cms_estimate(
+        sketch.cms_counters(bdf, "host", 4, 256), bdf, "host",
+        4, 256).collect()}
+    assert first["hot.gov.au"] == best["hot.gov.au"]
+
+    # restart: warm crosses the threshold only with restored state (5+7)
+    (spark.createDataFrame(rows("warm.gov.au", 7),
+                           "host string, ts string, url string")
+     .selectExpr("host", "cast(ts as timestamp) ts", "url")
+     .coalesce(1).write.mode("append").parquet(inp))
+    q2 = streaming.run_hot_hosts_stream(spark, inp, outp, ckpt,
+                                        threshold=10, n_shards=1)
+    q2.awaitTermination()
+    allr = spark.read.parquet(outp).collect()
+    warm = [r for r in allr if r["host"] == "warm.gov.au"]
+    assert len(warm) == 1 and warm[0]["est"] == 12
