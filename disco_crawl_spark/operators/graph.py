@@ -43,7 +43,7 @@ from .ckpt import ckpt_tools
 
 __all__ = ["pagerank", "anchor_text_agg", "hits", "bfs_depth",
            "cocitation", "label_propagation", "resolve_redirects",
-           "reciprocity"]
+           "reciprocity", "opic"]
 
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
@@ -542,3 +542,89 @@ def reciprocity(edges: DataFrame, src: str = "src",
                     F.coalesce("mutual", F.lit(0)).alias("mutual"))
             .withColumn("reciprocity_micro",
                         F.expr("(mutual * 1000000) div out_deg")))
+
+
+def opic(edges: DataFrame, src: str = "src", dst: str = "dst",
+         iters: int = 5, cash0: int = 1_000_000,
+         dedup_edges: bool = True) -> DataFrame:
+    """OPIC — On-line Page Importance Computation (Abiteboul, Preda &
+    Cobéna, WWW 2003): the importance estimator built FOR crawling.
+    Unlike PageRank (a batch fixpoint over a frozen snapshot), OPIC's
+    cash/history pair is incremental — a crawler can update it one page
+    at a time as fetches land, and the running ``history + cash`` total
+    ranks the frontier at any instant without waiting for convergence.
+    This operator is the synchronous batch step a Spark round runs over
+    the links discovered so far; the reference crawler has no importance
+    signal at all (its steward batches are hash-ordered,
+    steward.py:100-130), so this is the upgrade path its frontier needs.
+
+    Semantics (exact, so the DuckDB oracle can unroll it):
+
+    * node set = distinct src ∪ dst endpoints; multi-edges collapse when
+      ``dedup_edges``
+    * cash_0(v) = ``cash0`` micros, history_0(v) = 0
+    * each round, synchronously: every node banks its cash into history
+      and distributes it — ``cash DIV outdeg`` to each out-neighbor;
+      DANGLING nodes distribute ``cash DIV n_nodes`` to every node (the
+      paper's virtual page, flattened)
+    * importance after the round = history + received cash
+
+    All arithmetic is INTEGER micros with floor division, so the result
+    is bit-reproducible cross-engine; the remainders (< outdeg micros
+    per node·round) are retired, a documented sub-ppm mass decay instead
+    of a float-summation-order hazard.
+
+    Scale shape mirrors ``pagerank``: the edge table pays ONE
+    src-partitioned shuffle for the whole run, each round is one
+    co-partitioned join + one dst-keyed aggregation, the dangling mass
+    is a broadcast 1-row scalar, and per-round states are
+    localCheckpoint-ed with superseded blocks released — O(iters) flat
+    plans, no driver-side per-node state.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if dedup_edges:
+        e = e.distinct()
+    nodes = (e.select(F.col("src").alias("n"))
+             .union(e.select(F.col("dst").alias("n")))
+             .distinct())
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    contrib_edges = (e.join(deg, "src")
+                     .repartition("src")
+                     .sortWithinPartitions("src")
+                     .persist())
+    sc = edges.sparkSession.sparkContext
+    _ckpt, _release = ckpt_tools(sc)
+    nodes, nodes_held = _ckpt(nodes)
+    deg, deg_held = _ckpt(deg)
+    n_nodes = nodes.count()  # bounded driver scalar, like pagerank's
+
+    state = nodes.select(
+        "n", F.lit(int(cash0)).cast("long").alias("cash"),
+        F.lit(0).cast("long").alias("hist"))
+    held = set()
+    for _ in range(iters):
+        c_src = state.select(F.col("n").alias("src"), "cash")
+        recv = (contrib_edges.join(c_src, "src")
+                .groupBy("dst")
+                .agg(F.sum(F.expr("cash div outdeg")).alias("recv")))
+        dangling = (state.join(deg, state["n"] == deg["src"], "left_anti")
+                    .agg(F.coalesce(F.sum("cash"), F.lit(0))
+                         .cast("long").alias("dcash")))
+        new_state = (state.join(recv, state["n"] == recv["dst"], "left")
+                     .crossJoin(F.broadcast(dangling))
+                     .select(
+                         state["n"],
+                         (F.coalesce(F.col("recv"), F.lit(0))
+                          + F.expr(f"dcash div {n_nodes}"))
+                         .cast("long").alias("cash"),
+                         (F.col("hist") + F.col("cash")).cast("long")
+                         .alias("hist")))
+        state, new_held = _ckpt(new_state)
+        _release(held)
+        held = new_held
+    contrib_edges.unpersist()
+    _release(nodes_held)
+    _release(deg_held)
+    return state.select(F.col("n").alias("node"), "cash", "hist",
+                        (F.col("cash") + F.col("hist"))
+                        .alias("importance_micro"))

@@ -25,7 +25,8 @@ from pyspark.sql import DataFrame, Window, functions as F
 __all__ = ["budget_waterfill", "trap_templates", "recrawl_change_rates",
            "politeness_audit", "mine_junk_params",
            "apply_param_canonicalization", "recrawl_priority",
-           "rendezvous_assign", "rendezvous_churn"]
+           "rendezvous_assign", "rendezvous_churn",
+           "ucb_priority", "error_ema", "robots_wildcard_gate"]
 
 
 def budget_waterfill(demands: DataFrame, budget: int,
@@ -405,3 +406,151 @@ def rendezvous_churn(df: DataFrame, key_col: str, shards_before: "list[str]",
     b = rendezvous_assign(a, key_col, shards_after, seed, "shard_after")
     return (b.groupBy("shard_before", "shard_after")
             .agg(F.count(F.lit(1)).alias("n_keys")))
+
+
+def ucb_priority(history: DataFrame, host_col: str = "host",
+                 n_col: str = "n_fetches",
+                 wins_col: str = "n_useful") -> DataFrame:
+    """UCB1 host scheduling (Auer et al. 2002): rank hosts by
+    ``mean_reward + sqrt(2·ln N / n)`` so the frontier keeps probing
+    under-sampled hosts (exploration) without abandoning proven ones
+    (exploitation) — the bandit answer to the reference's fixed
+    round-robin steward batches (steward.py:100-130 hashes hosts into
+    equal batches regardless of how productive each host has been).
+
+    Reward per fetch is whatever the caller counts as useful (novel
+    content, in-scope links); input is the bounded per-host history
+    table (host, n_fetches, n_useful).
+
+    Determinism: everything is fixed-point integer math so the ranking
+    is exactly reproducible cross-engine.  ``ln N`` is replaced by
+    ``floor(log2(N))`` (same exploration order, base-2; exact in
+    doubles for any bigint), and the bonus is
+    ``floor(sqrt((2·L·10^12) DIV n))`` micros — the integer division
+    happens BEFORE the sqrt so both engines take sqrt of the same exact
+    integer (< 2^52, where IEEE-correctly-rounded sqrt + floor is exact
+    isqrt).  Never-fetched hosts (n = 0) rank first with an infinite
+    bonus, modeled as ucb_micro = 2^62.
+
+    Scale shape: host-cardinality input (10^6-10^7 rows at a 10^10-URL
+    frontier), ONE 1-row total-N aggregate broadcast back, then a
+    row-local projection — no URL-cardinality data ever moves.
+    """
+    h = history.select(F.col(host_col).alias("host"),
+                       F.col(n_col).cast("long").alias("n"),
+                       F.col(wins_col).cast("long").alias("wins"))
+    tot = h.agg(F.sum("n").alias("n_total"))
+    j = h.crossJoin(F.broadcast(tot))
+    L = F.floor(F.log2(F.col("n_total"))).cast("long")
+    x = F.lit(2) * L * F.lit(1_000_000_000_000)
+    # exact integer division BEFORE the sqrt: (x - x%n) is exactly
+    # divisible, its double quotient exact (< 2^53), so both engines take
+    # sqrt of the same integer — floor(sqrt(exact int < 2^52)) is isqrt.
+    # greatest(n,1) keeps the unused n=0 branch ANSI-safe (waterfill idiom)
+    n1 = F.greatest(F.col("n"), F.lit(1))
+    q = (x - x % n1).cast("double") / n1.cast("double")
+    mean_micro = ((F.col("wins") * F.lit(1_000_000)
+                   - (F.col("wins") * F.lit(1_000_000)) % n1)
+                  .cast("double") / n1.cast("double"))
+    ucb = (F.when(F.col("n") == 0, F.lit(1 << 62))
+           .otherwise(mean_micro.cast("long")
+                      + F.floor(F.sqrt(q)).cast("long")))
+    return (j.select("host", "n", "wins", ucb.alias("ucb_micro"))
+            .orderBy(F.col("ucb_micro").desc(), "host"))
+
+
+def error_ema(rounds: DataFrame, host_col: str = "host",
+              round_col: str = "round", err_col: str = "err_micro",
+              ) -> DataFrame:
+    """Per-host exponentially-weighted fetch-error rate with
+    ``alpha = 1/2`` — the health signal a scheduler feeds into
+    budget_waterfill / ucb_priority to cool down hosts that started
+    timing out, while forgiving ancient incidents (the reference only
+    tracks a boolean lifetime failure state, worker.py:418-431 marks a
+    domain failed and never revisits the decision).
+
+    ``ema_r = (err_r + ema_{r-1}) / 2`` with ``ema_0 = err_0``, folded
+    to the closed form ``ema_R = sum_k err_k · w_k`` where
+    ``w_k = 2^(k-R-1)`` for k ≥ 1 and ``w_0 = 2^(-R)`` (k = the host's
+    0-based observation index in round order).  alpha = 1/2 is chosen
+    deliberately: every weight is a power of two, so each product is an
+    exact exponent shift in IEEE doubles and every partial sum is an
+    exact dyadic rational — the result is bit-identical cross-engine in
+    ANY summation order, then floored to micros.
+
+    One host-partitioned window for the observation index + one grouped
+    sum: a single narrow (host, round, err) shuffle, host-cardinality
+    output."""
+    r = rounds.select(F.col(host_col).alias("host"),
+                      F.col(round_col).cast("long").alias("rnd"),
+                      F.col(err_col).cast("long").alias("err"))
+    w = Window.partitionBy("host").orderBy("rnd")
+    idx = (r.withColumn("k", F.row_number().over(w) - 1)
+           .withColumn("n", F.count(F.lit(1)).over(
+               Window.partitionBy("host"))))
+    weight = F.when(F.col("k") == 0, F.pow(F.lit(0.5), F.col("n") - 1)) \
+              .otherwise(F.pow(F.lit(0.5), F.col("n") - F.col("k")))
+    return (idx.groupBy("host")
+            .agg(F.floor(F.sum(F.col("err").cast("double") * weight))
+                 .cast("long").alias("ema_micro"),
+                 F.count(F.lit(1)).alias("n_rounds")))
+
+
+def robots_wildcard_gate(urls: DataFrame, rules: DataFrame,
+                         host_col: str = "host", path_col: str = "path",
+                         pattern_col: str = "pattern",
+                         allow_col: str = "allow") -> DataFrame:
+    """RFC 9309 / Googlebot-style robots matching with ``*`` and ``$``
+    wildcards and longest-match-wins precedence — the modern superset of
+    the stdlib prefix matcher the reference relies on (robotparser via
+    reppy, worker.py:180-200; ``udfs.robots_allow_udf`` pins that exact
+    legacy semantics).  Real robots.txt files in a Common-Crawl-scale
+    corpus use wildcards heavily, so a frontier needs this gate too.
+
+    Semantics per RFC 9309 §2.2.2-2.2.3:
+
+    * ``*`` in a rule matches any character sequence; a TRAILING ``$``
+      anchors the rule at the end of the path; otherwise a rule is a
+      prefix match.
+    * Among the rules of a host that match a path, the MOST SPECIFIC
+      (longest ``pattern``, counting wildcards — the octet count the RFC
+      prescribes) wins; on a length tie an allow rule beats a disallow
+      (``spec DESC, allow DESC``, then pattern DESC as a final
+      deterministic tie-break between distinct same-verdict patterns).
+    * A path no rule matches is allowed.
+
+    Implementation: each rule's pattern is compiled to an anchored regex
+    BY COLUMN EXPRESSIONS (escape regex metachars, then ``\\*`` → ``.*``,
+    ``^`` prefix, ``$`` iff the rule was end-anchored) so rules stay a
+    DataFrame — no driver-side compile, no collect.  The gate is one
+    host-co-partitioned join (rules are host-bounded: a robots file is
+    ~10-100 lines, so the join multiplies each URL by its host's rule
+    count only), one RLIKE filter, and one max(struct) winner election —
+    the anchor_text_agg idiom, no window over URL cardinality.
+
+    Returns (host, path, allowed, winning pattern or NULL).
+    """
+    r = rules.select(F.col(host_col).alias("host"),
+                     F.col(pattern_col).alias("pat"),
+                     F.col(allow_col).cast("int").alias("allow"))
+    anchored = F.col("pat").endswith("$")
+    body = F.when(anchored, F.expr("substring(pat, 1, length(pat) - 1)")) \
+            .otherwise(F.col("pat"))
+    esc = F.regexp_replace(body, r"([.^$+?*(){}\[\]|\\])", r"\\$1")
+    wild = F.regexp_replace(esc, r"\\\*", ".*")
+    rx = F.concat(F.lit("^"), wild,
+                  F.when(anchored, F.lit("$")).otherwise(F.lit("")))
+    rr = r.select("host", "pat", "allow", rx.alias("rx"),
+                  F.length("pat").cast("long").alias("spec"))
+    u = (urls.select(F.col(host_col).alias("host"),
+                     F.col(path_col).alias("path")).distinct())
+    j = (u.join(rr, "host", "left")
+         .withColumn("m", F.expr("path rlike rx")))
+    win = (j.groupBy("host", "path")
+           .agg(F.max(F.when(F.col("m"),
+                             F.struct("spec", "allow", "pat")))
+                .alias("w")))
+    return win.select(
+        "host", "path",
+        F.coalesce(F.col("w.allow"), F.lit(1)).alias("allowed"),
+        F.col("w.pat").alias("rule"))

@@ -1316,3 +1316,44 @@ def script_mix(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
                f" AS BIGINT) * 1000000"
                f" DIV nullif(length({text_col}), 0)")
         .alias("latin_frac_micro"))
+
+
+def hash_normalize(text_col) -> "F.Column":
+    """CCNet-style hash normalization (Wenzek et al. 2019 §4.1 — the
+    transform CCNet applies to a paragraph BEFORE hashing it for dedup,
+    so that trivially re-rendered copies collide): lowercase, every digit
+    folded to ``0``, ASCII punctuation stripped, whitespace runs
+    collapsed to one space, ends trimmed.  Restricted to the
+    deterministic ASCII subset both engines implement identically (the
+    full CCNet recipe also strips unicode accents; that fold is
+    locale-dependent and lives outside the exactly-oracled kernel).
+
+    A pure column expression — four regexp passes in codegen beside the
+    scan, usable inside any dedup key (``md5(hash_normalize(text))``)."""
+    c = F.lower(text_col) if not isinstance(text_col, str) \
+        else F.lower(F.col(text_col))
+    c = F.regexp_replace(c, "[0-9]", "0")
+    c = F.regexp_replace(c, r"[!-&(-/:-@\[-`{-~]", "")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def normalized_exact_dedup(df: DataFrame, text_col: str,
+                           id_col: str) -> DataFrame:
+    """Exact dedup on the CCNet-normalized text: re-cased, re-numbered
+    and re-punctuated copies of the same document collapse into one
+    group that raw ``dedup.exact_dedup`` keeps apart.  Returns
+    (norm_hash, id = min over the group, dup_count, n_raw_variants) —
+    the raw-variant count is the evidence column: every group with
+    ``n_raw_variants > 1`` is a duplicate the raw pass missed.
+
+    Same 100 TB shape as exact_dedup: ONE map-side-combinable hash
+    aggregation on a 32-byte key; the normalization itself is row-local
+    codegen."""
+    return (df.select(F.col(id_col),
+                      F.md5(F.col(text_col)).alias("raw_hash"),
+                      F.md5(hash_normalize(text_col)).alias("norm_hash"))
+            .groupBy("norm_hash")
+            .agg(F.min(id_col).alias(id_col),
+                 F.count(F.lit(1)).alias("dup_count"),
+                 F.count_distinct("raw_hash").alias("n_raw_variants")))

@@ -4051,6 +4051,233 @@ def script_mix_q(spark, sf):
 
 
 # ===========================================================================
+# round 4 additions: wildcard robots, bandit scheduling, OPIC, EMA health,
+# normalized exact dedup
+# ===========================================================================
+
+
+# one literal rule set shared verbatim by the Spark gate and the SQL oracle
+# (the seeded-hash-family-as-literals idiom): per host a prefix disallow, a
+# longer allow that overrides it, a *.pdf$ wildcard+anchor disallow, and a
+# parity-dependent section rule; h3 additionally carries the empty pattern
+# (matches everything, specificity 0 — the RFC's default-allow probe).
+_ROBOTS_RULES = []
+for _i in range(10):
+    _h = f"h{_i}"
+    _ROBOTS_RULES += [
+        (_h, "/sec0/", 0),
+        (_h, "/sec0/p1*", 1),
+        (_h, "*.pdf$", 0),
+        (_h, f"/sec{_i % 3}/*", _i % 2),
+    ]
+_ROBOTS_RULES.append(("h3", "", 1))
+
+_ROBOTS_RULES_VALUES = ",\n    ".join(
+    f"('{h}', '{p}', {a})" for h, p, a in _ROBOTS_RULES)
+
+
+@q("robots_wildcards", f"""
+WITH rules AS (
+  SELECT * FROM (VALUES
+    {_ROBOTS_RULES_VALUES}) AS t(host, pat, al)),
+rx AS (
+  SELECT host, pat, al, length(pat)::BIGINT AS spec,
+         '^' || replace(regexp_replace(
+             CASE WHEN pat LIKE '%$'
+                  THEN substring(pat, 1, length(pat) - 1) ELSE pat END,
+             '([.^$+?*(){{}}\\[\\]|\\\\])', '\\\\\\1', 'g'), '\\*', '.*')
+             || CASE WHEN pat LIKE '%$' THEN '$' ELSE '' END AS rx
+  FROM rules),
+u AS (
+  SELECT DISTINCT 'h' || (user_id % 10) AS host,
+         '/sec' || (user_id % 3) || '/p' || (event_id % 25)
+           || CASE WHEN event_id % 5 = 0 THEN '.pdf' ELSE '' END AS path
+  FROM events),
+m AS (
+  SELECT u.host, u.path, r.pat, r.al, r.spec,
+         row_number() OVER (PARTITION BY u.host, u.path
+                            ORDER BY r.spec DESC, r.al DESC,
+                                     r.pat DESC) AS rn
+  FROM u JOIN rx r ON r.host = u.host AND regexp_matches(u.path, r.rx))
+SELECT u.host, u.path, coalesce(w.al, 1)::INT AS allowed, w.pat AS rule
+FROM u LEFT JOIN (SELECT * FROM m WHERE rn = 1) w
+  ON w.host = u.host AND w.path = u.path
+""")
+def robots_wildcards_q(spark, sf):
+    """RFC 9309 wildcard robots gate over a synthetic URL log: ``*`` /
+    trailing-``$`` rules compiled to regexes BY COLUMN EXPRESSIONS,
+    longest-pattern-wins with allow beating disallow on ties, default
+    allow. Exercises prefix-vs-longer-allow override (/sec0/ vs
+    /sec0/p1*), wildcard+anchor (*.pdf$), the empty catch-all pattern,
+    and hosts whose paths no rule matches."""
+    e = _t(spark, sf, "events")
+    urls = e.select(
+        F.concat(F.lit("h"), F.col("user_id") % 10).alias("host"),
+        F.concat(F.lit("/sec"), F.col("user_id") % 3, F.lit("/p"),
+                 F.col("event_id") % 25,
+                 F.when(F.col("event_id") % 5 == 0, F.lit(".pdf"))
+                 .otherwise(F.lit(""))).alias("path"))
+    rules = spark.createDataFrame(
+        _ROBOTS_RULES, "host string, pattern string, allow int")
+    return schedule.robots_wildcard_gate(urls, rules)
+
+
+@q("host_ucb_priority", """
+WITH hist AS (
+  SELECT 'h' || (user_id % 40) AS host, count(*)::BIGINT AS n,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+           AS wins
+  FROM events GROUP BY 1
+  UNION ALL SELECT 'h_new', 0::BIGINT, 0::BIGINT),
+l AS (SELECT floor(log2(sum(n)))::BIGINT AS L FROM hist)
+SELECT host, n, wins,
+       CASE WHEN n = 0 THEN 4611686018427387904
+            ELSE (wins * 1000000 - (wins * 1000000) % greatest(n, 1))
+                   // greatest(n, 1)
+                 + floor(sqrt((((2 * L * 1000000000000)
+                                - (2 * L * 1000000000000) % greatest(n, 1))
+                               // greatest(n, 1))::DOUBLE))::BIGINT
+       END AS ucb_micro
+FROM hist CROSS JOIN l
+""")
+def host_ucb_priority_q(spark, sf):
+    """UCB1 bandit host scheduling: per-host (fetches, useful-fetches)
+    history from the synthetic log plus one never-fetched host; rank =
+    fixed-point mean reward + floor(sqrt(2·floor(log2 N)·10^12 div n))
+    exploration bonus, n = 0 ranks first at 2^62. Everything integer /
+    exact-double so the ranking is bit-reproducible cross-engine."""
+    e = _t(spark, sf, "events")
+    hist = (e.groupBy(F.concat(F.lit("h"), F.col("user_id") % 40)
+                      .alias("host"))
+            .agg(F.count(F.lit(1)).alias("n_fetches"),
+                 F.sum(F.when(F.col("event_type") == "purchase", 1)
+                       .otherwise(0)).alias("n_useful")))
+    extra = spark.createDataFrame(
+        [("h_new", 0, 0)], "host string, n_fetches long, n_useful long")
+    return schedule.ucb_priority(hist.unionByName(extra))
+
+
+@q("host_error_ema", """
+WITH per AS (
+  SELECT 'h' || (user_id % 30) AS host, event_id % 8 AS rnd,
+         (sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 1000000)
+           // count(*) AS err
+  FROM events GROUP BY 1, 2),
+idx AS (
+  SELECT host, err,
+         row_number() OVER (PARTITION BY host ORDER BY rnd) - 1 AS k,
+         count(*) OVER (PARTITION BY host) AS n
+  FROM per)
+SELECT host,
+       floor(sum(err::DOUBLE
+                 * CASE WHEN k = 0 THEN power(0.5, n - 1)
+                        ELSE power(0.5, n - k) END))::BIGINT AS ema_micro,
+       count(*)::BIGINT AS n_rounds
+FROM idx GROUP BY host
+""")
+def host_error_ema_q(spark, sf):
+    """Per-host EWMA fetch-error rate (alpha = 1/2): per-(host, round)
+    error-rate micros from the synthetic log, then the closed-form dyadic
+    EMA — every weight a power of two, so the double arithmetic is exact
+    and cross-engine bit-identical before the final floor."""
+    e = _t(spark, sf, "events")
+    per = (e.groupBy(F.concat(F.lit("h"), F.col("user_id") % 30)
+                     .alias("host"),
+                     (F.col("event_id") % 8).alias("round"))
+           .agg(F.expr("(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 "
+                       "END) * 1000000) div count(*)").alias("err_micro")))
+    return schedule.error_ema(per)
+
+
+def _opic_oracle_sql(n_mod: int = 200, iters: int = 4,
+                     cash0: int = 1_000_000) -> str:
+    """Exact SQL mirror of ``graph.opic`` (the pagerank-unroll idiom):
+    each synchronous round is one received-cash aggregation with integer
+    floor division, one dangling-cash scalar, and the bank-into-history
+    update — all BIGINT, so the chain is exactly reproducible."""
+    head = f"""WITH edges AS (
+  SELECT DISTINCT user_id % {n_mod} AS src, event_id % {n_mod} AS dst
+  FROM events WHERE user_id % {n_mod} <> event_id % {n_mod}),
+nodes AS (SELECT src AS n FROM edges UNION SELECT dst AS n FROM edges),
+nn AS (SELECT count(*)::BIGINT AS cnt FROM nodes),
+deg AS (SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY src),
+s0 AS (SELECT n, {cash0}::BIGINT AS cash, 0::BIGINT AS hist FROM nodes)"""
+    rounds = []
+    for t in range(1, iters + 1):
+        rounds.append(f""",
+s{t} AS (
+  SELECT nd.n,
+         (coalesce(c.recv, 0) + dang.dcash // nn.cnt)::BIGINT AS cash,
+         (p.hist + p.cash)::BIGINT AS hist
+  FROM nodes nd
+  CROSS JOIN nn
+  JOIN s{t - 1} p ON p.n = nd.n
+  CROSS JOIN (SELECT coalesce(sum(q.cash), 0)::BIGINT AS dcash
+              FROM s{t - 1} q LEFT JOIN deg d ON q.n = d.src
+              WHERE d.src IS NULL) dang
+  LEFT JOIN (SELECT e.dst AS n, sum(q.cash // d.outdeg)::BIGINT AS recv
+             FROM edges e JOIN s{t - 1} q ON q.n = e.src
+             JOIN deg d ON d.src = e.src
+             GROUP BY e.dst) c ON c.n = nd.n)""")
+    tail = f"""
+SELECT n AS node, cash, hist, (cash + hist)::BIGINT AS importance_micro
+FROM s{iters}"""
+    return head + "".join(rounds) + tail
+
+
+@q("opic_frontier", _opic_oracle_sql())
+def opic_frontier_q(spark, sf):
+    """OPIC importance (Abiteboul et al. 2003) over the synthetic link
+    graph: 4 synchronous cash-distribution rounds in integer micros —
+    the incrementally-updatable frontier-ordering signal, vs PageRank's
+    frozen-snapshot fixpoint (link_pagerank)."""
+    e = _t(spark, sf, "events")
+    edges = (e.select((F.col("user_id") % 200).alias("src"),
+                      (F.col("event_id") % 200).alias("dst"))
+             .filter(F.col("src") != F.col("dst")))
+    return graph.opic(edges, iters=4)
+
+
+@q("dedup_exact_normalized", """
+WITH noisy AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 100000, upper(text) || '!!'
+    FROM documents WHERE doc_id % 3 = 0
+  UNION ALL SELECT doc_id + 200000, text || ' 123'
+    FROM documents WHERE doc_id % 5 = 0
+  UNION ALL SELECT doc_id + 300000, text || ' 789,'
+    FROM documents WHERE doc_id % 5 = 0),
+h AS (
+  SELECT doc_id, md5(text) AS raw_hash,
+         md5(trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+             '[0-9]', '0', 'g'), '[!-&(-/:-@\\[-`{{-~]', '', 'g'),
+             '\\s+', ' ', 'g'))) AS norm_hash
+  FROM noisy)
+SELECT norm_hash, min(doc_id) AS doc_id, count(*) AS dup_count,
+       count(DISTINCT raw_hash) AS n_raw_variants
+FROM h GROUP BY norm_hash
+""")
+def dedup_exact_normalized_q(spark, sf):
+    """Exact dedup on CCNet-normalized text over a corpus with planted
+    re-rendered copies (re-cased+punctuated, two digit-differing
+    variants): groups with n_raw_variants > 1 are exactly the duplicates
+    raw dedup_exact keeps apart."""
+    d = _t(spark, sf, "documents")
+    base = d.select("doc_id", "text")
+    va = (d.filter(F.col("doc_id") % 3 == 0)
+          .select((F.col("doc_id") + 100000).alias("doc_id"),
+                  F.concat(F.upper("text"), F.lit("!!")).alias("text")))
+    vb = (d.filter(F.col("doc_id") % 5 == 0)
+          .select((F.col("doc_id") + 200000).alias("doc_id"),
+                  F.concat(F.col("text"), F.lit(" 123")).alias("text")))
+    vc = (d.filter(F.col("doc_id") % 5 == 0)
+          .select((F.col("doc_id") + 300000).alias("doc_id"),
+                  F.concat(F.col("text"), F.lit(" 789,")).alias("text")))
+    noisy = base.unionByName(va).unionByName(vb).unionByName(vc)
+    return textstats.normalized_exact_dedup(noisy, "text", "doc_id")
+
+
+# ===========================================================================
 # flagship (entry): dedup + quality + language over documents
 # ===========================================================================
 

@@ -2166,3 +2166,149 @@ def test_script_mix_counts_unicode_classes(spark):
     assert (got[2]["n_cjk"], got[2]["n_cyrillic"], got[2]["n_latin"]) == (4, 6, 2)
     assert got[3]["n_chars_s"] == 0 and got[3]["latin_frac_micro"] is None
     assert got[4]["latin_frac_micro"] == 1000000
+
+
+def test_robots_wildcard_gate_precedence(spark):
+    """RFC 9309 matching: longest pattern wins, allow beats disallow on a
+    length tie, trailing $ anchors, * spans segments, no-match defaults
+    to allow."""
+    from disco_crawl_spark.operators import schedule
+    rules = spark.createDataFrame(
+        [("h", "/private/", 0),
+         ("h", "/private/pub*", 1),     # longer -> overrides the disallow
+         ("h", "*.pdf$", 0),            # wildcard + end anchor
+         ("h", "/tie/ab", 0),
+         ("h", "/tie/a*", 1)],          # same length as /tie/ab -> allow wins
+        "host string, pattern string, allow int")
+    urls = spark.createDataFrame(
+        [("h", "/private/secret"),      # only /private/ matches -> deny
+         ("h", "/private/pub1"),        # 13 > 9 -> allow
+         ("h", "/private/pub1.pdf"),    # 13 > 7 -> allow beats *.pdf$
+         ("h", "/doc/x.pdf"),           # anchored pdf -> deny
+         ("h", "/doc/x.pdfs"),          # $ anchor fails -> no rule -> allow
+         ("h", "/tie/ab"),              # 7 == 7 tie -> allow wins
+         ("h", "/elsewhere")],          # no match -> allow
+        "host string, path string")
+    out = {r["path"]: (r["allowed"], r["rule"])
+           for r in schedule.robots_wildcard_gate(urls, rules).collect()}
+    assert out["/private/secret"] == (0, "/private/")
+    assert out["/private/pub1"] == (1, "/private/pub*")
+    assert out["/private/pub1.pdf"] == (1, "/private/pub*")
+    assert out["/doc/x.pdf"] == (0, "*.pdf$")
+    assert out["/doc/x.pdfs"] == (1, None)
+    assert out["/tie/ab"] == (1, "/tie/a*")
+    assert out["/elsewhere"] == (1, None)
+
+
+def test_ucb_priority_exploration_and_cold_start(spark):
+    """Fixed-point UCB1: a never-fetched host ranks first; among fetched
+    hosts the bonus decays with n; values equal the scalar recomputation."""
+    import math
+    from disco_crawl_spark.operators import schedule
+    hist = [("a", 100, 90), ("b", 100, 10), ("c", 4, 3), ("cold", 0, 0)]
+    df = spark.createDataFrame(
+        hist, "host string, n_fetches long, n_useful long")
+    out = {r["host"]: r["ucb_micro"]
+           for r in schedule.ucb_priority(df).collect()}
+    total = sum(n for _, n, _ in [(h, n, w) for h, n, w in hist])
+    L = int(math.floor(math.log2(total)))
+    for h, n, w in hist:
+        if n == 0:
+            assert out[h] == 1 << 62
+            continue
+        expect = (w * 1_000_000) // n + math.isqrt(
+            (2 * L * 1_000_000_000_000) // n)
+        assert out[h] == expect, (h, out[h], expect)
+    assert out["cold"] > out["c"] > out["b"]
+    assert out["a"] > out["b"]  # higher mean, same n
+
+
+def test_error_ema_matches_recursion(spark):
+    """Closed-form dyadic EMA == the direct ema = (e + prev)/2 recursion,
+    exactly (alpha = 1/2 keeps every term a dyadic rational)."""
+    from disco_crawl_spark.operators import schedule
+    series = {"h1": [1_000_000, 0, 500_000, 250_000],
+              "h2": [0, 0, 1_000_000],
+              "h3": [777_777]}
+    rows = [(h, i, e) for h, es in series.items() for i, e in enumerate(es)]
+    df = spark.createDataFrame(rows, "host string, round long, err_micro long")
+    out = {r["host"]: (r["ema_micro"], r["n_rounds"])
+           for r in schedule.error_ema(df).collect()}
+    for h, es in series.items():
+        ema = float(es[0])
+        for e in es[1:]:
+            ema = (e + ema) / 2.0
+        assert out[h] == (int(ema), len(es)), (h, out[h], ema)
+
+
+def test_opic_mass_conservation_and_determinism(spark):
+    """OPIC on a known 4-node graph: history+cash totals stay within the
+    documented floor-division decay of n·cash0, values match a scalar
+    simulation, and a re-run is bit-identical."""
+    from disco_crawl_spark.operators import graph
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "a")]
+    # e has no out-edge? all of a,b,c,d have out-edges except none — add a
+    # dangling sink: edges point at 'e' which never links out
+    edges.append(("c", "e"))
+    df = spark.createDataFrame(edges, "src string, dst string")
+    iters, cash0 = 3, 1_000_000
+    out = {r["node"]: (r["cash"], r["hist"], r["importance_micro"])
+           for r in graph.opic(df, iters=iters, cash0=cash0).collect()}
+
+    # scalar simulation with identical floor-div semantics
+    nodes = sorted({x for e in edges for x in e})
+    outs = {}
+    for s, d in edges:
+        outs.setdefault(s, []).append(d)
+    n = len(nodes)
+    cash = {v: cash0 for v in nodes}
+    hist = {v: 0 for v in nodes}
+    for _ in range(iters):
+        recv = {v: 0 for v in nodes}
+        dang = sum(c for v, c in cash.items() if v not in outs)
+        for v, ds in outs.items():
+            share = cash[v] // len(ds)
+            for d in ds:
+                recv[d] += share
+        for v in nodes:
+            hist[v] += cash[v]
+        for v in nodes:
+            cash[v] = recv[v] + dang // n
+    for v in nodes:
+        assert out[v] == (cash[v], hist[v], cash[v] + hist[v]), v
+
+    # mass decays only by retired floor remainders, monotonically bounded
+    total = sum(c for c, _, _ in out.values())
+    assert total <= n * cash0
+    assert total >= n * cash0 - iters * n * max(
+        len(ds) for ds in outs.values()) - iters * n * n
+
+    out2 = {r["node"]: (r["cash"], r["hist"], r["importance_micro"])
+            for r in graph.opic(df, iters=iters, cash0=cash0).collect()}
+    assert out == out2
+
+
+def test_hash_normalize_golden_and_normalized_dedup(spark):
+    """hash_normalize goldens (case/digit/punct/whitespace folds; apostrophe
+    deliberately kept) and the variant-collapse the normalized dedup adds."""
+    from disco_crawl_spark.operators import textstats
+    rows = [(1, "Hello,  World 42!"),
+            (2, "hello world 99"),          # collapses with 1
+            (3, "don't stop"),
+            (4, "dont stop"),               # does NOT collapse with 3
+            (5, "hello world 77")]          # collapses with 1 and 2
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    norm = {r["doc_id"]: r["n"]
+            for r in df.select("doc_id",
+                               textstats.hash_normalize("text").alias("n"))
+            .collect()}
+    assert norm[1] == "hello world 00"
+    assert norm[2] == "hello world 00"
+    assert norm[3] == "don't stop"
+    assert norm[4] == "dont stop"
+    out = {r["doc_id"]: (r["dup_count"], r["n_raw_variants"])
+           for r in textstats.normalized_exact_dedup(df, "text", "doc_id")
+           .collect()}
+    assert out[1] == (3, 3)     # docs 1, 2, 5: three distinct raw texts
+    assert out[3] == (1, 1)
+    assert out[4] == (1, 1)
