@@ -26,7 +26,8 @@ __all__ = ["budget_waterfill", "trap_templates", "recrawl_change_rates",
            "politeness_audit", "mine_junk_params",
            "apply_param_canonicalization", "recrawl_priority",
            "rendezvous_assign", "rendezvous_churn",
-           "ucb_priority", "error_ema", "robots_wildcard_gate"]
+           "ucb_priority", "error_ema", "robots_wildcard_gate",
+           "parse_robots_rules", "growth_fit"]
 
 
 def budget_waterfill(demands: DataFrame, budget: int,
@@ -554,3 +555,116 @@ def robots_wildcard_gate(urls: DataFrame, rules: DataFrame,
         "host", "path",
         F.coalesce(F.col("w.allow"), F.lit(1)).alias("allowed"),
         F.col("w.pat").alias("rule"))
+
+
+def parse_robots_rules(robots: DataFrame, host_col: str = "host",
+                       txt_col: str = "robots_txt",
+                       agent: str = "*") -> DataFrame:
+    """Parse raw robots.txt TEXT into the (host, pattern, allow) rules
+    table ``robots_wildcard_gate`` consumes — the missing first half of
+    the raw-bytes → verdict pipeline (the reference hands the text to
+    reppy/robotparser per host in Python, worker.py:180-200; here the
+    parse itself is set-oriented, one row per file line).
+
+    RFC 9309 grammar subset, deterministic by construction:
+
+    * lines split on ``\\n``; ``#`` comments stripped; a line parses iff
+      it matches ``field: value`` — anything else (blank lines, HTML
+      error pages served as robots.txt) is ignored.
+    * CONSECUTIVE ``User-agent`` lines form one group header; the
+      group's rules run until the next header (a User-agent line whose
+      predecessor parsed line is NOT a User-agent line starts a new
+      group — the lag/running-sum construction below).
+    * group selection for ``agent``: every group listing the agent
+      case-insensitively wins; if none, the ``*`` groups.  Per RFC all
+      matching groups MERGE (their rules union).
+    * ``Allow``/``Disallow`` with an EMPTY pattern matches nothing and
+      is dropped (RFC 9309 §2.2.2); ``Crawl-delay``/``Sitemap``/unknown
+      fields are out of scope here (the politeness stream models
+      crawl-delay separately).
+
+    100 TB shape: one ``posexplode`` over lines (row-local), one
+    host-partitioned window pair (lag for group starts, running sum for
+    group ids — the SAME host-keyed exchange serves both), one per-host
+    semi-join of rule rows against matching group ids.  Host-cardinality
+    throughout; robots files are KB-bounded so lines-per-host is ~10^2.
+
+    Returns distinct (host, pattern, allow:int).
+    """
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(txt_col), "\n")).alias("ln", "raw"))
+    parsed = (lines
+              .withColumn("clean", F.regexp_replace("raw", "#.*$", ""))
+              .withColumn("field", F.lower(F.regexp_extract(
+                  "clean", r"^\s*([A-Za-z-]+)\s*:\s*(\S*)\s*$", 1)))
+              .withColumn("value", F.regexp_extract(
+                  "clean", r"^\s*([A-Za-z-]+)\s*:\s*(\S*)\s*$", 2))
+              .filter(F.col("field").isin("user-agent", "allow",
+                                          "disallow")))
+    w = Window.partitionBy("host").orderBy("ln")
+    grouped = (parsed
+               .withColumn("is_ua", (F.col("field") == "user-agent")
+                           .cast("int"))
+               .withColumn("prev_ua", F.coalesce(
+                   F.lag("is_ua").over(w), F.lit(0)))
+               .withColumn("starts", ((F.col("is_ua") == 1)
+                                      & (F.col("prev_ua") == 0)).cast("int"))
+               .withColumn("gid", F.sum("starts").over(
+                   w.rowsBetween(Window.unboundedPreceding, 0))))
+    agents = (grouped.filter(F.col("is_ua") == 1)
+              .select("host", "gid", F.lower("value").alias("ua")))
+    want = agent.lower()
+    exact = (agents.filter(F.col("ua") == want)
+             .select("host", "gid").distinct())
+    star = (agents.filter(F.col("ua") == "*")
+            .select("host", "gid").distinct())
+    hosts_with_exact = exact.select("host").distinct()
+    chosen = exact.unionByName(
+        star.join(hosts_with_exact, "host", "left_anti"))
+    rules = (grouped.filter((F.col("is_ua") == 0)
+                            & (F.length("value") > 0))
+             .select("host", "gid", F.col("value").alias("pattern"),
+                     (F.col("field") == "allow").cast("int").alias("allow")))
+    return (rules.join(chosen, ["host", "gid"])
+            .select("host", "pattern", "allow").distinct())
+
+
+def growth_fit(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Closed-form OLS over an (x, y) series — the frontier-growth
+    forecaster: fit discovered-URLs-per-round against the round number
+    and extrapolate one round ahead, the signal capacity planning reads
+    before the next crawl wave (no ML library, no iteration: the fit is
+    ONE exact-integer moment aggregate).
+
+    slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²), intercept = (ΣyΣx² −
+    ΣxΣxy) / (same denominator): numerators and denominator are computed
+    in exact BIGINT arithmetic, so each output is ONE correctly-rounded
+    double division of identical integers cross-engine, rounded to 6dp.
+    The next-round forecast is composed from the exact rationals
+    ((num·(max_x+1) + inum) / den), never from the rounded outputs.
+    Degenerate input (all x equal) yields NULLs rather than a division
+    error.
+
+    100 TB shape: one map-side-combinable aggregate over the series —
+    the series itself is rounds-cardinality (tiny); the expensive part
+    (counting y per x) is whatever aggregation produced the input."""
+    mom = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(x_col).cast("long")).alias("sx"),
+        F.sum(F.col(y_col).cast("long")).alias("sy"),
+        F.sum((F.col(x_col) * F.col(x_col)).cast("long")).alias("sxx"),
+        F.sum((F.col(x_col) * F.col(y_col)).cast("long")).alias("sxy"),
+        F.max(F.col(x_col).cast("long")).alias("mx"))
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    inum = F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")
+    safe_den = F.when(den != 0, den)   # NULL poisons the degenerate case
+    return mom.select(
+        F.col("n").alias("n_points"),
+        F.round(num.cast("double") / safe_den.cast("double"), 6)
+        .alias("slope"),
+        F.round(inum.cast("double") / safe_den.cast("double"), 6)
+        .alias("intercept"),
+        F.round((num * (F.col("mx") + 1) + inum).cast("double")
+                / safe_den.cast("double"), 6).alias("forecast_next"))

@@ -4277,6 +4277,183 @@ def dedup_exact_normalized_q(spark, sf):
     return textstats.normalized_exact_dedup(noisy, "text", "doc_id")
 
 
+@q("robots_txt_parse", r"""
+WITH hosts AS (SELECT DISTINCT user_id % 20 AS i FROM events),
+raw AS (
+  SELECT 'h' || i AS host,
+         '# synthetic robots' || chr(10) ||
+         'User-agent: *' || chr(10) ||
+         'Disallow: /sec' || (i % 3) || '/' || chr(10) ||
+         'Allow: /sec' || (i % 3) || '/p1*' || chr(10) ||
+         CASE WHEN i % 2 = 0 THEN
+           'User-agent: discobot' || chr(10) || 'User-agent: otherbot'
+           || chr(10) || 'Disallow: *.pdf$' || chr(10) || 'Allow:' || chr(10)
+         ELSE '' END ||
+         'Crawl-delay: 2' AS robots_txt
+  FROM hosts),
+lines AS (
+  SELECT host, generate_subscripts(l, 1) AS ln, unnest(l) AS rawline
+  FROM (SELECT host, string_split(robots_txt, chr(10)) AS l FROM raw)),
+parsed AS (
+  SELECT host, ln,
+         lower(regexp_extract(regexp_replace(rawline, '#.*$', ''),
+               '^\s*([A-Za-z-]+)\s*:\s*(\S*)\s*$', 1)) AS field,
+         regexp_extract(regexp_replace(rawline, '#.*$', ''),
+               '^\s*([A-Za-z-]+)\s*:\s*(\S*)\s*$', 2) AS value
+  FROM lines),
+kept AS (
+  SELECT * FROM parsed
+  WHERE field IN ('user-agent', 'allow', 'disallow')),
+g AS (
+  SELECT *, CASE WHEN field = 'user-agent' THEN 1 ELSE 0 END AS is_ua,
+         coalesce(lag(CASE WHEN field = 'user-agent' THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY host ORDER BY ln), 0) AS prev_ua
+  FROM kept),
+gg AS (
+  SELECT *, sum(CASE WHEN is_ua = 1 AND prev_ua = 0 THEN 1 ELSE 0 END)
+         OVER (PARTITION BY host ORDER BY ln) AS gid
+  FROM g),
+agents AS (
+  SELECT DISTINCT host, gid, lower(value) AS ua FROM gg WHERE is_ua = 1),
+exact AS (SELECT DISTINCT host, gid FROM agents WHERE ua = 'discobot'),
+star AS (SELECT DISTINCT host, gid FROM agents WHERE ua = '*'),
+chosen AS (
+  SELECT * FROM exact
+  UNION ALL
+  SELECT s.host, s.gid FROM star s
+  WHERE s.host NOT IN (SELECT host FROM exact)),
+rules AS (
+  SELECT host, gid, value AS pattern,
+         (CASE WHEN field = 'allow' THEN 1 ELSE 0 END)::INT AS allow
+  FROM gg WHERE is_ua = 0 AND length(value) > 0)
+SELECT DISTINCT r.host, r.pattern, r.allow
+FROM rules r JOIN chosen c ON c.host = r.host AND c.gid = r.gid
+""")
+def robots_txt_parse_q(spark, sf):
+    """Raw robots.txt text -> rules table for agent 'discobot': even
+    hosts carry a two-agent group (consecutive User-agent lines) that
+    overrides the * group; odd hosts fall back to *. Exercises comment
+    strip, empty-value rule drop (the bare 'Allow:'), unknown-field skip
+    (Crawl-delay), and the exact-agent-beats-star selection."""
+    e = _t(spark, sf, "events")
+    hosts = e.select((F.col("user_id") % 20).alias("i")).distinct()
+    txt = F.concat(
+        F.lit("# synthetic robots\nUser-agent: *\nDisallow: /sec"),
+        F.col("i") % 3, F.lit("/\nAllow: /sec"), F.col("i") % 3,
+        F.lit("/p1*\n"),
+        F.when(F.col("i") % 2 == 0,
+               F.lit("User-agent: discobot\nUser-agent: otherbot\n"
+                     "Disallow: *.pdf$\nAllow:\n")).otherwise(F.lit("")),
+        F.lit("Crawl-delay: 2"))
+    raw = hosts.select(F.concat(F.lit("h"), F.col("i")).alias("host"),
+                       txt.alias("robots_txt"))
+    return schedule.parse_robots_rules(raw, agent="discobot")
+
+
+@q("frontier_growth_fit", """
+WITH series AS (
+  SELECT event_id % 12 AS rnd, count(*)::BIGINT AS discovered
+  FROM events GROUP BY 1),
+mom AS (
+  SELECT count(*)::BIGINT AS n, sum(rnd)::BIGINT AS sx,
+         sum(discovered)::BIGINT AS sy,
+         sum(rnd * rnd)::BIGINT AS sxx,
+         sum(rnd * discovered)::BIGINT AS sxy,
+         max(rnd)::BIGINT AS mx
+  FROM series)
+SELECT n AS n_points,
+       round((n * sxy - sx * sy)::DOUBLE
+             / nullif(n * sxx - sx * sx, 0)::DOUBLE, 6) AS slope,
+       round((sy * sxx - sx * sxy)::DOUBLE
+             / nullif(n * sxx - sx * sx, 0)::DOUBLE, 6) AS intercept,
+       round(((n * sxy - sx * sy) * (mx + 1)
+              + (sy * sxx - sx * sxy))::DOUBLE
+             / nullif(n * sxx - sx * sx, 0)::DOUBLE, 6) AS forecast_next
+FROM mom
+""")
+def frontier_growth_fit_q(spark, sf):
+    """Frontier growth forecasting: OLS of discovered-URLs-per-round on
+    the round number from exact BIGINT moments (one aggregate, no ML
+    library), extrapolated one round ahead — the capacity-planning
+    number a crawl wave is sized by."""
+    e = _t(spark, sf, "events")
+    series = (e.groupBy((F.col("event_id") % 12).alias("rnd"))
+              .agg(F.count(F.lit(1)).alias("discovered")))
+    return schedule.growth_fit(series, "rnd", "discovered")
+
+
+@q("host_quarantine", """
+WITH per AS (
+  SELECT 'h' || (user_id % 30) AS host, event_id % 8 AS rnd,
+         (sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 1000000)
+           // count(*) AS err
+  FROM events GROUP BY 1, 2),
+idx AS (
+  SELECT host, err,
+         row_number() OVER (PARTITION BY host ORDER BY rnd) - 1 AS k,
+         count(*) OVER (PARTITION BY host) AS n
+  FROM per),
+ema AS (
+  SELECT host,
+         floor(sum(err::DOUBLE
+                   * CASE WHEN k = 0 THEN power(0.5, n - 1)
+                          ELSE power(0.5, n - k) END))::BIGINT AS ema_micro
+  FROM idx GROUP BY host),
+urls AS (
+  SELECT 'h' || (user_id % 30) AS host,
+         CASE event_type WHEN 'view' THEN '/page/' || event_id
+              WHEN 'click' THEN '/cal/2024/' || (event_id % 365)
+              WHEN 'error' THEN '/item?id=' || event_id
+              ELSE '/static/p' || (event_id % 20) END AS path
+  FROM events),
+per_t AS (
+  SELECT host, regexp_replace(path, '[0-9]+', 'N', 'g') AS tmpl,
+         count(DISTINCT path)::BIGINT AS n_urls
+  FROM urls GROUP BY 1, 2),
+traps AS (
+  SELECT host, count(*)::BIGINT AS n_traps
+  FROM per_t WHERE n_urls > 40 GROUP BY host)
+SELECT e.host, e.ema_micro, coalesce(t.n_traps, 0)::BIGINT AS n_traps,
+       (CASE WHEN e.ema_micro > 300000 OR coalesce(t.n_traps, 0) > 0
+             THEN 1 ELSE 0 END)::INT AS quarantined
+FROM ema e LEFT JOIN traps t ON t.host = e.host
+""")
+def host_quarantine_q(spark, sf):
+    """Scheduler quarantine decision table — the composition the crawl
+    loop actually consumes: per-host dyadic error EMA (error_ema) joined
+    with spider-trap template counts (trap_templates); a host is
+    quarantined when its EWMA error rate exceeds 30% or any URL template
+    exploded past the trap cap. Both inputs are host-cardinality; the
+    verdict join is host-keyed."""
+    e = _t(spark, sf, "events")
+    per = (e.groupBy(F.concat(F.lit("h"), F.col("user_id") % 30)
+                     .alias("host"),
+                     (F.col("event_id") % 8).alias("round"))
+           .agg(F.expr("(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 "
+                       "END) * 1000000) div count(*)").alias("err_micro")))
+    ema = schedule.error_ema(per).select("host", "ema_micro")
+    urls = e.select(
+        F.concat(F.lit("h"), F.col("user_id") % 30).alias("host"),
+        F.when(F.col("event_type") == "view",
+               F.concat(F.lit("/page/"), F.col("event_id")))
+        .when(F.col("event_type") == "click",
+              F.concat(F.lit("/cal/2024/"), F.col("event_id") % 365))
+        .when(F.col("event_type") == "error",
+              F.concat(F.lit("/item?id="), F.col("event_id")))
+        .otherwise(F.concat(F.lit("/static/p"), F.col("event_id") % 20))
+        .alias("path"))
+    traps = (schedule.trap_templates(urls)
+             .filter(F.col("is_trap") == 1)
+             .groupBy("host").agg(F.count(F.lit(1)).alias("n_traps")))
+    return (ema.join(traps, "host", "left")
+            .select("host", "ema_micro",
+                    F.coalesce("n_traps", F.lit(0)).cast("long")
+                    .alias("n_traps"),
+                    F.when((F.col("ema_micro") > 300000)
+                           | (F.coalesce("n_traps", F.lit(0)) > 0), 1)
+                    .otherwise(0).cast("int").alias("quarantined")))
+
+
 # ===========================================================================
 # flagship (entry): dedup + quality + language over documents
 # ===========================================================================

@@ -2312,3 +2312,70 @@ def test_hash_normalize_golden_and_normalized_dedup(spark):
     assert out[1] == (3, 3)     # docs 1, 2, 5: three distinct raw texts
     assert out[3] == (1, 1)
     assert out[4] == (1, 1)
+
+
+def test_parse_robots_rules_groups_and_agent_precedence(spark):
+    """RFC 9309 parse: consecutive UA lines share a group, comments and
+    unknown fields skipped, empty-pattern rules dropped, exact agent
+    beats *, rules before any UA header are orphaned, multiple matching
+    groups merge."""
+    from disco_crawl_spark.operators import schedule
+    txt_a = ("Disallow: /orphan/\n"          # before any UA header: dropped
+             "# comment\n"
+             "User-agent: *\n"
+             "Disallow: /all/\n"
+             "\n"
+             "User-agent: discobot\n"
+             "User-agent: otherbot\n"
+             "Disallow: /db/\n"
+             "Allow:\n"                       # empty pattern: dropped
+             "Crawl-delay: 5\n"
+             "User-agent: DiscoBot\n"         # second matching group: merges
+             "Allow: /db/pub*\n")
+    txt_b = ("User-agent: *\nDisallow: /x/\nAllow: /x/ok\n"
+             "not a rule line\n<html>error page</html>\n")
+    df = spark.createDataFrame([("a", txt_a), ("b", txt_b)],
+                               "host string, robots_txt string")
+    out = {(r["host"], r["pattern"]): r["allow"]
+           for r in schedule.parse_robots_rules(df, agent="discobot")
+           .collect()}
+    # host a: only the two discobot groups (merged), not * and not orphan
+    assert out == {("a", "/db/"): 0, ("a", "/db/pub*"): 1,
+                   ("b", "/x/"): 0, ("b", "/x/ok"): 1}
+
+    # the parse output feeds the wildcard gate directly (pipeline check)
+    urls = spark.createDataFrame(
+        [("a", "/db/secret"), ("a", "/db/pub1"), ("a", "/all/thing")],
+        "host string, path string")
+    rules = schedule.parse_robots_rules(df, agent="discobot")
+    gate = {r["path"]: r["allowed"]
+            for r in schedule.robots_wildcard_gate(urls, rules,
+                                                   pattern_col="pattern")
+            .collect()}
+    assert gate == {"/db/secret": 0, "/db/pub1": 1, "/all/thing": 1}
+
+
+def test_growth_fit_exact_line_and_degenerate(spark):
+    """OLS on exactly-linear data recovers slope/intercept exactly; the
+    forecast extrapolates the line; all-x-equal input yields NULLs."""
+    from disco_crawl_spark.operators import schedule
+    rows = [(x, 3 * x + 7) for x in range(10)]
+    df = spark.createDataFrame(rows, "rnd long, discovered long")
+    r = schedule.growth_fit(df, "rnd", "discovered").first()
+    assert r["n_points"] == 10
+    assert r["slope"] == 3.0 and r["intercept"] == 7.0
+    assert r["forecast_next"] == 3 * 10 + 7
+
+    noisy = [(0, 10), (1, 12), (2, 15), (3, 15)]
+    r2 = schedule.growth_fit(
+        spark.createDataFrame(noisy, "rnd long, discovered long"),
+        "rnd", "discovered").first()
+    # scalar recomputation
+    n = 4; sx = 6; sy = 52; sxx = 14; sxy = 87
+    den = n * sxx - sx * sx
+    assert r2["slope"] == round((n * sxy - sx * sy) / den, 6)
+    assert r2["intercept"] == round((sy * sxx - sx * sxy) / den, 6)
+
+    deg = spark.createDataFrame([(5, 1), (5, 9)], "rnd long, discovered long")
+    r3 = schedule.growth_fit(deg, "rnd", "discovered").first()
+    assert r3["slope"] is None and r3["forecast_next"] is None
