@@ -4454,6 +4454,86 @@ def host_quarantine_q(spark, sf):
                     .otherwise(0).cast("int").alias("quarantined")))
 
 
+@q("frontier_collapse", """
+WITH RECURSIVE disc AS (
+  SELECT DISTINCT '/p' || (event_id % 120)
+    || CASE WHEN event_id % 3 = 0 THEN '?sid=' || event_id
+            WHEN event_id % 3 = 1 THEN '?page=' || (event_id % 4)
+            ELSE '' END AS url
+  FROM events),
+base AS (
+  SELECT url, split_part(url, '?', 1) AS path,
+         list_sort(list_filter(string_split(split_part(url, '?', 2), '&'),
+                               x -> x <> '')) AS params
+  FROM disc),
+keptp AS (
+  SELECT b.url, b.path, x.p
+  FROM base b, unnest(b.params) AS x(p)
+  WHERE split_part(x.p, '=', 1) NOT IN ('sid', 'utm')),
+agg AS (
+  SELECT url, any_value(path) AS path, list_sort(list(p)) AS kp
+  FROM keptp GROUP BY url),
+strip AS (
+  SELECT b.url,
+         CASE WHEN a.kp IS NOT NULL AND len(a.kp) > 0
+              THEN b.path || '?' || array_to_string(a.kp, '&')
+              ELSE b.path END AS canon1
+  FROM base b LEFT JOIN agg a ON b.url = a.url),
+pids AS (SELECT DISTINCT event_id % 120 AS pid FROM events),
+m AS MATERIALIZED (
+  SELECT '/p' || pid AS src, '/p' || (pid - 1) AS dst
+  FROM pids WHERE pid % 5 IN (1, 2)),
+starts AS (SELECT DISTINCT canon1 FROM strip),
+walk AS (
+  SELECT canon1 AS start, canon1 AS cur, 0 AS hops FROM starts
+  UNION ALL
+  SELECT w.start, m.dst, w.hops + 1 FROM walk w JOIN m ON w.cur = m.src
+  WHERE w.hops < 8),
+red AS (SELECT start, max_by(cur, hops) AS fin FROM walk GROUP BY start),
+cm AS (SELECT '/p' || pid AS src, '/p' || (pid - 1) AS cu
+       FROM pids WHERE pid % 2 = 1)
+SELECT s.url, coalesce(cm.cu, r.fin) AS frontier_key
+FROM strip s JOIN red r ON r.start = s.canon1
+LEFT JOIN cm ON cm.src = r.fin
+""")
+def frontier_collapse_q(spark, sf):
+    """The full frontier-canonicalization pipeline, composed from three
+    unit-oracled operators in crawl order: strip convicted junk params
+    (apply_param_canonicalization — session ids vanish, page params
+    survive), collapse redirect chains to their terminal
+    (resolve_redirects — pids ≡1,2 mod 5 step down, up to 2 hops), then
+    apply publisher-declared rel=canonical (odd bare pids point at
+    pid−1). Every discovered URL maps to ONE frontier key — the key the
+    seen-check should charge. The oracle chains the same three stages
+    (sorted-param reassembly, bounded recursive walk, canonical join)."""
+    e = _t(spark, sf, "events")
+    disc = (e.select(F.concat(
+        F.lit("/p"), F.col("event_id") % 120,
+        F.when(F.col("event_id") % 3 == 0,
+               F.concat(F.lit("?sid="), F.col("event_id")))
+        .when(F.col("event_id") % 3 == 1,
+              F.concat(F.lit("?page="), F.col("event_id") % 4))
+        .otherwise(F.lit(""))).alias("url")).distinct())
+    junk = spark.createDataFrame([("sid", 1), ("page", 0), ("utm", 1)],
+                                 "param string, junk int")
+    stripped = schedule.apply_param_canonicalization(disc, junk)
+    pids = e.select((F.col("event_id") % 120).alias("pid")).distinct()
+    m = (pids.filter((F.col("pid") % 5).isin(1, 2))
+         .select(F.concat(F.lit("/p"), F.col("pid")).alias("src"),
+                 F.concat(F.lit("/p"), F.col("pid") - 1).alias("dst")))
+    res = (graph.resolve_redirects(m, max_hops=8)
+           .select(F.col("url").alias("r_src"), "final_url"))
+    r = (stripped.join(res, stripped["canonical_url"] == res["r_src"],
+                       "left")
+         .select("url",
+                 F.coalesce("final_url", "canonical_url").alias("canon2")))
+    cm = (pids.filter(F.col("pid") % 2 == 1)
+          .select(F.concat(F.lit("/p"), F.col("pid")).alias("c_src"),
+                  F.concat(F.lit("/p"), F.col("pid") - 1).alias("cu")))
+    return (r.join(cm, r["canon2"] == cm["c_src"], "left")
+            .select("url", F.coalesce("cu", "canon2").alias("frontier_key")))
+
+
 # ===========================================================================
 # flagship (entry): dedup + quality + language over documents
 # ===========================================================================
