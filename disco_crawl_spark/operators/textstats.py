@@ -1357,3 +1357,58 @@ def normalized_exact_dedup(df: DataFrame, text_col: str,
             .agg(F.min(id_col).alias(id_col),
                  F.count(F.lit(1)).alias("dup_count"),
                  F.count_distinct("raw_hash").alias("n_raw_variants")))
+
+
+def kneser_ney_bigrams(df: DataFrame, text_col: str,
+                       min_count: int = 3) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities with the standard
+    fixed discount D = 0.75 — the statistical core of the n-gram LM
+    CCNet scores corpora with (KenLM is KN-smoothed; Wenzek et al. 2019
+    §4.3 filters by its perplexity; `ccnet_perplexity` consumes a model
+    table like the one this operator TRAINS):
+
+        pkn(w2|w1) = max(c12 − D, 0)/c(w1•)
+                     + (D·N1+(w1•)/c(w1•)) · N1+(•w2)/B
+
+    where N1+(w1•) / N1+(•w2) are distinct-continuation counts and B the
+    number of distinct bigram types.  D = 3/4 keeps everything RATIONAL:
+    scaled by 4 the formula is pure integer arithmetic, emitted in
+    micros as two floor divisions (documented: the two-term floor differs
+    from the single-fraction floor by ≤ 1 micro, identically in both
+    engines).  Intermediate products stay < 2^63 up to ~10^6 bigram
+    types × 10^6 max count; past that switch the numerators to DECIMAL.
+
+    100 TB shape: the corpus-sized work is ONE (w1, w2) hash aggregation
+    with map-side combine over exploded bigrams (gram strings shuffle
+    once); every derived statistic (history counts, continuation counts,
+    the 1-row type total) is computed from that bigram-TYPE table —
+    orders of magnitude smaller than the corpus — and joined back on
+    vocabulary-cardinality keys.  ``min_count`` prunes the hapax tail
+    from the OUTPUT only (the statistics still see it, as KN requires).
+
+    Returns (w1, w2, c12, pkn_micro) for bigrams with c12 >= min_count.
+    """
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    n = F.size(toks)
+    pair_t = "array<struct<w1:string,w2:string>>"
+    pairs = (F.when(n >= 2, F.transform(
+        F.sequence(F.lit(0), n - 2),
+        lambda i: F.struct(
+            F.element_at(toks, (i + 1).cast("int")).alias("w1"),
+            F.element_at(toks, (i + 2).cast("int")).alias("w2"))))
+        .otherwise(F.array().cast(pair_t)))
+    bg = df.select(F.explode(pairs).alias("b")).select("b.w1", "b.w2")
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    cw1 = c12.groupBy("w1").agg(F.sum("c12").alias("cw1"),
+                                F.count(F.lit(1)).alias("n1_fw"))
+    n1b = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("n1_bw"))
+    bt = c12.agg(F.count(F.lit(1)).alias("b_types"))
+    return (c12.join(cw1, "w1").join(n1b, "w2")
+            .crossJoin(F.broadcast(bt))
+            .filter(F.col("c12") >= int(min_count))
+            .select("w1", "w2", "c12",
+                    (F.expr("(1000000 * greatest(4 * c12 - 3, 0)) "
+                            "div (4 * cw1)")
+                     + F.expr("(3000000 * n1_fw * n1_bw) "
+                              "div (4 * cw1 * b_types)"))
+                    .cast("long").alias("pkn_micro")))

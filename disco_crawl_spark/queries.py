@@ -4534,6 +4534,34 @@ def frontier_collapse_q(spark, sf):
             .select("url", F.coalesce("cu", "canon2").alias("frontier_key")))
 
 
+@q("kneser_ney_bigrams", """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+bg AS (
+  SELECT t[i + 1] AS w1, t[i + 2] AS w2
+  FROM toks, unnest(range(len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2),
+c12 AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bg GROUP BY 1, 2),
+cw1 AS (SELECT w1, sum(c12)::BIGINT AS cw1, count(*)::BIGINT AS n1_fw
+        FROM c12 GROUP BY 1),
+n1b AS (SELECT w2, count(*)::BIGINT AS n1_bw FROM c12 GROUP BY 1),
+bt AS (SELECT count(*)::BIGINT AS b_types FROM c12)
+SELECT c.w1, c.w2, c.c12,
+       ((1000000 * greatest(4 * c.c12 - 3, 0)) // (4 * f.cw1)
+        + (3000000 * f.n1_fw * b.n1_bw)
+          // (4 * f.cw1 * t.b_types))::BIGINT AS pkn_micro
+FROM c12 c JOIN cw1 f USING (w1) JOIN n1b b USING (w2) CROSS JOIN bt t
+WHERE c.c12 >= 3
+""")
+def kneser_ney_bigrams_q(spark, sf):
+    """Train the interpolated Kneser-Ney bigram table (D = 3/4, exact
+    rational fixed-point) over the documents corpus — the model-side
+    counterpart of ccnet_perplexity's scoring: discounted bigram
+    probability + continuation-weighted backoff, in micros."""
+    d = _t(spark, sf, "documents")
+    return textstats.kneser_ney_bigrams(d, "text", min_count=3)
+
+
 # ===========================================================================
 # flagship (entry): dedup + quality + language over documents
 # ===========================================================================

@@ -2379,3 +2379,25 @@ def test_growth_fit_exact_line_and_degenerate(spark):
     deg = spark.createDataFrame([(5, 1), (5, 9)], "rnd long, discovered long")
     r3 = schedule.growth_fit(deg, "rnd", "discovered").first()
     assert r3["slope"] is None and r3["forecast_next"] is None
+
+
+def test_kneser_ney_bigrams_hand_example(spark):
+    """KN with D = 3/4 on a tiny corpus: exact hand-computed micros, and
+    the discount leaves probability mass unallocated (sum over seen
+    continuations < 1) as KN requires."""
+    from disco_crawl_spark.operators import textstats
+    docs = spark.createDataFrame(
+        [(1, "a b a b a c"), (2, "a b")], "doc_id long, text string")
+    out = {(r["w1"], r["w2"]): (r["c12"], r["pkn_micro"])
+           for r in textstats.kneser_ney_bigrams(docs, "text", min_count=1)
+           .collect()}
+    # c12: ab=3, ba=2, ac=1; cw1: a=4 (2 types), b=2 (1 type);
+    # n1_bw: a<-1, b<-1, c<-1; B=3
+    assert out[("a", "b")] == (3, 9_000_000 // 16 + 6_000_000 // 48)
+    assert out[("a", "c")] == (1, 1_000_000 // 16 + 6_000_000 // 48)
+    assert out[("b", "a")] == (2, 5_000_000 // 8 + 3_000_000 // 24)
+    # discounted mass: seen continuations of 'a' sum below 1.0
+    assert out[("a", "b")][1] + out[("a", "c")][1] < 1_000_000
+    # pruning: min_count=3 keeps only the ab row
+    kept = textstats.kneser_ney_bigrams(docs, "text", min_count=3).collect()
+    assert [(r["w1"], r["w2"]) for r in kept] == [("a", "b")]
