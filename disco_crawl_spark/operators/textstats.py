@@ -1412,3 +1412,56 @@ def kneser_ney_bigrams(df: DataFrame, text_col: str,
                      + F.expr("(3000000 * n1_fw * n1_bw) "
                               "div (4 * cw1 * b_types)"))
                     .cast("long").alias("pkn_micro")))
+
+
+def shard_pack(df: DataFrame, id_col: str, size_col: str, n_shards: int,
+               buckets: int = 32) -> DataFrame:
+    """Balanced output-shard assignment for corpus writing: place
+    documents into ``n_shards`` shards so shard byte totals stay within
+    one max-document of each other — the step before writing training
+    shards, where unbalanced files become stragglers for every epoch
+    that follows.  Deterministic (no sampling): snake/boustrophedon
+    placement over the (size DESC, id) rank — rank r goes to shard
+    ``r mod 2N`` forward then backward — the classic LPT-flavored
+    balancer that is pure arithmetic on the rank, hence exactly
+    oracle-checkable (unlike greedy best-fit, whose argmin is
+    sequential).
+
+    The global rank does NOT use a single-partition window: like
+    ``pack_chunks``, it is the two-level scan — range-partition by the
+    sort key into ``buckets``, per-partition row_number (parallel
+    window), collect only the B partition COUNTS and add each
+    partition's exclusive offset back as a broadcast map literal.  The
+    partitioned frame is localCheckpoint-ed first because
+    RangePartitioner samples boundaries per job (the counts collect and
+    the final projection must see the same partitioning).
+
+    Returns (id, size, rank, shard).
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    base = df.select(F.col(id_col), F.col(size_col).cast("long")
+                     .alias("__size"))
+    parts = (base.repartitionByRange(buckets, F.col("__size").desc(),
+                                     F.col(id_col))
+             .withColumn("_pid", F.spark_partition_id())
+             .localCheckpoint(eager=True))
+    w = Window.partitionBy("_pid").orderBy(F.col("__size").desc(),
+                                           F.col(id_col))
+    local = parts.withColumn("_rn", F.row_number().over(w))
+    counts = {r["_pid"]: r["c"] for r in
+              local.groupBy("_pid").agg(F.count(F.lit(1)).alias("c"))
+              .collect()}
+    offsets, running = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = running
+        running += counts[pid]
+    off = (F.coalesce(F.create_map(
+        *[F.lit(v) for pid_off in sorted(offsets.items()) for v in pid_off]
+    )[F.col("_pid")], F.lit(0)) if offsets else F.lit(0))
+    rank = (F.col("_rn") - 1 + off).cast("long")
+    k = rank % (2 * n_shards)
+    shard = (F.when(k < n_shards, k)
+             .otherwise(2 * n_shards - 1 - k)).cast("long")
+    return local.select(F.col(id_col), F.col("__size").alias(size_col),
+                        rank.alias("rank"), shard.alias("shard"))

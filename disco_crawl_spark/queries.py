@@ -4562,6 +4562,26 @@ def kneser_ney_bigrams_q(spark, sf):
     return textstats.kneser_ney_bigrams(d, "text", min_count=3)
 
 
+@q("corpus_shard_pack", """
+WITH ranked AS (
+  SELECT doc_id, n_chars::BIGINT AS n_chars,
+         (row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1)::BIGINT
+           AS rank
+  FROM documents)
+SELECT doc_id, n_chars, rank,
+       (CASE WHEN rank % 16 < 8 THEN rank % 16
+             ELSE 15 - (rank % 16) END)::BIGINT AS shard
+FROM ranked
+""")
+def corpus_shard_pack_q(spark, sf):
+    """Balanced 8-way output-shard assignment: snake placement over the
+    (size DESC, id) rank, rank computed with the two-level scan (never a
+    single-partition window) — shard byte totals end within one
+    max-document of each other before the corpus is written."""
+    d = _t(spark, sf, "documents")
+    return textstats.shard_pack(d, "doc_id", "n_chars", n_shards=8)
+
+
 # ===========================================================================
 # flagship (entry): dedup + quality + language over documents
 # ===========================================================================

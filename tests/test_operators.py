@@ -2401,3 +2401,31 @@ def test_kneser_ney_bigrams_hand_example(spark):
     # pruning: min_count=3 keeps only the ab row
     kept = textstats.kneser_ney_bigrams(docs, "text", min_count=3).collect()
     assert [(r["w1"], r["w2"]) for r in kept] == [("a", "b")]
+
+
+def test_shard_pack_balance_and_rank(spark):
+    """Snake packing: ranks are the exact global (size DESC, id) order
+    even across range partitions, every shard gets the same item count
+    (n divisible), and shard size totals stay within one max item."""
+    import random
+    from disco_crawl_spark.operators import textstats
+    rng = random.Random(7)
+    rows = [(i, rng.randrange(1, 1000)) for i in range(160)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    out = textstats.shard_pack(df, "doc_id", "n_chars", n_shards=8,
+                               buckets=8).collect()
+    expect_order = [i for i, _ in
+                    sorted(rows, key=lambda t: (-t[1], t[0]))]
+    got = {r["doc_id"]: (r["rank"], r["shard"], r["n_chars"]) for r in out}
+    for rank, doc in enumerate(expect_order):
+        assert got[doc][0] == rank, (doc, got[doc], rank)
+        k = rank % 16
+        assert got[doc][1] == (k if k < 8 else 15 - k)
+    loads = {}
+    counts = {}
+    for _, (rank, shard, size) in got.items():
+        loads[shard] = loads.get(shard, 0) + size
+        counts[shard] = counts.get(shard, 0) + 1
+    assert set(counts.values()) == {20}
+    assert max(loads.values()) - min(loads.values()) <= max(
+        s for _, s in rows)
