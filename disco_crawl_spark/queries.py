@@ -4582,6 +4582,64 @@ def corpus_shard_pack_q(spark, sf):
     return textstats.shard_pack(d, "doc_id", "n_chars", n_shards=8)
 
 
+@q("meta_robots_gate", r"""
+WITH b AS (
+  SELECT 'https://h' || (user_id % 40) || '.gov.au/m' || event_id AS url,
+         CASE WHEN event_id % 4 = 0 THEN
+                '<html><head><meta name="robots" content="noindex, follow">'
+                || '</head><body>x</body></html>'
+              WHEN event_id % 4 = 1 THEN
+                '<html><head><meta content="NOFOLLOW" name="robots">'
+                || '</head><body>x</body></html>'
+              WHEN event_id % 4 = 2 THEN
+                '<html><head><meta name="robots" content="none">'
+                || '</head><body>x</body></html>'
+              ELSE '<html><head><title>t</title></head>'
+                || '<body>x</body></html>' END AS html
+  FROM events),
+c AS (
+  SELECT url,
+         lower(coalesce(
+           nullif(regexp_extract(html,
+             '(?i)<meta[^>]*name="robots"[^>]*content="([^"]*)"', 1), ''),
+           nullif(regexp_extract(html,
+             '(?i)<meta[^>]*content="([^"]*)"[^>]*name="robots"', 1), '')))
+           AS content
+  FROM b)
+SELECT url,
+       coalesce(regexp_matches(content, '(^|[,\s])noindex($|[,\s])')
+                OR regexp_matches(content, '(^|[,\s])none($|[,\s])'),
+                false)::INT AS noindex,
+       coalesce(regexp_matches(content, '(^|[,\s])nofollow($|[,\s])')
+                OR regexp_matches(content, '(^|[,\s])none($|[,\s])'),
+                false)::INT AS nofollow,
+       (content IS NOT NULL)::INT AS declared
+FROM c
+""")
+def meta_robots_gate_q(spark, sf):
+    """Page-level robots meta directives over synthesized heads (REP's
+    post-fetch second layer): noindex gates the index stage, nofollow
+    gates outlink emission; both attribute orders, token-based
+    case-insensitive matching, the combined 'none' directive, and
+    undeclared pages defaulting to index,follow."""
+    e = _t(spark, sf, "events")
+    b = e.select(
+        F.concat(F.lit("https://h"), F.col("user_id") % 40,
+                 F.lit(".gov.au/m"), F.col("event_id")).alias("url"),
+        F.when(F.col("event_id") % 4 == 0,
+               F.lit('<html><head><meta name="robots" content="noindex, '
+                     'follow"></head><body>x</body></html>'))
+        .when(F.col("event_id") % 4 == 1,
+              F.lit('<html><head><meta content="NOFOLLOW" name="robots">'
+                    '</head><body>x</body></html>'))
+        .when(F.col("event_id") % 4 == 2,
+              F.lit('<html><head><meta name="robots" content="none">'
+                    '</head><body>x</body></html>'))
+        .otherwise(F.lit('<html><head><title>t</title></head>'
+                         '<body>x</body></html>')).alias("html"))
+    return sources.meta_robots_flags(b)
+
+
 # ===========================================================================
 # flagship (entry): dedup + quality + language over documents
 # ===========================================================================

@@ -258,3 +258,34 @@ def dom_template_stats(df: DataFrame, host_col: str, html_col: str,
             .drop("total")
             .withColumn("hot", (F.col("share_micro") >= hot_micro)
                         .cast("int")))
+
+
+def meta_robots_flags(df: DataFrame, url_col: str = "url",
+                      html_col: str = "html") -> DataFrame:
+    """Extract the page-level ``<meta name="robots">`` directives a
+    polite crawler must honor AFTER fetching (robots.txt gates the
+    fetch; the meta tag gates what happens next — REP's second layer,
+    which the reference never reads): ``noindex`` removes the page from
+    the index stage, ``nofollow`` suppresses its outlink emission into
+    the frontier.
+
+    Returns (url, noindex:int, nofollow:int, declared:int).  Both
+    attribute orders are matched (name-first and content-first, the
+    rel_canonical_map idiom); directive matching is case-insensitive
+    and token-based (``content="NOINDEX, nofollow"`` parses; a page
+    with no tag defaults to index,follow).  Pure regexp projection in
+    the scan's codegen — no HTML library, no UDF, no shuffle."""
+    h = F.col(html_col).cast("string")
+    pat_name_first = '(?i)<meta[^>]*name="robots"[^>]*content="([^"]*)"'
+    pat_content_first = '(?i)<meta[^>]*content="([^"]*)"[^>]*name="robots"'
+    content = F.lower(F.coalesce(
+        F.nullif(F.regexp_extract(h, pat_name_first, 1), F.lit("")),
+        F.nullif(F.regexp_extract(h, pat_content_first, 1), F.lit(""))))
+    has_tok = lambda t: F.coalesce(
+        content.rlike(r"(^|[,\s])" + t + r"($|[,\s])"), F.lit(False))
+    return df.select(
+        F.col(url_col).alias("url"),
+        (has_tok("noindex") | has_tok("none")).cast("int").alias("noindex"),
+        (has_tok("nofollow") | has_tok("none")).cast("int")
+        .alias("nofollow"),
+        content.isNotNull().cast("int").alias("declared"))

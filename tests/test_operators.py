@@ -2429,3 +2429,85 @@ def test_shard_pack_balance_and_rank(spark):
     assert set(counts.values()) == {20}
     assert max(loads.values()) - min(loads.values()) <= max(
         s for _, s in rows)
+
+
+def test_meta_robots_flags_orders_tokens_defaults(spark):
+    """meta robots: both attribute orders, case-insensitive token match
+    (no substring false-positives), 'none' implies both, unknown-only
+    directives still count as declared, absent tag defaults to
+    index,follow."""
+    from disco_crawl_spark import sources
+    rows = [
+        ("u1", '<head><meta name="robots" content="noindex, follow"></head>'),
+        ("u2", '<head><meta content="NOFOLLOW" name="robots"></head>'),
+        ("u3", '<head><meta name="robots" content="none"></head>'),
+        ("u4", '<head><meta name="robots" content="noarchive"></head>'),
+        ("u5", '<head><title>t</title></head>'),
+        # 'noindexing' must NOT match the noindex token
+        ("u6", '<head><meta name="robots" content="noindexing"></head>'),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    out = {r["url"]: (r["noindex"], r["nofollow"], r["declared"])
+           for r in sources.meta_robots_flags(df).collect()}
+    assert out["u1"] == (1, 0, 1)
+    assert out["u2"] == (0, 1, 1)
+    assert out["u3"] == (1, 1, 1)
+    assert out["u4"] == (0, 0, 1)
+    assert out["u5"] == (0, 0, 0)
+    assert out["u6"] == (0, 0, 1)
+
+
+def _rfc_glob_match(pattern: str, path: str) -> bool:
+    """Pure-python reference for RFC 9309 rule matching: prefix match
+    with '*' spanning anything and a TRAILING '$' anchoring the end
+    (non-trailing '$' is literal)."""
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    segs = body.split("*")
+    if not path.startswith(segs[0]):
+        return False
+    pos = len(segs[0])
+    if len(segs) == 1:
+        return path == body if anchored else True
+    for s in segs[1:-1]:
+        i = path.find(s, pos)
+        if i < 0:
+            return False
+        pos = i + len(s)
+    last = segs[-1]
+    if anchored:
+        return path.endswith(last) and len(path) - len(last) >= pos
+    return path.find(last, pos) >= 0
+
+
+def test_robots_wildcard_gate_random_differential(spark):
+    """Seeded random patterns (with regex metachars, '*', trailing and
+    embedded '$') and paths: the Spark gate's verdict equals the
+    pure-python RFC matcher + longest/allow/pattern tie-break, for every
+    generated case."""
+    import random
+    from disco_crawl_spark.operators import schedule
+    rng = random.Random(42)
+    alpha = "/ab.x*$+([5"
+    rules_rows, url_rows, expect = [], [], {}
+    for h in range(120):
+        host = f"h{h}"
+        rules = []
+        for _ in range(rng.randrange(1, 4)):
+            pat = "".join(rng.choice(alpha)
+                          for _ in range(rng.randrange(0, 8)))
+            rules.append((pat, rng.randrange(2)))
+            rules_rows.append((host, pat, rules[-1][1]))
+        path = "/" + "".join(rng.choice("/ab.x5")
+                             for _ in range(rng.randrange(0, 10)))
+        url_rows.append((host, path))
+        matches = [(len(p), a, p) for p, a in rules
+                   if _rfc_glob_match(p, path)]
+        expect[(host, path)] = max(matches)[1] if matches else 1
+    rules_df = spark.createDataFrame(
+        rules_rows, "host string, pattern string, allow int")
+    urls_df = spark.createDataFrame(url_rows, "host string, path string")
+    out = {(r["host"], r["path"]): r["allowed"]
+           for r in schedule.robots_wildcard_gate(urls_df, rules_df)
+           .collect()}
+    assert out == expect
