@@ -30,7 +30,7 @@ def rate(run: dict) -> float:
     return run.get("urls_per_sec_median") or run["urls_per_sec"]
 
 
-def measure_wide(n_hosts: int, passes: int) -> dict:
+def measure_wide(n_hosts: int, passes: int, rounds: int = 10) -> dict:
     runs, hw = {}, {}
     for p in range(passes):
         for master, procs in (("local[4]", 4), ("local[16]", 16)):
@@ -39,7 +39,7 @@ def measure_wide(n_hosts: int, passes: int) -> dict:
             print(f"# topup wide-{n_hosts}h p{p} hw {procs}p: "
                   f"{w/1e6:.2f}M ops/s", file=sys.stderr, flush=True)
             r = bench._sub("crawl_wide", master=master, n_hosts=n_hosts,
-                           max_rounds=10)
+                           max_rounds=rounds)
             if master not in runs or rate(r) > rate(runs[master]):
                 runs[master] = r
             print(f"# topup wide-{n_hosts}h p{p} {master}: {r}",
@@ -49,11 +49,19 @@ def measure_wide(n_hosts: int, passes: int) -> dict:
 
 def main(argv: list) -> None:
     passes = 2
+    rounds = 10
     if "--passes" in argv:
         i = argv.index("--passes")
         passes = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2:]   # consume the flag AND its value —
         # a bare isdigit() scan would read the "2" of "--passes 2" as a rung
+    if "--rounds" in argv:
+        # rounds per measurement: the widest rungs (64000h+) exceed the
+        # 3600 s per-measurement cap at 10 rounds on local[4]; efficiency
+        # is a within-rung ratio so fewer equal-width rounds stay valid
+        i = argv.index("--rounds")
+        rounds = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
     hosts = [int(a) for a in argv if a.isdigit()] or [8000]
 
     bdir = os.path.join(REPO, "BENCH")
@@ -61,7 +69,7 @@ def main(argv: list) -> None:
     prev = bench._read_jsonl(hist_path)[-1]
 
     merged_sizes = []
-    fresh = {n: measure_wide(n, passes) for n in hosts}
+    fresh = {n: measure_wide(n, passes, rounds) for n in hosts}
     for s in prev["sizes"]:
         s = dict(s)
         lbl = s["m"]
