@@ -393,7 +393,14 @@ def main_default():
         _record_history(dict(payload, label=time.strftime("%Y-%m-%d %H:%M")))
     except Exception:
         pass
-    _emit(payload)
+    # the driver captures only the last ~2000 bytes of stdout; a line
+    # inlining all per-query timings outgrows that window and the round's
+    # bench goes unparsed (BENCH_r04.json parsed=null). Emit a compact
+    # line — headline + crawl + bulk + the 10 slowest queries — and keep
+    # the full per-query map in BENCH/history.jsonl (written above).
+    top = dict(sorted(queries.items(), key=lambda kv: -kv[1])[:10])
+    _emit(dict(payload, queries=top, queries_benched=len(queries),
+               full_queries="BENCH/history.jsonl"))
 
 
 def _emit(payload: dict):

@@ -1384,9 +1384,9 @@ def stratified_sample(spark, sf):
 
 @q("pack_chunks", """
 SELECT doc_id, n_tokens,
-       (cum - n_tokens) AS start_offset,
-       (cum - n_tokens) // 512 AS chunk_id,
-       ((cum - 1) // 512) - ((cum - n_tokens) // 512) + 1
+       CAST(cum - n_tokens AS BIGINT) AS start_offset,
+       CAST((cum - n_tokens) // 512 AS BIGINT) AS chunk_id,
+       CAST(((cum - 1) // 512) - ((cum - n_tokens) // 512) + 1 AS BIGINT)
          AS n_chunks_spanned
 FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
              sum(len(string_split(text, ' '))) OVER
@@ -3675,7 +3675,7 @@ per AS (SELECT host, template, count(*) AS n_pages
         FROM t GROUP BY 1, 2),
 tot AS (SELECT host, sum(n_pages) AS total FROM per GROUP BY host)
 SELECT per.host, per.template, per.n_pages,
-       (per.n_pages * 1000000) // tot.total AS share_micro,
+       CAST((per.n_pages * 1000000) // tot.total AS BIGINT) AS share_micro,
        ((per.n_pages * 1000000) // tot.total >= 300000)::INT AS hot
 FROM per JOIN tot ON per.host = tot.host
 """)
@@ -4250,7 +4250,7 @@ WITH noisy AS (
 h AS (
   SELECT doc_id, md5(text) AS raw_hash,
          md5(trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
-             '[0-9]', '0', 'g'), '[!-&(-/:-@\\[-`{{-~]', '', 'g'),
+             '[0-9]', '0', 'g'), '[!-&(-/:-@\\[-`{-~]', '', 'g'),
              '\\s+', ' ', 'g'))) AS norm_hash
   FROM noisy)
 SELECT norm_hash, min(doc_id) AS doc_id, count(*) AS dup_count,

@@ -77,6 +77,76 @@ def test_rows_only_queries_run(spark, name):
     assert sorted(map(str, rows)) == sorted(map(str, rows2))
 
 
+# --- oracle/Spark dtype parity -------------------------------------------
+# The driver's value hash is dtype-representation-sensitive: a DuckDB
+# windowed sum over BIGINT is HUGEINT, fetched as float64 ("123.0"), which
+# hash-mismatches Spark's bigint ("123") even when every value is equal
+# (the round-4 pack_chunks red row). _canon() above masks exactly that
+# class, so this test checks the TYPES: for every oracled query, each
+# column must agree on integral-ness and float-ness between the DuckDB
+# result schema and the Spark schema (recursively through arrays).
+
+_DUCK_INT = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER"}
+_DUCK_FLOAT = {"FLOAT", "DOUBLE"}
+_SPARK_INT = {"tinyint", "smallint", "int", "bigint"}
+_SPARK_FLOAT = {"float", "double"}
+
+
+def _duck_cat(t):
+    t = str(t).upper()
+    if t.endswith("[]"):
+        return ("array", _duck_cat(t[:-2]))
+    if t in _DUCK_INT:
+        return "int"
+    if t in {"HUGEINT", "UBIGINT"}:
+        # not int64-representable: the driver fetches these as float64
+        return "wide-int"
+    if t in _DUCK_FLOAT:
+        return "float"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    return "other"
+
+
+def _spark_cat(s):
+    if s.startswith("array<") and s.endswith(">"):
+        return ("array", _spark_cat(s[6:-1]))
+    if s in _SPARK_INT:
+        return "int"
+    if s in _SPARK_FLOAT:
+        return "float"
+    if s.startswith("decimal"):
+        return "decimal"
+    return "other"
+
+
+def _cats_agree(duck_cat, spark_cat):
+    if isinstance(duck_cat, tuple) or isinstance(spark_cat, tuple):
+        return (isinstance(duck_cat, tuple) and isinstance(spark_cat, tuple)
+                and _cats_agree(duck_cat[1], spark_cat[1]))
+    # integral and float classes must match exactly; "wide-int" never
+    # agrees with anything (cast the oracle to ::BIGINT instead)
+    for cls in ("int", "float", "decimal", "wide-int"):
+        if (duck_cat == cls) != (spark_cat == cls):
+            return False
+    return True
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_dtype_parity(spark, duck, name):
+    sdf = entry_mod.queries()[name](spark, SF_DIR)
+    spark_types = {f.name: f.dataType.simpleString() for f in sdf.schema}
+    rel = duck.sql(entry_mod.oracle_sql()[name])
+    bad = []
+    for col, dt in zip(rel.columns, rel.types):
+        dc, sc = _duck_cat(dt), _spark_cat(spark_types[col])
+        if not _cats_agree(dc, sc):
+            bad.append((col, str(dt), spark_types[col]))
+    assert not bad, (f"{name}: oracle/Spark dtype class mismatch "
+                     f"(col, duck, spark): {bad}")
+
+
 def test_entry_flagship(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()
