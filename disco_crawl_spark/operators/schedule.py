@@ -462,7 +462,7 @@ def ucb_priority(history: DataFrame, host_col: str = "host",
 
 def error_ema(rounds: DataFrame, host_col: str = "host",
               round_col: str = "round", err_col: str = "err_micro",
-              ) -> DataFrame:
+              window: int = 32) -> DataFrame:
     """Per-host exponentially-weighted fetch-error rate with
     ``alpha = 1/2`` — the health signal a scheduler feeds into
     budget_waterfill / ucb_priority to cool down hosts that started
@@ -473,15 +473,25 @@ def error_ema(rounds: DataFrame, host_col: str = "host",
     ``ema_r = (err_r + ema_{r-1}) / 2`` with ``ema_0 = err_0``, folded
     to the closed form ``ema_R = sum_k err_k · w_k`` where
     ``w_k = 2^(k-R-1)`` for k ≥ 1 and ``w_0 = 2^(-R)`` (k = the host's
-    0-based observation index in round order).  alpha = 1/2 is chosen
-    deliberately: every weight is a power of two, so each product is an
-    exact exponent shift in IEEE doubles and every partial sum is an
-    exact dyadic rational — the result is bit-identical cross-engine in
-    ANY summation order, then floored to micros.
+    0-based observation index in round order), computed over the last
+    ``window`` (default 32) observations per host: the truncated series
+    treats observation n-window as the seed, which differs from the
+    unbounded recursion by < 2^-(window-1)·max_err < 2^-11 micro.
+
+    The window bound is what makes the bit-reproducibility claim TRUE
+    for any history length, not just short ones: with alpha = 1/2 every
+    weight is a power of two ≥ 2^-(window-1), so each product
+    err·2^-j is an exact IEEE shift (micro-scale err < 2^20 needs
+    ≤ 20+31 = 51 ≤ 53 significand bits) and every partial sum is an
+    exact dyadic rational with the same lsb bound — bit-identical
+    cross-engine in ANY summation order, then floored to micros.
+    Without the bound, weights 2^-(n-k) for n ≳ 33 push partial sums
+    past the 53-bit significand and the floor becomes order-dependent.
 
     One host-partitioned window for the observation index + one grouped
     sum: a single narrow (host, round, err) shuffle, host-cardinality
-    output."""
+    output; the truncation also caps per-host state at ``window`` rows
+    for a long-lived crawl."""
     r = rounds.select(F.col(host_col).alias("host"),
                       F.col(round_col).cast("long").alias("rnd"),
                       F.col(err_col).cast("long").alias("err"))
@@ -489,10 +499,15 @@ def error_ema(rounds: DataFrame, host_col: str = "host",
     idx = (r.withColumn("k", F.row_number().over(w) - 1)
            .withColumn("n", F.count(F.lit(1)).over(
                Window.partitionBy("host"))))
-    weight = F.when(F.col("k") == 0, F.pow(F.lit(0.5), F.col("n") - 1)) \
-              .otherwise(F.pow(F.lit(0.5), F.col("n") - F.col("k")))
+    start = F.greatest(F.col("n") - F.lit(window), F.lit(0))
+    k2 = F.col("k") - start
+    n2 = F.least(F.col("n"), F.lit(window))
+    weight = F.when(k2 == 0, F.pow(F.lit(0.5), n2 - 1)) \
+              .otherwise(F.pow(F.lit(0.5), n2 - k2))
     return (idx.groupBy("host")
-            .agg(F.floor(F.sum(F.col("err").cast("double") * weight))
+            .agg(F.floor(F.sum(F.when(F.col("k") >= start,
+                                      F.col("err").cast("double") * weight)
+                               .otherwise(F.lit(0.0))))
                  .cast("long").alias("ema_micro"),
                  F.count(F.lit(1)).alias("n_rounds")))
 
@@ -519,6 +534,11 @@ def robots_wildcard_gate(urls: DataFrame, rules: DataFrame,
       (``spec DESC, allow DESC``, then pattern DESC as a final
       deterministic tie-break between distinct same-verdict patterns).
     * A path no rule matches is allowed.
+    * A rule with more than 10 ``*``s is IGNORED (dropped before
+      compilation, the Googlebot bound): robots.txt is
+      attacker-controlled input, and a many-star pattern compiled to
+      ``.*``-chains backtracks polynomially against long non-matching
+      paths inside the executors (ReDoS); real rules use 1-3 stars.
 
     Implementation: each rule's pattern is compiled to an anchored regex
     BY COLUMN EXPRESSIONS (escape regex metachars, then ``\\*`` → ``.*``,
@@ -531,9 +551,11 @@ def robots_wildcard_gate(urls: DataFrame, rules: DataFrame,
 
     Returns (host, path, allowed, winning pattern or NULL).
     """
-    r = rules.select(F.col(host_col).alias("host"),
-                     F.col(pattern_col).alias("pat"),
-                     F.col(allow_col).cast("int").alias("allow"))
+    r = (rules.select(F.col(host_col).alias("host"),
+                      F.col(pattern_col).alias("pat"),
+                      F.col(allow_col).cast("int").alias("allow"))
+         .filter(F.length("pat")
+                 - F.length(F.expr("replace(pat, '*', '')")) <= 10))
     anchored = F.col("pat").endswith("$")
     body = F.when(anchored, F.expr("substring(pat, 1, length(pat) - 1)")) \
             .otherwise(F.col("pat"))
@@ -649,13 +671,16 @@ def growth_fit(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     100 TB shape: one map-side-combinable aggregate over the series —
     the series itself is rounds-cardinality (tiny); the expensive part
     (counting y per x) is whatever aggregation produced the input."""
+    # widen BEFORE multiplying: int-typed x·y above ~46340 would wrap in
+    # the input type (silently, in non-ANSI Spark) if cast only after
+    xl, yl = F.col(x_col).cast("long"), F.col(y_col).cast("long")
     mom = df.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col(x_col).cast("long")).alias("sx"),
-        F.sum(F.col(y_col).cast("long")).alias("sy"),
-        F.sum((F.col(x_col) * F.col(x_col)).cast("long")).alias("sxx"),
-        F.sum((F.col(x_col) * F.col(y_col)).cast("long")).alias("sxy"),
-        F.max(F.col(x_col).cast("long")).alias("mx"))
+        F.sum(xl).alias("sx"),
+        F.sum(yl).alias("sy"),
+        F.sum(xl * xl).alias("sxx"),
+        F.sum(xl * yl).alias("sxy"),
+        F.max(xl).alias("mx"))
     den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     inum = F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")

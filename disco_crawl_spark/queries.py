@@ -4087,7 +4087,8 @@ rx AS (
                   THEN substring(pat, 1, length(pat) - 1) ELSE pat END,
              '([.^$+?*(){{}}\\[\\]|\\\\])', '\\\\\\1', 'g'), '\\*', '.*')
              || CASE WHEN pat LIKE '%$' THEN '$' ELSE '' END AS rx
-  FROM rules),
+  FROM rules
+  WHERE length(pat) - length(replace(pat, '*', '')) <= 10),
 u AS (
   SELECT DISTINCT 'h' || (user_id % 10) AS host,
          '/sec' || (user_id % 3) || '/p' || (event_id % 25)
@@ -4169,9 +4170,12 @@ idx AS (
          count(*) OVER (PARTITION BY host) AS n
   FROM per)
 SELECT host,
-       floor(sum(err::DOUBLE
-                 * CASE WHEN k = 0 THEN power(0.5, n - 1)
-                        ELSE power(0.5, n - k) END))::BIGINT AS ema_micro,
+       floor(sum(CASE WHEN k >= greatest(n - 32, 0) THEN err::DOUBLE
+                 * CASE WHEN k - greatest(n - 32, 0) = 0
+                        THEN power(0.5, least(n, 32) - 1)
+                        ELSE power(0.5,
+                               least(n, 32) - (k - greatest(n - 32, 0))) END
+                 ELSE 0.0 END))::BIGINT AS ema_micro,
        count(*)::BIGINT AS n_rounds
 FROM idx GROUP BY host
 """)
@@ -4585,55 +4589,79 @@ def corpus_shard_pack_q(spark, sf):
 @q("meta_robots_gate", r"""
 WITH b AS (
   SELECT 'https://h' || (user_id % 40) || '.gov.au/m' || event_id AS url,
-         CASE WHEN event_id % 4 = 0 THEN
+         CASE WHEN event_id % 6 = 0 THEN
                 '<html><head><meta name="robots" content="noindex, follow">'
                 || '</head><body>x</body></html>'
-              WHEN event_id % 4 = 1 THEN
+              WHEN event_id % 6 = 1 THEN
                 '<html><head><meta content="NOFOLLOW" name="robots">'
                 || '</head><body>x</body></html>'
-              WHEN event_id % 4 = 2 THEN
+              WHEN event_id % 6 = 2 THEN
                 '<html><head><meta name="robots" content="none">'
+                || '</head><body>x</body></html>'
+              WHEN event_id % 6 = 3 THEN
+                '<html><head><meta name = ''robots'' content=''noindex''>'
+                || '</head><body>x</body></html>'
+              WHEN event_id % 6 = 4 THEN
+                '<html><head><meta name=robots content=nofollow>'
+                || '<meta name="robots" content="noindex">'
                 || '</head><body>x</body></html>'
               ELSE '<html><head><title>t</title></head>'
                 || '<body>x</body></html>' END AS html
   FROM events),
 c AS (
   SELECT url,
-         lower(coalesce(
-           nullif(regexp_extract(html,
-             '(?i)<meta[^>]*name="robots"[^>]*content="([^"]*)"', 1), ''),
-           nullif(regexp_extract(html,
-             '(?i)<meta[^>]*content="([^"]*)"[^>]*name="robots"', 1), '')))
-           AS content
+         list_filter(list_transform(
+           list_filter(regexp_extract_all(html, '(?i)<meta[^>]*>'),
+             t -> regexp_matches(t,
+               '(?i)name\s*=\s*("robots"|''robots''|robots[\s/>])')),
+           t -> lower(coalesce(
+             nullif(regexp_extract(t,
+               '(?i)content\s*=\s*"([^"]*)"', 1), ''),
+             nullif(regexp_extract(t,
+               '(?i)content\s*=\s*''([^'']*)''', 1), ''),
+             nullif(regexp_extract(t,
+               '(?i)content\s*=\s*([^\s"''>/][^\s>]*)', 1), '')))),
+           x -> x IS NOT NULL) AS contents
   FROM b)
 SELECT url,
-       coalesce(regexp_matches(content, '(^|[,\s])noindex($|[,\s])')
-                OR regexp_matches(content, '(^|[,\s])none($|[,\s])'),
-                false)::INT AS noindex,
-       coalesce(regexp_matches(content, '(^|[,\s])nofollow($|[,\s])')
-                OR regexp_matches(content, '(^|[,\s])none($|[,\s])'),
-                false)::INT AS nofollow,
-       (content IS NOT NULL)::INT AS declared
+       (len(list_filter(contents, x ->
+          regexp_matches(x, '(^|[,\s])noindex($|[,\s])')
+          OR regexp_matches(x, '(^|[,\s])none($|[,\s])'))) > 0)::INT
+         AS noindex,
+       (len(list_filter(contents, x ->
+          regexp_matches(x, '(^|[,\s])nofollow($|[,\s])')
+          OR regexp_matches(x, '(^|[,\s])none($|[,\s])'))) > 0)::INT
+         AS nofollow,
+       (len(contents) > 0)::INT AS declared
 FROM c
 """)
 def meta_robots_gate_q(spark, sf):
     """Page-level robots meta directives over synthesized heads (REP's
     post-fetch second layer): noindex gates the index stage, nofollow
-    gates outlink emission; both attribute orders, token-based
-    case-insensitive matching, the combined 'none' directive, and
-    undeclared pages defaulting to index,follow."""
+    gates outlink emission; both attribute orders, single/double/
+    unquoted attribute values, whitespace around '=', multiple robots
+    tags OR'd most-restrictive-wins, token-based case-insensitive
+    matching, the combined 'none' directive, and undeclared pages
+    defaulting to index,follow."""
     e = _t(spark, sf, "events")
     b = e.select(
         F.concat(F.lit("https://h"), F.col("user_id") % 40,
                  F.lit(".gov.au/m"), F.col("event_id")).alias("url"),
-        F.when(F.col("event_id") % 4 == 0,
+        F.when(F.col("event_id") % 6 == 0,
                F.lit('<html><head><meta name="robots" content="noindex, '
                      'follow"></head><body>x</body></html>'))
-        .when(F.col("event_id") % 4 == 1,
+        .when(F.col("event_id") % 6 == 1,
               F.lit('<html><head><meta content="NOFOLLOW" name="robots">'
                     '</head><body>x</body></html>'))
-        .when(F.col("event_id") % 4 == 2,
+        .when(F.col("event_id") % 6 == 2,
               F.lit('<html><head><meta name="robots" content="none">'
+                    '</head><body>x</body></html>'))
+        .when(F.col("event_id") % 6 == 3,
+              F.lit("<html><head><meta name = 'robots' content='noindex'>"
+                    '</head><body>x</body></html>'))
+        .when(F.col("event_id") % 6 == 4,
+              F.lit('<html><head><meta name=robots content=nofollow>'
+                    '<meta name="robots" content="noindex">'
                     '</head><body>x</body></html>'))
         .otherwise(F.lit('<html><head><title>t</title></head>'
                          '<body>x</body></html>')).alias("html"))

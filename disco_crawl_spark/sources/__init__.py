@@ -269,23 +269,38 @@ def meta_robots_flags(df: DataFrame, url_col: str = "url",
     the index stage, ``nofollow`` suppresses its outlink emission into
     the frontier.
 
-    Returns (url, noindex:int, nofollow:int, declared:int).  Both
-    attribute orders are matched (name-first and content-first, the
-    rel_canonical_map idiom); directive matching is case-insensitive
-    and token-based (``content="NOINDEX, nofollow"`` parses; a page
-    with no tag defaults to index,follow).  Pure regexp projection in
-    the scan's codegen — no HTML library, no UDF, no shuffle."""
+    Returns (url, noindex:int, nofollow:int, declared:int).  The parse
+    is fail-CLOSED with respect to real-HTML variance: every ``<meta>``
+    tag is scanned, a robots tag is recognized with double-quoted,
+    single-quoted, or unquoted ``name`` values and arbitrary whitespace
+    around ``=`` (so attribute order is irrelevant), the ``content``
+    value is likewise accepted in any quoting, and when a page carries
+    MULTIPLE robots meta tags the directive flags are OR'd across all
+    of them (most-restrictive-wins, matching Googlebot).  Directive
+    matching is case-insensitive and token-based
+    (``content="NOINDEX, nofollow"`` parses; ``noindexing`` does not
+    match ``noindex``; a page with no tag defaults to index,follow).
+    Pure regexp + higher-order array projection in the scan's codegen —
+    no HTML library, no UDF, no shuffle."""
     h = F.col(html_col).cast("string")
-    pat_name_first = '(?i)<meta[^>]*name="robots"[^>]*content="([^"]*)"'
-    pat_content_first = '(?i)<meta[^>]*content="([^"]*)"[^>]*name="robots"'
-    content = F.lower(F.coalesce(
-        F.nullif(F.regexp_extract(h, pat_name_first, 1), F.lit("")),
-        F.nullif(F.regexp_extract(h, pat_content_first, 1), F.lit(""))))
-    has_tok = lambda t: F.coalesce(
-        content.rlike(r"(^|[,\s])" + t + r"($|[,\s])"), F.lit(False))
+    tags = F.regexp_extract_all(h, F.lit("(?i)<meta[^>]*>"), 0)
+    is_robots = "(?i)name\\s*=\\s*(\"robots\"|'robots'|robots[\\s/>])"
+    robots_tags = F.filter(tags, lambda t: t.rlike(is_robots))
+    content_of = lambda t: F.lower(F.coalesce(
+        F.nullif(F.regexp_extract(
+            t, '(?i)content\\s*=\\s*"([^"]*)"', 1), F.lit("")),
+        F.nullif(F.regexp_extract(
+            t, "(?i)content\\s*=\\s*'([^']*)'", 1), F.lit("")),
+        F.nullif(F.regexp_extract(
+            t, "(?i)content\\s*=\\s*([^\\s\"'>/][^\\s>]*)", 1),
+            F.lit(""))))
+    contents = F.filter(F.transform(robots_tags, content_of),
+                        lambda c: c.isNotNull())
+    has_tok = lambda t: F.exists(
+        contents, lambda c: c.rlike(r"(^|[,\s])" + t + r"($|[,\s])"))
     return df.select(
         F.col(url_col).alias("url"),
         (has_tok("noindex") | has_tok("none")).cast("int").alias("noindex"),
         (has_tok("nofollow") | has_tok("none")).cast("int")
         .alias("nofollow"),
-        content.isNotNull().cast("int").alias("declared"))
+        (F.size(contents) > 0).cast("int").alias("declared"))

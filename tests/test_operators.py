@@ -2200,6 +2200,27 @@ def test_robots_wildcard_gate_precedence(spark):
     assert out["/elsewhere"] == (1, None)
 
 
+def test_robots_wildcard_gate_drops_redos_patterns(spark):
+    """A hostile rule with more than 10 '*'s is ignored (the Googlebot
+    bound): robots.txt is attacker-controlled, and many-star patterns
+    compiled to .*-chains backtrack polynomially in the executors. The
+    gate must answer as if the rule did not exist — and fast."""
+    from disco_crawl_spark.operators import schedule
+    hostile = "/" + "a*" * 40 + "b"          # 40 stars -> dropped
+    edge = "/p" + "*x" * 10                  # exactly 10 -> kept
+    rules = spark.createDataFrame(
+        [("h", hostile, 0), ("h", edge, 0)],
+        "host string, pattern string, allow int")
+    urls = spark.createDataFrame(
+        [("h", "/" + "a" * 2000),            # would ReDoS vs hostile
+         ("h", "/p" + "x" * 10)],
+        "host string, path string")
+    out = {r["path"]: (r["allowed"], r["rule"])
+           for r in schedule.robots_wildcard_gate(urls, rules).collect()}
+    assert out["/" + "a" * 2000] == (1, None)      # hostile rule ignored
+    assert out["/p" + "x" * 10] == (0, edge)       # 10-star rule still live
+
+
 def test_ucb_priority_exploration_and_cold_start(spark):
     """Fixed-point UCB1: a never-fetched host ranks first; among fetched
     hosts the bonus decays with n; values equal the scalar recomputation."""
@@ -2239,6 +2260,31 @@ def test_error_ema_matches_recursion(spark):
         for e in es[1:]:
             ema = (e + ema) / 2.0
         assert out[h] == (int(ema), len(es)), (h, out[h], ema)
+
+
+def test_error_ema_windows_long_histories(spark):
+    """Past `window` observations the EMA is the recursion over just the
+    last `window` terms (the truncation that keeps every partial sum an
+    exact dyadic rational regardless of history length); n_rounds still
+    reports the full history."""
+    from disco_crawl_spark.operators import schedule
+    es = [(i * 37) % 1_000_000 for i in range(40)]  # 40 > window=32
+    rows = [("h", i, e) for i, e in enumerate(es)]
+    df = spark.createDataFrame(rows, "host string, round long, err_micro long")
+    out = {r["host"]: (r["ema_micro"], r["n_rounds"])
+           for r in schedule.error_ema(df).collect()}
+    tail = es[-32:]
+    ema = float(tail[0])
+    for e in tail[1:]:
+        ema = (e + ema) / 2.0
+    assert out["h"] == (int(ema), 40), (out["h"], ema)
+    # a shorter window truncates further, same recursion
+    out8 = schedule.error_ema(df, window=8).collect()[0]
+    tail8 = es[-8:]
+    ema8 = float(tail8[0])
+    for e in tail8[1:]:
+        ema8 = (e + ema8) / 2.0
+    assert (out8["ema_micro"], out8["n_rounds"]) == (int(ema8), 40)
 
 
 def test_opic_mass_conservation_and_determinism(spark):
@@ -2380,6 +2426,15 @@ def test_growth_fit_exact_line_and_degenerate(spark):
     r3 = schedule.growth_fit(deg, "rnd", "discovered").first()
     assert r3["slope"] is None and r3["forecast_next"] is None
 
+    # int-typed inputs above ~46340 must widen BEFORE the multiply:
+    # x*x in int32 would wrap and corrupt the fit
+    big = [(100_000 + x, 2 * (100_000 + x) + 5) for x in range(5)]
+    r4 = schedule.growth_fit(
+        spark.createDataFrame(big, "rnd int, discovered int"),
+        "rnd", "discovered").first()
+    assert r4["slope"] == 2.0 and r4["intercept"] == 5.0
+    assert r4["forecast_next"] == 2 * 100_005 + 5
+
 
 def test_kneser_ney_bigrams_hand_example(spark):
     """KN with D = 3/4 on a tiny corpus: exact hand-computed micros, and
@@ -2445,6 +2500,17 @@ def test_meta_robots_flags_orders_tokens_defaults(spark):
         ("u5", '<head><title>t</title></head>'),
         # 'noindexing' must NOT match the noindex token
         ("u6", '<head><meta name="robots" content="noindexing"></head>'),
+        # single-quoted attributes, whitespace around '='
+        ("u7", "<head><meta name = 'robots' content = 'NOINDEX'></head>"),
+        # unquoted attribute values
+        ("u8", '<head><meta name=robots content=nofollow></head>'),
+        # multiple robots tags: most-restrictive-wins (OR across tags)
+        ("u9", '<head><meta name="robots" content="index, follow">'
+               '<meta name=robots content=noindex></head>'),
+        # a robots-adjacent name must not match the robots token
+        ("u10", '<head><meta name="robots2" content="noindex"></head>'),
+        # description meta with 'robots' in the content is not a robots tag
+        ("u11", '<head><meta name="description" content="robots"></head>'),
     ]
     df = spark.createDataFrame(rows, "url string, html string")
     out = {r["url"]: (r["noindex"], r["nofollow"], r["declared"])
@@ -2455,6 +2521,11 @@ def test_meta_robots_flags_orders_tokens_defaults(spark):
     assert out["u4"] == (0, 0, 1)
     assert out["u5"] == (0, 0, 0)
     assert out["u6"] == (0, 0, 1)
+    assert out["u7"] == (1, 0, 1)
+    assert out["u8"] == (0, 1, 1)
+    assert out["u9"] == (1, 0, 1)
+    assert out["u10"] == (0, 0, 0)
+    assert out["u11"] == (0, 0, 0)
 
 
 def _rfc_glob_match(pattern: str, path: str) -> bool:
