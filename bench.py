@@ -58,7 +58,7 @@ HEADLINE = [
     "rel_canonical", "mirror_hosts", "dom_templates", "recrawl_schedule",
     "embedding_sq8", "split_leakage", "cms_heavy_hitters",
     "cdx_surt_index", "rendezvous_shards", "length_quantiles",
-    "script_mix",
+    "script_mix", "multimodal_decode_stats",
 ]
 
 # bench corpus: ~130 crawlable hosts, ALL seeded so parallelism is maximal

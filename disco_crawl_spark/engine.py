@@ -32,6 +32,10 @@ Scale notes (100 TB / 10^10-URL design; local runs verify correctness):
   table bucketed+sorted on exactly the anti-join key (host, url_key): the
   generation-build anti-join reads it in place — no exchange of the seen
   side — while the between-compactions tail stays broadcast-sized.
+- **frontier/crawl_log** compact every K rounds (``compact_tables_every``)
+  via the icelite rewrite-data-files op into host-sorted files, bounding
+  the O(rounds x parallelism) small-file growth that natural-parallelism
+  delta commits trade for scaling (``compact_tables``).
 - hot politeness groups are serialized by the group lock; AQE skew-join
   splitting covers hot-host fetch joins; optionally a per-partition
   Bloom/cuckoo filter (operators/bloom.py) screens the bulk of candidates
@@ -70,6 +74,7 @@ class CrawlEngine:
         seen_filter: "str | None" = None,
         pages_bucketed: bool = False,
         compact_seen_every: "int | None" = None,
+        compact_tables_every: "int | None" = None,
     ):
         self.spark = spark
         self.cfg = config or SimConfig()
@@ -143,6 +148,7 @@ class CrawlEngine:
         # see compact_seen()
         self._seen_base = None
         self.compact_seen_every = compact_seen_every
+        self.compact_tables_every = compact_tables_every
         self.dom: dict = {}          # host -> driver state dict
         self.events: list = []       # (round, host, event)
         self.metrics: list = []      # per-round per-host fetch/parse stats
@@ -329,6 +335,47 @@ class CrawlEngine:
                                   files_reset=True)
         self._seen_base = self.spark.table(name)
         self._mem["url_seen"] = None  # tail restarts empty (guarded above)
+
+    def compact_tables(self, target_files: "int | None" = None):
+        """Iceberg ``rewrite_data_files`` maintenance pass over the
+        delta-accumulating tables. The r4 scaling fix commits every
+        round's deltas at the job's NATURAL parallelism (the serial
+        ``coalesce(1)`` was the round loop's Amdahl killer,
+        BENCH/CRAWL_BISECT.md) — the deliberate trade is
+        O(rounds x parallelism) small files on a long-lived table. This
+        is the remedy: every ``compact_tables_every`` rounds, frontier
+        and crawl_log rewrite their whole delta chain into
+        ``target_files`` host-range-sorted files (ES's implicit segment
+        merge is the reference analog that kept worker.py:244-280 resume
+        scans viable). Host-sorting makes the per-file min/max footer
+        stats disjoint, so ``Table.read(eq={'host': h})`` manifest
+        pruning touches O(1) files after compaction. Time travel,
+        rollback, and mid-crawl resume are unaffected: the compact
+        snapshot holds the same rows, and older snapshots keep their
+        dirs until an explicit ``expire_before``. url_seen has its own
+        bucketed-layout path (``compact_seen``) tuned for the anti-join
+        and is not touched here.
+
+        The compact snapshot is stamped with the LAST CHECKPOINTED round
+        (the hook runs after ``round_no`` advances): resume rolls each
+        table back to its newest snapshot with round <= the checkpoint's,
+        so a compaction stamped with the not-yet-run next round would be
+        discarded on every resume; stamped with the finished round it IS
+        the snapshot resume lands on."""
+        tf = target_files or max(
+            2, self.spark.sparkContext.defaultParallelism // 2)
+        rnd = max(self.round_no - 1, 0)
+        for name in ("frontier", "crawl_log"):
+            t = self._table(name)
+            cur = t.current_snapshot()
+            if not cur or not cur["data"] or len(cur.get("files", ())) <= tf:
+                continue                    # nothing worth rewriting
+            t.compact(self.spark, rnd, target_files=tf,
+                      sort_cols=["host"])
+            # re-seed the in-run view from the compacted snapshot: the
+            # old view stays correct (old dirs persist) but would keep
+            # planning over the uncompacted file list
+            self._mem[name] = None
 
     def _release(self):
         # drop in-run views (incl. the compacted base — the committed
@@ -634,6 +681,9 @@ class CrawlEngine:
         if self.compact_seen_every and \
                 self.round_no % self.compact_seen_every == 0:
             self.compact_seen()
+        if self.compact_tables_every and \
+                self.round_no % self.compact_tables_every == 0:
+            self.compact_tables()
 
     def _build_generations(self, hosts: list, schedule: "DataFrame | None",
                            stats_df: "DataFrame | None" = None):

@@ -226,6 +226,34 @@ def test_multimodal_features_and_frames(spark):
     assert frames and all(r["frame"] % 2 == 0 for r in frames)
 
 
+def test_multimodal_decode_stats_pure_python_parity(spark):
+    """decode_stats over the formula synthesizer == a scalar recomputation
+    from (i, j) arithmetic alone (the page_content_hash style), proving
+    the mapInPandas decode path and the exact-integer fixed-point math."""
+    ids = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    media = multimodal.synthesize_media_from_ids(ids, "doc_id")
+    out = {r["media_id"]: r for r in multimodal.decode_stats(media).collect()}
+    assert len(out) == 40
+    for i in range(40):
+        k = i % 3
+        if k == 0:
+            w, h, fr = 8 + i % 5, 6 + i % 4, 1
+            n, a, b, dn, dd = w * h, 31, 7, 0, 1
+        elif k == 1:
+            w, h = 0, 0
+            fr = n = 100 + i % 50
+            a, b, dn, dd = 17, 13, n, 8000
+        else:
+            w, h, fr = 4, 4, 4 + (i // 3) % 3
+            n, a, b, dn, dd = fr * 16, 13, 11, fr, 5
+        px_sum = sum((i * a + j * b) % 256 for j in range(n))
+        r = out[i]
+        assert (r["kind"], r["width"], r["height"], r["frames"]) == \
+            (("image", "audio", "video")[k], w, h, fr)
+        assert r["duration_micros"] == (dn * 1_000_000) // dd
+        assert r["mean_micro"] == (px_sum * 1_000_000) // n, i
+
+
 def test_cuckoo_filter_no_false_negatives_and_delete(spark):
     from disco_crawl_spark.operators import cuckoo
     keys = [hashlib.md5(f"u{i}".encode()).hexdigest() for i in range(2000)]
