@@ -19,6 +19,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import sys
 import tempfile
 import time
@@ -716,6 +717,8 @@ def _write_scaling_report(this_run: "dict | None", corpus_pages: int,
                 for r in rs_recs for s in r["sizes"] if s["m"] == tgt["m"]]
             if len(seen_windows) <= 1:
                 continue
+            med = statistics.median(w[1] for w in seen_windows)
+            medv = statistics.median(w[2] for w in seen_windows)
             big_windows += ("\nThe `" + tgt["m"] + "` rung across every "
                             "recorded measurement window (box weather "
                             "moves single windows substantially — compare "
@@ -725,7 +728,11 @@ def _write_scaling_report(this_run: "dict | None", corpus_pages: int,
                             "| window | eff raw | eff vs hw | passes |\n"
                             "|---|---|---|---|\n" + "\n".join(
                                 f"| {ts} | {e} | {ev} | {p} |"
-                                for ts, e, ev, p in seen_windows) + "\n")
+                                for ts, e, ev, p in seen_windows)
+                            + f"\n\n**Median across "
+                            f"{len(seen_windows)} windows: "
+                            f"{round(med, 3)} raw / {round(medv, 3)} "
+                            f"hw-normalized.**\n")
             if tgt["m"] != big["m"]:
                 continue
             lo = min(w[1] for w in seen_windows)
@@ -733,8 +740,10 @@ def _write_scaling_report(this_run: "dict | None", corpus_pages: int,
             lov = min(w[2] for w in seen_windows)
             hiv = max(w[2] for w in seen_windows)
             big_line = (f"**At the largest width the round loop reaches "
-                        f"{lo}-{hi} raw / {lov}-{hiv} hardware-normalized "
-                        f"efficiency across recorded windows.**")
+                        f"a median {round(med, 3)} raw / "
+                        f"{round(medv, 3)} hardware-normalized efficiency "
+                        f"(range {lo}-{hi} raw / {lov}-{hiv} vs-hw across "
+                        f"recorded windows).**")
             if hi > 1.0:
                 big_line += (
                     " Windows above 1.0 are measurement weather, not "

@@ -32,7 +32,8 @@ __all__ = ["budget_waterfill", "trap_templates", "recrawl_change_rates",
 
 def budget_waterfill(demands: DataFrame, budget: int,
                      host_col: str = "host",
-                     demand_col: str = "demand") -> DataFrame:
+                     demand_col: str = "demand",
+                     group_col: "str | None" = None) -> DataFrame:
     """Max-min fair integer allocation of ``budget`` fetch slots across
     hosts with pending-URL ``demand``: find the water level L such that
     ``sum(min(demand, L))`` exhausts the budget; hosts below the level
@@ -43,37 +44,55 @@ def budget_waterfill(demands: DataFrame, budget: int,
     Returns (host, demand, allocated) with the invariants
     ``allocated <= demand``, ``sum(allocated) == min(budget,
     sum(demand))``, and no satisfied host ever receives less than an
-    unsatisfied one.
+    unsatisfied one.  With ``group_col``, the same waterfill runs
+    independently per group with ``budget`` slots EACH (the per-steward-
+    batch form), and the group column is carried in the output.
 
     Pure integer window algebra: rank hosts by (demand, host), prefix-sum
     the demands, pick the largest rank k whose demand could be granted to
     every remaining host within budget (``prefix[k-1] + d[k]*(n-k+1) <=
     B``); the 1-row (k, prefix[k], n) aggregate is broadcast back and the
     allocation is a closed-form expression per row.
+
+    100 TB shape: ungrouped, the ranking window is a single-task global
+    sort — DELIBERATE and bounded: the input is the per-HOST demand
+    table (10^4-10^6 rows of 3 narrow columns at a 10^10-URL frontier,
+    the same class as the steward pick and ``frontier_priority``'s
+    global oracle variant), never URL-cardinality data.  When even that
+    bound is unwanted, ``group_col`` (steward batch / politeness group)
+    partitions every window and the scalar aggregate by group — no
+    global sort anywhere, one narrow (group, host, demand) shuffle.
     """
-    d = demands.select(F.col(host_col).alias("host"),
+    gcols = [group_col] if group_col else []
+    d = demands.select(*gcols,
+                       F.col(host_col).alias("host"),
                        F.col(demand_col).cast("long").alias("demand"))
-    w = Window.orderBy("demand", "host")
+    w = Window.partitionBy(*gcols).orderBy("demand", "host")
     ranked = d.select(
-        "host", "demand",
+        *gcols, "host", "demand",
         F.row_number().over(w).alias("rn"),
         F.sum("demand").over(w).alias("prefix"),
     )
     b = F.lit(int(budget)).cast("long")
     # largest k with prefix[k-1] + d[k] * (n - k + 1) <= B  (the level
     # test: grant host k's full demand to it and every larger host)
-    scalar = (ranked
-              .withColumn("n", F.max("rn").over(Window.partitionBy()))
-              .withColumn(
-                  "ok",
-                  (F.col("prefix") - F.col("demand")
-                   + F.col("demand") * (F.col("n") - F.col("rn") + 1)) <= b)
-              .agg(F.max(F.when(F.col("ok"), F.col("rn"))
-                         .otherwise(0)).alias("k"),
-                   F.max(F.when(F.col("ok"), F.col("prefix"))
-                         .otherwise(0)).alias("pk"),
-                   F.max("rn").alias("n")))
-    out = ranked.crossJoin(F.broadcast(scalar))
+    okd = (ranked
+           .withColumn("n", F.max("rn").over(Window.partitionBy(*gcols)))
+           .withColumn(
+               "ok",
+               (F.col("prefix") - F.col("demand")
+                + F.col("demand") * (F.col("n") - F.col("rn") + 1)) <= b))
+    aggs = [F.max(F.when(F.col("ok"), F.col("rn"))
+                  .otherwise(0)).alias("k"),
+            F.max(F.when(F.col("ok"), F.col("prefix"))
+                  .otherwise(0)).alias("pk"),
+            F.max("rn").alias("n")]
+    if gcols:
+        scalar = okd.groupBy(*gcols).agg(*aggs)
+        out = ranked.join(F.broadcast(scalar), gcols)
+    else:
+        scalar = okd.agg(*aggs)
+        out = ranked.crossJoin(F.broadcast(scalar))
     rem_hosts = F.col("n") - F.col("k")
     leftover = b - F.col("pk")
     # greatest(...,1) guards the k == n (everyone satisfied) case: the
@@ -85,7 +104,7 @@ def budget_waterfill(demands: DataFrame, budget: int,
              .otherwise(level
                         + F.when(F.col("rn") - F.col("k") <= extra, 1)
                         .otherwise(0)))
-    return (out.select("host", "demand",
+    return (out.select(*gcols, "host", "demand",
                        alloc.cast("long").alias("allocated")))
 
 

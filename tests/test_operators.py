@@ -1677,6 +1677,20 @@ def test_budget_waterfill_invariants_and_python_mirror(spark):
         if unsat:
             assert max(unsat) - min(unsat) <= 1, budget
 
+    # grouped form: per-steward-batch waterfill == running the ungrouped
+    # op independently per group with `budget` slots each
+    grows = [(h % 3, h, d) for h, d in rows]
+    gdf = spark.createDataFrame(grows, "grp int, host long, demand long")
+    budget = total // 6
+    got = {(r["grp"], r["host"]): r["allocated"] for r in
+           schedule.budget_waterfill(gdf, budget, group_col="grp").collect()}
+    for g in range(3):
+        sub = spark.createDataFrame(
+            [(h, d) for gg, h, d in grows if gg == g], "host long, demand long")
+        solo = {r["host"]: r["allocated"] for r in
+                schedule.budget_waterfill(sub, budget).collect()}
+        assert {h: got[(g, h)] for gg, h, _ in grows if gg == g} == solo, g
+
 
 def test_trap_templates_flags_infinite_spaces(spark):
     from disco_crawl_spark.operators import schedule

@@ -629,6 +629,48 @@ def test_politeness_gate_stream_token_bucket_and_restart(spark, tmp_path):
     assert len(got2) == 7
 
 
+def test_politeness_gate_stream_equals_batch_budget_window(spark, tmp_path):
+    """Cross-paradigm identity (VERDICT r4 #6, the reference's
+    sleeps-vs-budget equivalence, SURVEY §4.2): one stream pass over a
+    multi-round schedule with (capacity = budget, refill·gap >= capacity)
+    must admit EXACTLY the rows the batch politeness window grants with
+    row_number <= budget per (host, round). Round scheduling timestamps
+    all of a round's candidates at the round start, so within a round the
+    bucket never refills (no time advance) and between rounds it refills
+    to full (capped) — each round independently gets `budget` tokens,
+    which is precisely the batch semantics."""
+    import datetime as dt
+    from pyspark.sql import Window
+    inp, outp, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    t0 = dt.datetime(2024, 1, 1)
+    budget, gap_s = 3, 10           # refill 300 milli/s * 10 s = capacity
+    rows = []
+    for rnd in range(3):
+        for hi in range(5):
+            # varying candidate counts: some hosts under budget
+            for u in range((hi + rnd) % 7):
+                rows.append((f"h{hi}", t0 + dt.timedelta(seconds=rnd * gap_s),
+                             f"r{rnd}u{u:02d}"))
+    sched = spark.createDataFrame(rows, "host string, ts timestamp, url string")
+    sched.coalesce(1).write.mode("append").parquet(inp)
+    q = streaming.run_politeness_gate_stream(
+        spark, inp, outp, ckpt, capacity_tokens=budget,
+        refill_milli_per_sec=budget * 1000 // gap_s)
+    q.awaitTermination()
+    out = spark.read.parquet(outp)
+    stream_allowed = {(r["host"], r["url"])
+                      for r in out.filter("verdict = 'allow'").collect()}
+    # the gate never drops: every candidate emitted exactly once
+    assert out.count() == len(rows)
+    # batch side: the engine's per-round budget window (window_budget_rank
+    # shape), tie-broken identically to the stream's (ts, url) order
+    w = Window.partitionBy("host", "ts").orderBy("url")
+    batch_allowed = {(r["host"], r["url"]) for r in
+                     sched.withColumn("rn", F.row_number().over(w))
+                     .filter(F.col("rn") <= budget).collect()}
+    assert stream_allowed == batch_allowed
+
+
 def test_rendezvous_assign_plan_has_no_exchange(spark):
     """The HRW docstring claims zero-shuffle assignment: the literal
     struct-array argmax must compile to a pure projection."""
