@@ -60,6 +60,8 @@ HEADLINE = [
     "embedding_sq8", "split_leakage", "cms_heavy_hitters",
     "cdx_surt_index", "rendezvous_shards", "length_quantiles",
     "script_mix", "multimodal_decode_stats",
+    "fetch_batch_pack", "conditional_get_plan", "path_cycle_trap",
+    "badwords_gate", "token_budget_select", "quality_percentile_gate",
 ]
 
 # bench corpus: ~130 crawlable hosts, ALL seeded so parallelism is maximal

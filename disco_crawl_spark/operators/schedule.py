@@ -27,7 +27,8 @@ __all__ = ["budget_waterfill", "trap_templates", "recrawl_change_rates",
            "apply_param_canonicalization", "recrawl_priority",
            "rendezvous_assign", "rendezvous_churn",
            "ucb_priority", "error_ema", "robots_wildcard_gate",
-           "parse_robots_rules", "growth_fit"]
+           "parse_robots_rules", "growth_fit",
+           "fetch_batch_pack", "conditional_get_plan", "path_cycle_flags"]
 
 
 def budget_waterfill(demands: DataFrame, budget: int,
@@ -712,3 +713,129 @@ def growth_fit(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         .alias("intercept"),
         F.round((num * (F.col("mx") + 1) + inum).cast("double")
                 / safe_den.cast("double"), 6).alias("forecast_next"))
+
+
+def fetch_batch_pack(frontier: DataFrame, capacity: int,
+                     host_col: str = "host", url_col: str = "url_id",
+                     pri_col: "str | None" = None) -> DataFrame:
+    """Politeness-aware fetch-batch assignment: interleave the frontier
+    round-robin across hosts, then chunk the interleaved order into
+    batches of ``capacity`` URLs.  Each URL gets a ``wave`` (its rank
+    within its host, priority-first) and a ``batch_id``; because the
+    global order is wave-major, a batch mixes hosts maximally — no host
+    contributes a (k+1)-th URL to any batch before every other pending
+    host has contributed its k-th.  This is the dispatch layout the
+    reference approximates with per-steward host chunks
+    (worker.py:563-640): one queue slot per host per pass.
+
+    Returns (host, url_id, wave, batch_id), batch_id 0-based; batches
+    are exactly ``capacity`` URLs except the last.
+
+    100 TB shape: the wave window partitions by HOST (parallel,
+    hot-host-bounded by the frontier cap).  The global interleaved rank
+    deliberately does NOT use a single-partition window: like
+    ``shard_pack``, it is the two-level scan — per-WAVE row_number
+    (waves are bounded by the deepest host's pending count) plus an
+    exclusive per-wave offset computed from the O(waves) wave-size
+    rollup and broadcast back as a map literal.
+    """
+    if capacity < 1:
+        raise ValueError("capacity must be >= 1")
+    order = ([F.col(pri_col).desc()] if pri_col else []) + [F.col(url_col)]
+    wave = F.row_number().over(
+        Window.partitionBy(host_col).orderBy(*order)) - 1
+    waved = (frontier.withColumn("wave", wave.cast("long"))
+             .select(F.col(host_col).alias("host"),
+                     F.col(url_col).alias("url_id"), "wave")
+             .localCheckpoint(eager=True))
+    pos = F.row_number().over(
+        Window.partitionBy("wave").orderBy("host", "url_id")) - 1
+    local = waved.withColumn("_pos", pos.cast("long"))
+    sizes = {r["wave"]: r["c"] for r in
+             local.groupBy("wave").agg(F.count(F.lit(1)).alias("c"))
+             .collect()}
+    offsets, running = {}, 0
+    for wv in sorted(sizes):
+        offsets[wv] = running
+        running += sizes[wv]
+    off = (F.create_map(
+        *[F.lit(v) for kv in sorted(offsets.items()) for v in kv]
+    )[F.col("wave")] if offsets else F.lit(0))
+    slot = (F.col("_pos") + off).cast("long")
+    # exact integer division (float division would wobble past 2^53 slots)
+    return (local.withColumn("_slot", slot)
+            .select("host", "url_id", "wave",
+                    F.expr(f"_slot DIV {int(capacity)}").cast("long")
+                    .alias("batch_id")))
+
+
+def conditional_get_plan(rates: DataFrame, hi_micro: int = 500_000,
+                         lo_micro: int = 100_000,
+                         url_col: str = "url_id",
+                         bytes_col: str = "last_bytes") -> DataFrame:
+    """Revalidation economics over ``recrawl_change_rates`` output: pick
+    per-URL the cheapest HTTP verb that preserves freshness.  URLs whose
+    observed change rate is at least ``hi_micro`` get a full ``fetch``
+    (a conditional GET would almost always return 200 anyway, wasting a
+    round-trip); between ``lo_micro`` and ``hi_micro`` a ``cond_get``
+    (If-None-Match/If-Modified-Since — the expected 304 skips the body);
+    below ``lo_micro`` a ``skip`` this cycle.  Single-visit URLs
+    (n_visits < 2, rate unknown) always ``fetch``.  The reference
+    re-GETs unconditionally (worker.py:370 fetches every scheduled URL);
+    at 10^10-URL scale revalidation is the difference between re-paying
+    the corpus in bandwidth every cycle and paying only the changed
+    slice.
+
+    Returns (url_id, change_rate_micro, action, saved_bytes_micro):
+    ``saved_bytes_micro`` is the expected body bytes NOT transferred
+    this cycle in byte-micros — ``bytes*(1e6-rate)`` for cond_get (the
+    304 probability), ``bytes*1e6`` for skip, 0 for fetch — integer
+    arithmetic end to end so the economy report is exactly
+    oracle-checkable.
+
+    100 TB shape: a pure per-row projection over the per-URL rates
+    table (no shuffle, no window); compose as
+    ``conditional_get_plan(recrawl_change_rates(visits))``.
+    """
+    rate = F.col("change_rate_micro")
+    known = F.col("n_visits") >= 2
+    action = (F.when(~known | (rate >= hi_micro), "fetch")
+              .when(rate >= lo_micro, "cond_get")
+              .otherwise("skip"))
+    b = F.col(bytes_col).cast("long")
+    saved = (F.when(action == "cond_get",
+                    b * (F.lit(1_000_000).cast("long") - rate))
+             .when(action == "skip", b * F.lit(1_000_000).cast("long"))
+             .otherwise(F.lit(0))).cast("long")
+    return rates.select(F.col(url_col), rate.alias("change_rate_micro"),
+                        action.alias("action"),
+                        saved.alias("saved_bytes_micro"))
+
+
+def path_cycle_flags(urls: DataFrame, host_col: str = "host",
+                     path_col: str = "path", min_depth: int = 4,
+                     min_dups: int = 2) -> DataFrame:
+    """Cycle-trap detection on the URL PATH structure: a path that keeps
+    revisiting the same segments (``/a/b/a/b/a``) is the signature of a
+    relative-link loop through a rewriting server — each recursion mints
+    a "new" URL, so the seen-filter never fires and the frontier grows
+    without bound (the classic Mercator trap; ``trap_templates`` catches
+    numeric-template explosions, this catches segment recursion — the
+    two are complementary frontier-hygiene gates).
+
+    Flags paths with at least ``min_depth`` segments of which at least
+    ``min_dups`` repeat earlier ones.  Returns (host, path, depth,
+    n_dup_segs, is_cycle_trap).
+
+    100 TB shape: a pure per-row array expression (split → filter →
+    array_distinct) — no shuffle, no UDF; runs inside the link-scan
+    projection before any URL reaches the frontier.
+    """
+    segs = F.filter(F.split(F.col(path_col), "/"), lambda s: s != "")
+    depth = F.size(segs).cast("long")
+    ndup = (F.size(segs) - F.size(F.array_distinct(segs))).cast("long")
+    return urls.select(
+        F.col(host_col).alias("host"), F.col(path_col).alias("path"),
+        depth.alias("depth"), ndup.alias("n_dup_segs"),
+        F.when((depth >= min_depth) & (ndup >= min_dups), 1)
+        .otherwise(0).alias("is_cycle_trap"))

@@ -1465,3 +1465,119 @@ def shard_pack(df: DataFrame, id_col: str, size_col: str, n_shards: int,
              .otherwise(2 * n_shards - 1 - k)).cast("long")
     return local.select(F.col(id_col), F.col("__size").alias(size_col),
                         rank.alias("rank"), shard.alias("shard"))
+
+
+def badwords_gate(df: DataFrame, text_col: str, id_col: str,
+                  badwords: "list[str]") -> DataFrame:
+    """C4-style blocklist gate: drop any document containing a word from
+    a curated blocklist (Raffel et al. 2020 §2.2 removed pages with any
+    "List of Dirty, Naughty ... Words" hit).  Tokenizes on non-letter
+    runs, lowercases, and counts blocklist hits WITH multiplicity — the
+    count (not just the flag) feeds threshold variants and audit
+    reports.
+
+    Returns (doc_id, n_tok, n_bad, bad_micro, blocked): token count,
+    blocklist hits, fixed-point hit rate, and the C4 drop flag
+    (any hit → 1).
+
+    100 TB shape: a pure per-row higher-order-function expression —
+    split → filter(array_contains(lit(blocklist))) — no explode, no
+    shuffle, no UDF; the blocklist rides the plan as an array literal
+    (curated lists are O(10^2-10^3) words).  Runs inside the quality
+    projection alongside ``gopher_rules``.
+    """
+    bad = F.array(*[F.lit(w) for w in badwords])
+    toks = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+                    lambda t: t != "")
+    hits = F.filter(toks, lambda t: F.array_contains(bad, t))
+    n_tok = F.size(toks).cast("long")
+    n_bad = F.size(hits).cast("long")
+    counted = df.select(F.col(id_col), n_tok.alias("n_tok"),
+                        n_bad.alias("n_bad"))
+    return counted.select(
+        F.col(id_col), "n_tok", "n_bad",
+        F.when(F.col("n_tok") > 0,
+               F.expr("CAST(n_bad AS BIGINT) * 1000000 DIV "
+                      "CAST(n_tok AS BIGINT)"))
+        .otherwise(0).cast("long").alias("bad_micro"),
+        F.when(F.col("n_bad") > 0, 1).otherwise(0).alias("blocked"))
+
+
+def token_budget_select(df: DataFrame, id_col: str, tok_col: str,
+                        quality_col: str, budget: int,
+                        buckets: int = 32) -> DataFrame:
+    """Greedy corpus selection under a global token budget: take
+    documents best-quality-first until the running token total exceeds
+    ``budget`` — the "data-constrained" selection step of corpus
+    curation (keep the best B tokens, not the best N documents).
+    Deterministic: ordered by (quality DESC, id), a document is kept iff
+    its inclusive prefix token sum is within budget.
+
+    Returns only the selected rows as (id, n_tok, cum_tok).
+
+    100 TB shape: the prefix sum does NOT use a single-partition window
+    — like ``shard_pack``, it is the two-level scan: range-partition by
+    the (quality DESC, id) sort key, per-partition cumulative sum
+    (parallel window), then collect only the B per-partition TOTALS and
+    broadcast each partition's exclusive token offset back as a map
+    literal.  Equivalently: at scale this is a quality-threshold scan —
+    the budget boundary lands inside one partition and every other
+    partition is decided by its broadcast offset alone.
+    """
+    base = df.select(F.col(id_col), F.col(tok_col).cast("long")
+                     .alias("n_tok"), F.col(quality_col).alias("__q"))
+    parts = (base.repartitionByRange(buckets, F.col("__q").desc(),
+                                     F.col(id_col))
+             .withColumn("_pid", F.spark_partition_id())
+             .localCheckpoint(eager=True))
+    w = (Window.partitionBy("_pid")
+         .orderBy(F.col("__q").desc(), F.col(id_col))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    local = parts.withColumn("_cum", F.sum("n_tok").over(w))
+    totals = {r["_pid"]: r["t"] for r in
+              local.groupBy("_pid").agg(F.sum("n_tok").alias("t"))
+              .collect()}
+    offsets, running = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = running
+        running += totals[pid]
+    off = (F.coalesce(F.create_map(
+        *[F.lit(v) for kv in sorted(offsets.items()) for v in kv]
+    )[F.col("_pid")], F.lit(0)) if offsets else F.lit(0))
+    cum = (F.col("_cum") + off).cast("long")
+    return (local.withColumn("cum_tok", cum)
+            .filter(F.col("cum_tok") <= budget)
+            .select(F.col(id_col), "n_tok", "cum_tok"))
+
+
+def quality_percentile_gate(df: DataFrame, group_col: str, id_col: str,
+                            quality_col: str,
+                            keep_micro: int = 300_000) -> DataFrame:
+    """Per-group adaptive quality threshold: within each group (language,
+    domain, source) keep the top ``keep_micro``/1e6 fraction of
+    documents by quality — the FineWeb-style refinement where a single
+    global cutoff would empty low-resource groups and barely touch
+    high-resource ones.  Deterministic integer predicate:
+    ``rank * 1e6 <= keep_micro * n_group`` with (quality DESC, id)
+    row-number ranking, so ties never make the kept set
+    layout-dependent.
+
+    Returns (group, id, quality, rnk, kept) for ALL rows (the gate flag,
+    not the filtered set — callers audit the boundary before dropping).
+
+    100 TB shape: one shuffle on the group key shared by the ranking
+    window and the per-group count (same partitioning, single
+    exchange); groups are language/domain-bounded, and hot groups split
+    cleanly under AQE skew handling because the window frame is
+    row-number only.
+    """
+    w = Window.partitionBy(group_col).orderBy(F.col(quality_col).desc(),
+                                              F.col(id_col))
+    cnt = Window.partitionBy(group_col)
+    rnk = F.row_number().over(w).cast("long")
+    n = F.count(F.lit(1)).over(cnt).cast("long")
+    return df.select(
+        F.col(group_col), F.col(id_col),
+        F.col(quality_col).alias("quality"), rnk.alias("rnk"),
+        F.when(rnk * 1_000_000 <= F.lit(int(keep_micro)) * n, 1)
+        .otherwise(0).alias("kept"))

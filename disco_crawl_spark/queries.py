@@ -4718,6 +4718,194 @@ def meta_robots_gate_q(spark, sf):
     return sources.meta_robots_flags(b)
 
 
+@q("fetch_batch_pack", """
+WITH f AS (SELECT 'h' || (user_id % 40) AS host, event_id AS url_id,
+                  value AS pri FROM events),
+waved AS (
+  SELECT host, url_id,
+         (row_number() OVER (PARTITION BY host
+                             ORDER BY pri DESC, url_id) - 1)::BIGINT AS wave
+  FROM f),
+slotted AS (
+  SELECT host, url_id, wave,
+         (row_number() OVER (ORDER BY wave, host, url_id) - 1)::BIGINT AS slot
+  FROM waved)
+SELECT host, url_id, wave, (slot // 64)::BIGINT AS batch_id FROM slotted
+""")
+def fetch_batch_pack_q(spark, sf):
+    """Politeness batch packing: round-robin interleave across hosts, then
+    64-URL batches over the interleaved order — no host contributes its
+    (k+1)-th URL before every pending host contributed its k-th. Global
+    rank via the two-level scan (never a single-partition window)."""
+    e = _t(spark, sf, "events")
+    f = e.select((F.concat(F.lit("h"), (F.col("user_id") % 40).cast("string")))
+                 .alias("host"), F.col("event_id").alias("url_id"),
+                 F.col("value").alias("pri"))
+    return schedule.fetch_batch_pack(f, 64, pri_col="pri")
+
+
+@q("conditional_get_plan", """
+WITH visits AS (
+  SELECT event_id % 300 AS url_id, ts, event_id,
+         user_id % 4 AS ver
+  FROM events),
+lagged AS (
+  SELECT url_id, ts, ver,
+         CASE WHEN lag(ver) OVER (PARTITION BY url_id
+                                  ORDER BY ts, event_id) IS NOT NULL
+               AND lag(ver) OVER (PARTITION BY url_id
+                                  ORDER BY ts, event_id) <> ver
+              THEN 1 ELSE 0 END AS chg
+  FROM visits),
+rates AS (
+  SELECT url_id, count(*)::BIGINT AS n_visits,
+         (CASE WHEN count(*) > 1
+               THEN sum(chg)::BIGINT * 1000000 // (count(*)::BIGINT - 1)
+               ELSE 0 END)::BIGINT AS change_rate_micro
+  FROM lagged GROUP BY url_id),
+b AS (SELECT url_id, n_visits, change_rate_micro,
+             (url_id * 37 % 5000 + 500)::BIGINT AS last_bytes FROM rates)
+SELECT url_id, change_rate_micro,
+       CASE WHEN n_visits < 2 OR change_rate_micro >= 500000 THEN 'fetch'
+            WHEN change_rate_micro >= 100000 THEN 'cond_get'
+            ELSE 'skip' END AS action,
+       (CASE WHEN n_visits >= 2 AND change_rate_micro < 100000
+               THEN last_bytes * 1000000
+             WHEN n_visits >= 2 AND change_rate_micro < 500000
+               THEN last_bytes * (1000000 - change_rate_micro)
+             ELSE 0 END)::BIGINT AS saved_bytes_micro
+FROM b
+""")
+def conditional_get_plan_q(spark, sf):
+    """Revalidation economics composed over recrawl_change_rates: per-URL
+    fetch / cond_get / skip action plus the expected bandwidth saved by
+    304s, integer byte-micros end to end."""
+    e = _t(spark, sf, "events")
+    visits = e.select((F.col("event_id") % 300).alias("url_id"),
+                      "ts", "event_id",
+                      (F.col("user_id") % 4).alias("ver"))
+    rates = schedule.recrawl_change_rates(visits, tie_col="event_id")
+    rates = rates.withColumn(
+        "last_bytes", (F.col("url_id") * 37 % 5000 + 500).cast("long"))
+    return schedule.conditional_get_plan(rates)
+
+
+@q("path_cycle_trap", """
+WITH u AS (
+  SELECT 'h' || (user_id % 30) AS host,
+         CASE WHEN event_id % 4 = 0 THEN
+                '/s' || (event_id % 3) || '/t/s' || (event_id % 3)
+                || '/t/s' || (event_id % 3)
+              WHEN event_id % 4 = 1 THEN
+                '/p' || event_id || '/q' || event_id
+              WHEN event_id % 4 = 2 THEN '/x/y/z/x'
+              ELSE '/one/two/three/four/five' END AS path
+  FROM events),
+s AS (SELECT host, path,
+             list_filter(string_split(path, '/'), x -> x <> '') AS segs
+      FROM u)
+SELECT host, path, len(segs)::BIGINT AS depth,
+       (len(segs) - len(list_distinct(segs)))::BIGINT AS n_dup_segs,
+       CASE WHEN len(segs) >= 4
+             AND len(segs) - len(list_distinct(segs)) >= 2
+            THEN 1 ELSE 0 END AS is_cycle_trap
+FROM s
+""")
+def path_cycle_trap_q(spark, sf):
+    """Segment-recursion trap detection (/a/b/a/b/a): pure per-row array
+    expression, complementary to trap_templates' numeric templates."""
+    e = _t(spark, sf, "events")
+    seg = (F.col("event_id") % 3).cast("string")
+    u = e.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 30).cast("string"))
+        .alias("host"),
+        F.when(F.col("event_id") % 4 == 0,
+               F.concat(F.lit("/s"), seg, F.lit("/t/s"), seg,
+                        F.lit("/t/s"), seg))
+        .when(F.col("event_id") % 4 == 1,
+              F.concat(F.lit("/p"), F.col("event_id").cast("string"),
+                       F.lit("/q"), F.col("event_id").cast("string")))
+        .when(F.col("event_id") % 4 == 2, F.lit("/x/y/z/x"))
+        .otherwise(F.lit("/one/two/three/four/five")).alias("path"))
+    return schedule.path_cycle_flags(u)
+
+
+@q("badwords_gate", """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+c AS (
+  SELECT doc_id, len(toks)::BIGINT AS n_tok,
+         len(list_filter(toks, x ->
+             list_contains(['slow', 'fast', 'merge'], x)))::BIGINT AS n_bad
+  FROM t)
+SELECT doc_id, n_tok, n_bad,
+       (CASE WHEN n_tok > 0 THEN n_bad * 1000000 // n_tok
+             ELSE 0 END)::BIGINT AS bad_micro,
+       CASE WHEN n_bad > 0 THEN 1 ELSE 0 END AS blocked
+FROM c
+""")
+def badwords_gate_q(spark, sf):
+    """C4-style blocklist gate (stand-in 3-word blocklist over the
+    synthetic corpus vocabulary): per-doc hit counts with multiplicity,
+    fixed-point hit rate, any-hit drop flag — pure higher-order-function
+    expression, no explode."""
+    d = _t(spark, sf, "documents")
+    return textstats.badwords_gate(d, "text", "doc_id",
+                                   ["slow", "fast", "merge"])
+
+
+@q("token_budget_select", """
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT
+           AS n_tok,
+         n_chars
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tok,
+         sum(n_tok) OVER (ORDER BY n_chars DESC, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW)::BIGINT AS cum_tok
+  FROM t)
+SELECT doc_id, n_tok, cum_tok FROM c WHERE cum_tok <= 200000
+""")
+def token_budget_select_q(spark, sf):
+    """Greedy best-quality-first corpus selection under a 200k-token
+    budget; the prefix sum is the two-level scan, never a
+    single-partition window."""
+    d = _t(spark, sf, "documents")
+    base = d.select(
+        "doc_id",
+        F.size(F.filter(F.split(F.col("text"), " "),
+                        lambda x: x != "")).alias("toks"),
+        "n_chars")
+    return textstats.token_budget_select(base, "doc_id", "toks",
+                                         "n_chars", 200_000)
+
+
+@q("quality_percentile_gate", """
+WITH r AS (
+  SELECT lang, doc_id, n_chars AS quality,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id)::BIGINT AS rnk,
+         count(*) OVER (PARTITION BY lang)::BIGINT AS n
+  FROM documents)
+SELECT lang, doc_id, quality, rnk,
+       CASE WHEN rnk * 1000000 <= 300000 * n THEN 1 ELSE 0 END AS kept
+FROM r
+""")
+def quality_percentile_gate_q(spark, sf):
+    """Per-language adaptive quality threshold: keep the top 30% by
+    quality WITHIN each language (FineWeb-style), integer rank predicate
+    so ties never make the kept set layout-dependent."""
+    d = _t(spark, sf, "documents")
+    return textstats.quality_percentile_gate(d, "lang", "doc_id",
+                                             "n_chars", 300_000)
+
+
 # ===========================================================================
 # flagship (entry): dedup + quality + language over documents
 # ===========================================================================

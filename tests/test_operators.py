@@ -2624,3 +2624,121 @@ def test_robots_wildcard_gate_random_differential(spark):
            for r in schedule.robots_wildcard_gate(urls_df, rules_df)
            .collect()}
     assert out == expect
+
+
+def test_fetch_batch_pack_invariants(spark):
+    from collections import Counter
+
+    from disco_crawl_spark.operators import schedule
+    rows = [("h%d" % (i % 5), i, float((i * 13) % 7)) for i in range(100)]
+    df = spark.createDataFrame(rows, "host string, url_id long, pri double")
+    out = schedule.fetch_batch_pack(df, 8, pri_col="pri").collect()
+    assert len(out) == 100
+    # batches are exactly capacity-sized except the last
+    sizes = Counter(r["batch_id"] for r in out)
+    last = max(sizes)
+    assert all(v == 8 for b, v in sizes.items() if b != last)
+    assert sizes[last] <= 8
+    # per host: batch ids never decrease as waves increase, and waves are
+    # the 0..k-1 priority-desc ranks
+    per = {}
+    for r in out:
+        per.setdefault(r["host"], []).append(r)
+    for h, rs in per.items():
+        rs.sort(key=lambda r: r["wave"])
+        assert [r["wave"] for r in rs] == list(range(len(rs)))
+        bs = [r["batch_id"] for r in rs]
+        assert bs == sorted(bs)
+    # a batch is a contiguous slice of the wave-major order: its waves form
+    # a contiguous range, and within one wave a batch never repeats a host
+    by_batch = {}
+    for r in out:
+        by_batch.setdefault(r["batch_id"], []).append(r)
+    for b, rs in by_batch.items():
+        ws = sorted(r["wave"] for r in rs)
+        assert ws[-1] - ws[0] == len(set(ws)) - 1
+        for wv in set(ws):
+            hosts = [r["host"] for r in rs if r["wave"] == wv]
+            assert len(hosts) == len(set(hosts))
+
+
+def test_token_budget_select_matches_greedy_prefix(spark):
+    rows = [(i, (i * 7) % 50 + 1, (i * 31) % 997) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, toks long, q long")
+    budget = 2000
+    out = {r["doc_id"]: (r["n_tok"], r["cum_tok"]) for r in
+           textstats.token_budget_select(df, "doc_id", "toks", "q",
+                                         budget, buckets=7).collect()}
+    # independent greedy recomputation
+    ordered = sorted(rows, key=lambda r: (-r[2], r[0]))
+    cum, expect = 0, {}
+    for i, t, _q in ordered:
+        cum += t
+        if cum > budget:
+            break
+        expect[i] = (t, cum)
+    assert out == expect
+
+
+def test_quality_percentile_gate_kept_counts(spark):
+    rows = [("g%d" % (i % 3), i, (i * 17) % 101) for i in range(90)]
+    df = spark.createDataFrame(rows, "grp string, doc_id long, q long")
+    out = textstats.quality_percentile_gate(
+        df, "grp", "doc_id", "q", keep_micro=300_000).collect()
+    assert len(out) == 90   # gate flags, not a filter
+    kept = {}
+    n = {}
+    for r in out:
+        n[r["grp"]] = n.get(r["grp"], 0) + 1
+        kept[r["grp"]] = kept.get(r["grp"], 0) + r["kept"]
+    for g in n:
+        # largest k with k*1e6 <= 0.3e6*n  ==  floor(0.3 * n)
+        assert kept[g] == (300_000 * n[g]) // 1_000_000
+    # determinism on ties: rerun yields the identical kept set
+    out2 = textstats.quality_percentile_gate(
+        df, "grp", "doc_id", "q", keep_micro=300_000).collect()
+    assert sorted(map(str, out)) == sorted(map(str, out2))
+
+
+def test_conditional_get_plan_actions_and_economy(spark):
+    from disco_crawl_spark.operators import schedule
+    rows = [(1, 5, 4, 900_000, 1000),   # hot: fetch
+            (2, 5, 1, 250_000, 1000),   # medium: cond_get
+            (3, 5, 0, 0, 1000),         # cold: skip
+            (4, 1, 0, 0, 1000)]         # unknown single-visit: fetch
+    df = spark.createDataFrame(
+        rows, "url_id long, n_visits long, n_changed long, "
+              "change_rate_micro long, last_bytes long")
+    out = {r["url_id"]: r for r in schedule.conditional_get_plan(df).collect()}
+    assert out[1]["action"] == "fetch" and out[1]["saved_bytes_micro"] == 0
+    assert out[2]["action"] == "cond_get"
+    assert out[2]["saved_bytes_micro"] == 1000 * (1_000_000 - 250_000)
+    assert out[3]["action"] == "skip"
+    assert out[3]["saved_bytes_micro"] == 1000 * 1_000_000
+    assert out[4]["action"] == "fetch"
+
+
+def test_path_cycle_flags_and_badwords_gate(spark):
+    from disco_crawl_spark.operators import schedule
+    urls = spark.createDataFrame(
+        [("h", "/a/b/a/b/a"), ("h", "/x/y/z"), ("h", "/x/y/z/x"),
+         ("h", "//a//b//")],
+        "host string, path string")
+    out = {r["path"]: r for r in schedule.path_cycle_flags(urls).collect()}
+    assert out["/a/b/a/b/a"]["is_cycle_trap"] == 1
+    assert out["/a/b/a/b/a"]["n_dup_segs"] == 3
+    assert out["/x/y/z"]["is_cycle_trap"] == 0
+    assert out["/x/y/z/x"]["is_cycle_trap"] == 0   # only 1 dup
+    assert out["//a//b//"]["depth"] == 2           # empty segments dropped
+
+    docs = spark.createDataFrame(
+        [(0, "Clean text here"), (1, "the bad BAD word"), (2, ""),
+         (3, "bad")],
+        "doc_id long, text string")
+    g = {r["doc_id"]: r for r in
+         textstats.badwords_gate(docs, "text", "doc_id", ["bad"]).collect()}
+    assert g[0]["blocked"] == 0 and g[0]["n_bad"] == 0
+    assert g[1]["n_bad"] == 2 and g[1]["blocked"] == 1   # multiplicity
+    assert g[1]["bad_micro"] == 2 * 1_000_000 // 4
+    assert g[2]["n_tok"] == 0 and g[2]["bad_micro"] == 0
+    assert g[3]["bad_micro"] == 1_000_000
