@@ -62,6 +62,7 @@ HEADLINE = [
     "script_mix", "multimodal_decode_stats",
     "fetch_batch_pack", "conditional_get_plan", "path_cycle_trap",
     "badwords_gate", "token_budget_select", "quality_percentile_gate",
+    "robots_sitemap_discovery",
 ]
 
 # bench corpus: ~130 crawlable hosts, ALL seeded so parallelism is maximal

@@ -4886,6 +4886,53 @@ def token_budget_select_q(spark, sf):
                                          "n_chars", 200_000)
 
 
+@q("robots_sitemap_discovery", r"""
+WITH b AS (
+  SELECT 'h' || (user_id % 25) AS host,
+         CASE WHEN event_id % 4 = 0 THEN
+                'User-agent: *' || chr(10) || 'Disallow: /tmp' || chr(10)
+                || 'Sitemap: https://h' || (user_id % 25) || '/sitemap.xml'
+              WHEN event_id % 4 = 1 THEN
+                'sitemap:https://h' || (user_id % 25) || '/s1.xml'
+                || chr(13) || chr(10) || chr(9)
+                || 'SITEMAP : https://h' || (user_id % 25) || '/s2.xml'
+              WHEN event_id % 4 = 2 THEN
+                'User-agent: *' || chr(10) || 'Allow: /'
+              ELSE 'Sitemap: https://cdn.example/idx' || (event_id % 5)
+                   || '.xml' END AS body
+  FROM events),
+x AS (
+  SELECT host,
+         unnest(regexp_extract_all(body,
+                '(?mi)^[ \t]*sitemap[ \t]*:[ \t]*(\S+)', 1)) AS sitemap_url
+  FROM b)
+SELECT DISTINCT host, sitemap_url FROM x
+""")
+def robots_sitemap_discovery_q(spark, sf):
+    """Sitemap discovery from robots.txt bodies (RFC 9309 §2.3: Sitemap
+    lines are global, not group-scoped): case/whitespace/CRLF-tolerant
+    line extraction, per-host distinct — the seed chain robots.txt →
+    sitemap index → sitemap_entries → frontier."""
+    e = _t(spark, sf, "events")
+    h = F.concat(F.lit("h"), (F.col("user_id") % 25).cast("string"))
+    b = e.select(
+        h.alias("host"),
+        F.when(F.col("event_id") % 4 == 0,
+               F.concat(F.lit("User-agent: *\nDisallow: /tmp\n"
+                              "Sitemap: https://"), h,
+                        F.lit("/sitemap.xml")))
+        .when(F.col("event_id") % 4 == 1,
+              F.concat(F.lit("sitemap:https://"), h, F.lit("/s1.xml"),
+                       F.lit("\r\n\t"), F.lit("SITEMAP : https://"), h,
+                       F.lit("/s2.xml")))
+        .when(F.col("event_id") % 4 == 2,
+              F.lit("User-agent: *\nAllow: /"))
+        .otherwise(F.concat(F.lit("Sitemap: https://cdn.example/idx"),
+                            (F.col("event_id") % 5).cast("string"),
+                            F.lit(".xml"))).alias("body"))
+    return sources.robots_sitemaps(b, "host", "body")
+
+
 @q("quality_percentile_gate", """
 WITH r AS (
   SELECT lang, doc_id, n_chars AS quality,

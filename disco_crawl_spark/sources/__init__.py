@@ -304,3 +304,75 @@ def meta_robots_flags(df: DataFrame, url_col: str = "url",
         (has_tok("nofollow") | has_tok("none")).cast("int")
         .alias("nofollow"),
         (F.size(contents) > 0).cast("int").alias("declared"))
+
+
+def write_warc_shards(df: DataFrame, out_dir: str,
+                      compress: bool = True) -> DataFrame:
+    """Distributed WARC SINK: serialize a pages-shaped frame (url,
+    warc_ts, html) into one ``part-<pid>.warc[.gz]`` file per partition
+    under ``out_dir`` and return the shard MANIFEST as a DataFrame
+    (file, n_records, n_bytes) — the export path back to the
+    Common-Crawl interchange layout (the reference only ever writes to
+    S3 objects + ES docs, postprocessor/process_raw.py:43; WARC is how
+    crawl corpora are actually exchanged).
+
+    Rows are serialized in (url, warc_ts) order WITHIN each partition so
+    shard bytes are a pure function of the partitioning — repartition by
+    a url hash upstream for fully deterministic shards.  Round-trips
+    through ``read_warc`` byte-identically (same record framing as
+    ``write_warc``, shared helper).
+
+    100 TB shape: embarrassingly parallel — one task per shard, no
+    shuffle beyond whatever partitioning the caller chose; the returned
+    manifest is O(shards) rows.  In local mode ``out_dir`` is a local
+    path; on a cluster point it at a mounted/object-store path the
+    executors can write (the same contract as any file sink).
+    """
+    import os
+
+    schema = "file string, n_records long, n_bytes long"
+    cols = df.select("url", "warc_ts", "html")
+    suffix = ".warc.gz" if compress else ".warc"
+
+    def _write(pid, it):
+        rows = sorted(((r["url"], r["warc_ts"], r["html"]) for r in it),
+                      key=lambda t: (t[0], str(t[1])))
+        if not rows:
+            return
+        os.makedirs(out_dir, exist_ok=True)
+        path = os.path.join(out_dir, f"part-{pid:05d}{suffix}")
+        recs = [(u, (ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+                     if hasattr(ts, "strftime") else str(ts)),
+                 bytes(b) if b is not None else b"")
+                for u, ts, b in rows]
+        with open(path, "wb") as f:
+            write_warc(recs, f, compress=compress)
+        yield path, len(recs), os.path.getsize(path)
+
+    man = cols.rdd.mapPartitionsWithIndex(_write)
+    return df.sparkSession.createDataFrame(man, schema)
+
+
+def robots_sitemaps(df: DataFrame, host_col: str,
+                    body_col: str) -> DataFrame:
+    """Sitemap discovery from robots.txt bodies: extract every
+    ``Sitemap:`` line — per RFC 9309 §2.3 / sitemaps.org, Sitemap lines
+    are GLOBAL (not scoped to a User-agent group), so unlike the
+    allow/disallow rules (``parse_robots_rules``) they can be pulled
+    with a line regex without group bookkeeping.  This is the seed
+    chain a web-scale crawler follows before the frontier exists:
+    robots.txt → sitemap index → ``sitemap_entries`` → seed URLs.
+
+    Returns one row per declared sitemap: (host, sitemap_url), in
+    declaration order de-duplicated per host.  Case-insensitive key,
+    tolerant of leading whitespace and \\r line ends.
+
+    100 TB shape: pure regexp_extract_all + explode over the robots
+    bodies (host-cardinality input, tiny); no UDF, no extra shuffle
+    beyond the per-host distinct.
+    """
+    pat = r"(?mi)^[ \t]*sitemap[ \t]*:[ \t]*(\S+)"
+    urls = F.regexp_extract_all(F.col(body_col), F.lit(pat), F.lit(1))
+    return (df.select(F.col(host_col).alias("host"),
+                      F.explode(urls).alias("sitemap_url"))
+            .distinct())
