@@ -28,7 +28,8 @@ __all__ = ["budget_waterfill", "trap_templates", "recrawl_change_rates",
            "rendezvous_assign", "rendezvous_churn",
            "ucb_priority", "error_ema", "robots_wildcard_gate",
            "parse_robots_rules", "growth_fit",
-           "fetch_batch_pack", "conditional_get_plan", "path_cycle_flags"]
+           "fetch_batch_pack", "conditional_get_plan", "path_cycle_flags",
+           "robots_cache_plan"]
 
 
 def budget_waterfill(demands: DataFrame, budget: int,
@@ -839,3 +840,43 @@ def path_cycle_flags(urls: DataFrame, host_col: str = "host",
         depth.alias("depth"), ndup.alias("n_dup_segs"),
         F.when((depth >= min_depth) & (ndup >= min_dups), 1)
         .otherwise(0).alias("is_cycle_trap"))
+
+
+def robots_cache_plan(hosts: DataFrame, robots_log: DataFrame,
+                      now: str, ttl_hours: int = 24,
+                      host_col: str = "host",
+                      ts_col: str = "ts") -> DataFrame:
+    """Robots-cache refresh planning per RFC 9309 §2.4: cached
+    robots.txt MAY be used for up to 24 hours; past that a polite
+    crawler refetches before scheduling the host again.  For every
+    frontier host, join the latest robots-fetch timestamp from the log
+    and classify: never fetched → ``fetch_first`` (the host cannot be
+    scheduled until robots is known), stale (age > TTL) → ``refetch``,
+    else → ``cached``.
+
+    ``now`` is an explicit timestamp string, never wall-clock — plans
+    must be reproducible (same input + same now → same plan).  Returns
+    (host, last_fetch_ts, age_sec, action); age is NULL for
+    never-fetched hosts.  Integer-second arithmetic via timestampdiff
+    (NTZ-safe, same idiom as ``politeness_audit``).
+
+    100 TB shape: one map-side-combinable max() per host over the log,
+    then a host-keyed join against the (bounded, host-cardinality)
+    frontier host list — both tiny next to the URL tables.
+    """
+    latest = (robots_log.groupBy(F.col(host_col).alias("host"))
+              .agg(F.max(ts_col).alias("last_fetch_ts")))
+    j = (hosts.select(F.col(host_col).alias("host")).distinct()
+         .join(latest, "host", "left"))
+    # microsecond diff then integer-divide: SECOND-granularity diffs
+    # disagree across engines on fractional timestamps (floor-of-exact vs
+    # boundary count); micros are exact in both
+    age = F.expr(
+        f"timestampdiff(MICROSECOND, last_fetch_ts, TIMESTAMP '{now}') "
+        "DIV 1000000").cast("long")
+    ttl_sec = int(ttl_hours) * 3600
+    action = (F.when(F.col("last_fetch_ts").isNull(), "fetch_first")
+              .when(age > ttl_sec, "refetch")
+              .otherwise("cached"))
+    return j.select("host", "last_fetch_ts", age.alias("age_sec"),
+                    action.alias("action"))

@@ -4886,6 +4886,147 @@ def token_budget_select_q(spark, sf):
                                          "n_chars", 200_000)
 
 
+@q("soft_404_detect", r"""
+WITH p AS (
+  SELECT 'https://h' || (user_id % 40) || '/p' || event_id AS url,
+         CASE WHEN event_id % 5 = 0 THEN 200
+              WHEN event_id % 5 = 1 THEN 200
+              WHEN event_id % 5 = 2 THEN 404
+              ELSE 200 END AS status,
+         CASE WHEN event_id % 5 = 0 THEN
+                '<html><title>Page Not Found</title><body>' ||
+                repeat('x', 80) || '</body></html>'
+              WHEN event_id % 5 = 1 THEN '<html><body>ok</body></html>'
+              WHEN event_id % 5 = 2 THEN
+                '<html><body>hard 404 here</body></html>'
+              WHEN event_id % 5 = 3 THEN
+                '<html><body>This page does not exist.' ||
+                repeat('y', 100) || '</body></html>'
+              ELSE '<html><body>' || repeat('real content ', 20)
+                   || '</body></html>' END AS html
+  FROM events)
+SELECT url, status::INT AS status,
+       length(html)::BIGINT AS body_len,
+       (regexp_matches(html,
+         '(?i)(page not found|not found|does not exist|no longer available|error 404|\b404\b)'
+       ))::INT AS has_404_phrase,
+       (status = 200 AND (regexp_matches(html,
+         '(?i)(page not found|not found|does not exist|no longer available|error 404|\b404\b)')
+         OR length(html) < 64))::INT AS is_soft_404
+FROM p
+""")
+def soft_404_detect_q(spark, sf):
+    """Soft-404 hygiene over synthesized pages: 200s carrying not-found
+    boilerplate or sub-minimum bodies flagged; real 404s are NOT soft
+    404s."""
+    e = _t(spark, sf, "events")
+    url = F.concat(F.lit("https://h"),
+                   (F.col("user_id") % 40).cast("string"),
+                   F.lit("/p"), F.col("event_id").cast("string"))
+    m = F.col("event_id") % 5
+    status = (F.when(m == 2, 404).otherwise(200))
+    html = (F.when(m == 0, F.concat(
+                F.lit("<html><title>Page Not Found</title><body>"),
+                F.repeat(F.lit("x"), 80), F.lit("</body></html>")))
+            .when(m == 1, F.lit("<html><body>ok</body></html>"))
+            .when(m == 2, F.lit("<html><body>hard 404 here</body></html>"))
+            .when(m == 3, F.concat(
+                F.lit("<html><body>This page does not exist."),
+                F.repeat(F.lit("y"), 100), F.lit("</body></html>")))
+            .otherwise(F.concat(F.lit("<html><body>"),
+                                F.repeat(F.lit("real content "), 20),
+                                F.lit("</body></html>"))))
+    p = e.select(url.alias("url"), status.alias("status"),
+                 html.alias("html"))
+    return sources.soft_404_flags(p)
+
+
+@q("charset_sniff", r"""
+WITH p AS (
+  SELECT 'https://h' || (user_id % 40) || '/c' || event_id AS url,
+         CASE WHEN event_id % 4 = 0 THEN 'text/html; charset=ISO-8859-1'
+              ELSE 'text/html' END AS content_type,
+         CASE WHEN event_id % 4 = 1 THEN
+                '<html><head><meta charset="Shift_JIS"></head></html>'
+              WHEN event_id % 4 = 2 THEN
+                '<html><head><meta http-equiv="Content-Type" ' ||
+                'content="text/html; charset=windows-1251"></head></html>'
+              ELSE '<html><head><title>t</title></head></html>' END AS html
+  FROM events)
+SELECT url,
+       coalesce(
+         lower(nullif(regexp_extract(content_type,
+           '(?i)charset="?''?([a-z0-9_\-]+)', 1), '')),
+         lower(nullif(regexp_extract(html,
+           '(?i)<meta\s+charset\s*=\s*["'']?([a-z0-9_\-]+)', 1), '')),
+         lower(nullif(regexp_extract(html,
+           '(?i)<meta[^>]*http-equiv\s*=\s*["'']?content-type[^>]*charset=([a-z0-9_\-]+)',
+           1), '')),
+         'utf-8') AS charset,
+       CASE WHEN nullif(regexp_extract(content_type,
+              '(?i)charset="?''?([a-z0-9_\-]+)', 1), '') IS NOT NULL
+              THEN 'header'
+            WHEN nullif(regexp_extract(html,
+              '(?i)<meta\s+charset\s*=\s*["'']?([a-z0-9_\-]+)', 1), '')
+              IS NOT NULL THEN 'meta_charset'
+            WHEN nullif(regexp_extract(html,
+              '(?i)<meta[^>]*http-equiv\s*=\s*["'']?content-type[^>]*charset=([a-z0-9_\-]+)',
+              1), '') IS NOT NULL THEN 'meta_http_equiv'
+            ELSE 'default' END AS charset_source
+FROM p
+""")
+def charset_sniff_q(spark, sf):
+    """WHATWG-precedence charset sniffing (header > meta charset >
+    http-equiv > utf-8 default) over synthesized pages."""
+    e = _t(spark, sf, "events")
+    m = F.col("event_id") % 4
+    p = e.select(
+        F.concat(F.lit("https://h"), (F.col("user_id") % 40).cast("string"),
+                 F.lit("/c"), F.col("event_id").cast("string")).alias("url"),
+        F.when(m == 0, "text/html; charset=ISO-8859-1")
+        .otherwise("text/html").alias("content_type"),
+        F.when(m == 1,
+               F.lit('<html><head><meta charset="Shift_JIS"></head></html>'))
+        .when(m == 2,
+              F.lit('<html><head><meta http-equiv="Content-Type" '
+                    'content="text/html; charset=windows-1251">'
+                    '</head></html>'))
+        .otherwise(F.lit("<html><head><title>t</title></head></html>"))
+        .alias("html"))
+    return sources.charset_sniff(p, ctype_col="content_type")
+
+
+@q("robots_cache_plan", """
+WITH hosts AS (SELECT DISTINCT 'h' || (user_id % 60) AS host FROM events),
+log AS (
+  SELECT 'h' || (user_id % 60) AS host, ts FROM events
+  WHERE event_id % 3 = 0 AND user_id % 60 % 7 <> 0),
+latest AS (SELECT host, max(ts) AS last_fetch_ts FROM log GROUP BY host)
+SELECT h.host, l.last_fetch_ts,
+       (date_diff('microsecond', l.last_fetch_ts,
+                  TIMESTAMP '2024-03-01 00:00:00') // 1000000)::BIGINT
+         AS age_sec,
+       CASE WHEN l.last_fetch_ts IS NULL THEN 'fetch_first'
+            WHEN date_diff('microsecond', l.last_fetch_ts,
+                           TIMESTAMP '2024-03-01 00:00:00') // 1000000
+                 > 86400
+              THEN 'refetch'
+            ELSE 'cached' END AS action
+FROM hosts h LEFT JOIN latest l USING (host)
+""")
+def robots_cache_plan_q(spark, sf):
+    """RFC 9309 §2.4 robots-cache refresh plan at a fixed `now`:
+    never-fetched hosts -> fetch_first, stale (>24 h) -> refetch, else
+    cached."""
+    e = _t(spark, sf, "events")
+    h = F.concat(F.lit("h"), (F.col("user_id") % 60).cast("string"))
+    hosts = e.select(h.alias("host"))
+    log = (e.filter((F.col("event_id") % 3 == 0)
+                    & (F.col("user_id") % 60 % 7 != 0))
+           .select(h.alias("host"), "ts"))
+    return schedule.robots_cache_plan(hosts, log, "2024-03-01 00:00:00")
+
+
 @q("robots_sitemap_discovery", r"""
 WITH b AS (
   SELECT 'h' || (user_id % 25) AS host,

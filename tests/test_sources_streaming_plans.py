@@ -801,3 +801,57 @@ def test_robots_sitemaps_variants(spark):
                    ("h1", "https://h1/s1.xml"),
                    ("h1", "https://h1/s2.xml"),
                    ("h3", "https://h3/a.xml")]
+
+
+def test_soft_404_flags_crafted(spark):
+    rows = [
+        ("u1", 200, b"<html><title>Page Not Found</title>" + b"x" * 100),
+        ("u2", 200, b"<html><body>plenty of genuine content here, " +
+         b"carefully exceeding the minimum body size floor</body></html>"),
+        ("u3", 404, b"<html>hard not found</html>"),   # real 404: not soft
+        ("u4", 200, b"tiny"),                           # short-body soft 404
+    ]
+    df = spark.createDataFrame(rows, "url string, status int, html binary")
+    out = {r["url"]: r for r in sources.soft_404_flags(df).collect()}
+    assert out["u1"]["is_soft_404"] == 1 and out["u1"]["has_404_phrase"] == 1
+    assert out["u2"]["is_soft_404"] == 0
+    assert out["u3"]["is_soft_404"] == 0 and out["u3"]["has_404_phrase"] == 1
+    assert out["u4"]["is_soft_404"] == 1 and out["u4"]["has_404_phrase"] == 0
+
+
+def test_charset_sniff_precedence(spark):
+    rows = [
+        # header beats meta
+        ("u1", "text/html; charset=ISO-8859-1",
+         b'<html><meta charset="utf-8"></html>'),
+        ("u2", "text/html", b"<html><meta charset='Shift_JIS'></html>"),
+        ("u3", "text/html",
+         b'<html><meta http-equiv="Content-Type" '
+         b'content="text/html; charset=windows-1251"></html>'),
+        ("u4", "text/html", b"<html>nothing declared</html>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, ct string, html binary")
+    out = {r["url"]: (r["charset"], r["charset_source"]) for r in
+           sources.charset_sniff(df, ctype_col="ct").collect()}
+    assert out["u1"] == ("iso-8859-1", "header")
+    assert out["u2"] == ("shift_jis", "meta_charset")
+    assert out["u3"] == ("windows-1251", "meta_http_equiv")
+    assert out["u4"] == ("utf-8", "default")
+
+
+def test_robots_cache_plan_actions(spark):
+    import datetime
+
+    from disco_crawl_spark.operators import schedule
+    hosts = spark.createDataFrame([("a",), ("b",), ("c",)], "host string")
+    log = spark.createDataFrame(
+        [("a", datetime.datetime(2024, 1, 1, 0, 0, 0)),     # stale
+         ("a", datetime.datetime(2024, 1, 2, 12, 0, 0)),    # latest: fresh
+         ("b", datetime.datetime(2023, 12, 1, 0, 0, 0))],   # stale
+        "host string, ts timestamp")
+    out = {r["host"]: r for r in schedule.robots_cache_plan(
+        hosts, log, "2024-01-03 00:00:00").collect()}
+    assert out["a"]["action"] == "cached" and out["a"]["age_sec"] == 43200
+    assert out["b"]["action"] == "refetch"
+    assert out["c"]["action"] == "fetch_first"
+    assert out["c"]["age_sec"] is None
