@@ -117,6 +117,19 @@ CASES = [
                           "compute with ZERO exchanges; the only shuffles "
                           "are the candidate distinct and the tiny "
                           "transition-matrix aggregation."),
+    ("quality_percentile_gate", "Per-group adaptive quality threshold: the "
+                                "rank window and the per-group count share "
+                                "ONE exchange on the group key; the kept "
+                                "flag is a row-local integer predicate — "
+                                "no second shuffle, no float compare."),
+    ("badwords_gate", "Blocklist gate as a single codegen projection: "
+                      "split + higher-order filter against an array "
+                      "literal — no explode, no UDF, no exchange; the "
+                      "blocklist rides the plan as a literal."),
+    ("soft_404_detect", "Soft-404 hygiene as a pure scan-side projection: "
+                        "regexp + length in whole-stage codegen, zero "
+                        "exchanges — free relative to the fetch that "
+                        "produced the bytes."),
 ]
 
 
