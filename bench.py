@@ -63,7 +63,7 @@ HEADLINE = [
     "fetch_batch_pack", "conditional_get_plan", "path_cycle_trap",
     "badwords_gate", "token_budget_select", "quality_percentile_gate",
     "robots_sitemap_discovery", "soft_404_detect", "charset_sniff",
-    "robots_cache_plan",
+    "robots_cache_plan", "next_round_plan",
 ]
 
 # bench corpus: ~130 crawlable hosts, ALL seeded so parallelism is maximal

@@ -5027,6 +5027,84 @@ def robots_cache_plan_q(spark, sf):
     return schedule.robots_cache_plan(hosts, log, "2024-03-01 00:00:00")
 
 
+@q("next_round_plan", """
+WITH f AS (
+  SELECT 'h' || (user_id % 80) AS host, event_id AS url_id, value AS pri,
+         user_id % 80 AS hn, event_id AS eid, ts
+  FROM events),
+hosts AS (SELECT DISTINCT host FROM f),
+log AS (SELECT host, ts FROM f WHERE eid % 3 = 0 AND hn % 9 <> 0),
+latest AS (SELECT host, max(ts) AS last_ts FROM log GROUP BY host),
+eligible AS (
+  SELECT h.host FROM hosts h LEFT JOIN latest l USING (host)
+  WHERE l.last_ts IS NOT NULL),
+f2 AS (SELECT f.host, url_id, pri FROM f JOIN eligible USING (host)),
+dem AS (SELECT host, count(*)::BIGINT AS demand FROM f2 GROUP BY host),
+bud AS (SELECT (sum(demand) * 2 // 5)::BIGINT AS b FROM dem),
+ranked AS (
+  SELECT host, demand,
+         row_number() OVER (ORDER BY demand, host) AS rn,
+         sum(demand) OVER (ORDER BY demand, host) AS prefix,
+         count(*) OVER () AS n
+  FROM dem),
+scalar AS (
+  SELECT coalesce(max(CASE WHEN prefix - demand + demand * (n - rn + 1)
+                                <= (SELECT b FROM bud)
+                           THEN rn END), 0) AS k,
+         coalesce(max(CASE WHEN prefix - demand + demand * (n - rn + 1)
+                                <= (SELECT b FROM bud)
+                           THEN prefix END), 0) AS pk,
+         max(n) AS nn
+  FROM ranked),
+alloc AS (
+  SELECT host,
+         (CASE WHEN rn <= k THEN demand
+               ELSE ((SELECT b FROM bud) - pk) // greatest(nn - k, 1)
+                    + CASE WHEN rn - k <=
+                           ((SELECT b FROM bud) - pk)
+                           - ((SELECT b FROM bud) - pk)
+                             // greatest(nn - k, 1) * (nn - k)
+                           THEN 1 ELSE 0 END
+          END)::BIGINT AS allocated
+  FROM ranked, scalar),
+sched AS (
+  SELECT host, url_id, pri,
+         row_number() OVER (PARTITION BY host
+                            ORDER BY pri DESC, url_id)::BIGINT AS rnk
+  FROM f2)
+SELECT s.host, s.url_id, s.pri, s.rnk, a.allocated
+FROM sched s JOIN alloc a USING (host)
+WHERE s.rnk <= a.allocated
+""")
+def next_round_plan_q(spark, sf):
+    """The scheduler composition end to end — what `engine.step` would
+    dispatch next round: robots_cache_plan gates out hosts whose robots
+    was never fetched (they get a robots fetch, not page fetches),
+    budget_waterfill splits the global budget (40% of eligible demand)
+    max-min fairly across the remaining hosts, and a per-host
+    (priority DESC, url) rank keeps each host's top `allocated` URLs.
+    Three reusable operators, one plan; every step integer-exact."""
+    e = _t(spark, sf, "events")
+    hostn = F.col("user_id") % 80
+    h = F.concat(F.lit("h"), hostn.cast("string"))
+    frontier = e.select(h.alias("host"), F.col("event_id").alias("url_id"),
+                        F.col("value").alias("pri"))
+    log = (e.filter((F.col("event_id") % 3 == 0) & (hostn % 9 != 0))
+           .select(h.alias("host"), "ts"))
+    gate = schedule.robots_cache_plan(frontier, log, "2024-03-01 00:00:00")
+    eligible = gate.filter(F.col("action") != "fetch_first").select("host")
+    f2 = frontier.join(F.broadcast(eligible), "host")
+    dem = (f2.groupBy("host")
+           .agg(F.count(F.lit(1)).cast("long").alias("demand")))
+    total = dem.agg(F.sum("demand")).collect()[0][0]
+    alloc = schedule.budget_waterfill(dem, budget=int(total) * 2 // 5)
+    w = Window.partitionBy("host").orderBy(F.col("pri").desc(), "url_id")
+    ranked = f2.withColumn("rnk", F.row_number().over(w).cast("long"))
+    return (ranked.join(alloc.select("host", "allocated"), "host")
+            .filter(F.col("rnk") <= F.col("allocated"))
+            .select("host", "url_id", "pri", "rnk", "allocated"))
+
+
 @q("robots_sitemap_discovery", r"""
 WITH b AS (
   SELECT 'h' || (user_id % 25) AS host,
