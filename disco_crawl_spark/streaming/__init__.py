@@ -420,3 +420,91 @@ def run_hot_hosts_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_robots_ttl_stream(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    available_now: bool = True,
+    ttl_hours: int = 24,
+):
+    """Streaming robots-cache freshness gate — the stateful mirror of
+    ``operators.schedule.robots_cache_plan`` (RFC 9309 §2.4: cached
+    robots.txt MAY be used up to 24 h).  Two row kinds stream in as
+    (host, ts, kind, url): ``robots_fetch`` rows update the host's
+    last-robots-fetch state and emit nothing; ``candidate`` rows emit a
+    verdict against the state AS OF their event time — ``fetch_first``
+    (robots never fetched), ``refetch`` (cache older than TTL), or
+    ``cached``.
+
+    Determinism: per micro-batch each host's rows are processed in
+    (ts, kind, url) order with ``candidate`` sorting BEFORE an
+    equal-timestamp ``robots_fetch`` (a fetch completed at t serves
+    candidates strictly after t); verdicts are integer microsecond
+    arithmetic, a pure function of event times.  State per host is one
+    long (last robots-fetch micros), checkpointed with the query — a
+    restarted stream continues with the cache ages it had.
+
+    Cross-paradigm contract (tested): feeding every robots_fetch event
+    plus one candidate per host at a common time T yields exactly the
+    batch ``robots_cache_plan(hosts, log, now=T)`` actions.
+
+    100 TB shape: state is O(hosts) × 8 bytes, partitioned by host like
+    the batch scheduler — one host's gate never crosses tasks.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ttl_sec = int(ttl_hours) * 3600
+
+    src = (spark.readStream
+           .schema("host string, ts timestamp, kind string, url string")
+           .parquet(input_path))
+
+    def gate(key, pdfs, state: GroupState):
+        last_us = int(state.get[0]) if state.exists else -1
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if not len(pdf):
+            state.update((last_us,))
+            return
+        # 'candidate' < 'robots_fetch' lexicographically — the desired
+        # same-timestamp order falls out of the plain (ts, kind) sort
+        pdf = pdf.sort_values(["ts", "kind", "url"], kind="mergesort")
+        ts_us = (pdf["ts"].values.astype("datetime64[us]")
+                 .astype("int64").tolist())
+        hosts, tss, urls, verdicts = [], [], [], []
+        for t, kind, host, ts, url in zip(ts_us, pdf["kind"], pdf["host"],
+                                          pdf["ts"], pdf["url"]):
+            if kind == "robots_fetch":
+                last_us = max(last_us, t)
+                continue
+            if last_us < 0:
+                v = "fetch_first"
+            elif (t - last_us) // 1_000_000 > ttl_sec:
+                v = "refetch"
+            else:
+                v = "cached"
+            hosts.append(host); tss.append(ts); urls.append(url)
+            verdicts.append(v)
+        state.update((last_us,))
+        if hosts:
+            yield pd.DataFrame({"host": hosts, "ts": tss, "url": urls,
+                                "verdict": verdicts})
+
+    out = src.groupBy("host").applyInPandasWithState(
+        gate,
+        outputStructType="host string, ts timestamp, url string, "
+                         "verdict string",
+        stateStructType="last_us long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    writer = (out.writeStream.format("parquet")
+              .option("path", output_path)
+              .option("checkpointLocation", checkpoint_path)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

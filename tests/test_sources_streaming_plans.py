@@ -855,3 +855,75 @@ def test_robots_cache_plan_actions(spark):
     assert out["b"]["action"] == "refetch"
     assert out["c"]["action"] == "fetch_first"
     assert out["c"]["age_sec"] is None
+
+
+def test_robots_ttl_stream_verdicts_and_restart(spark, tmp_path):
+    # robots freshness as stream state: fetch_first before any robots
+    # fetch, cached within TTL, refetch past it; state survives restart
+    import datetime as dt
+    inp, outp, ckpt = (str(tmp_path / d) for d in ("rin", "rout", "rckpt"))
+    t0 = dt.datetime(2024, 1, 1)
+
+    def row(hours, host, kind, url=""):
+        return (host, t0 + dt.timedelta(hours=hours), kind, url)
+
+    schema = "host string, ts timestamp, kind string, url string"
+    batch1 = [row(0, "a", "candidate", "c0"),       # before any fetch
+              row(1, "a", "robots_fetch"),
+              row(2, "a", "candidate", "c1"),       # 1h old -> cached
+              row(26, "a", "candidate", "c2"),      # 25h old -> refetch
+              row(5, "b", "candidate", "d0")]       # never fetched
+    spark.createDataFrame(batch1, schema).coalesce(1) \
+        .write.mode("append").parquet(inp)
+    q = streaming.run_robots_ttl_stream(spark, inp, outp, ckpt)
+    q.awaitTermination()
+    got = {r["url"]: r["verdict"] for r in spark.read.parquet(outp).collect()}
+    assert got == {"c0": "fetch_first", "c1": "cached", "c2": "refetch",
+                   "d0": "fetch_first"}
+
+    # restart: host a's robots age carries across the checkpoint
+    batch2 = [row(24, "a", "candidate", "c3"),      # 23h old -> cached
+              row(30, "b", "robots_fetch"),
+              row(31, "b", "candidate", "d1")]      # 1h old -> cached
+    spark.createDataFrame(batch2, schema).coalesce(1) \
+        .write.mode("append").parquet(inp)
+    q2 = streaming.run_robots_ttl_stream(spark, inp, outp, ckpt)
+    q2.awaitTermination()
+    got2 = {r["url"]: r["verdict"]
+            for r in spark.read.parquet(outp).collect()}
+    assert got2["c3"] == "cached" and got2["d1"] == "cached"
+    assert len(got2) == 6
+
+
+def test_robots_ttl_stream_equals_batch_plan(spark, tmp_path):
+    # cross-paradigm contract: all robots_fetch events + one candidate per
+    # host at a common T == batch robots_cache_plan(hosts, log, now=T)
+    import datetime as dt
+
+    from disco_crawl_spark.operators import schedule
+    inp, outp, ckpt = (str(tmp_path / d) for d in ("ein", "eout", "eckpt"))
+    t0 = dt.datetime(2024, 1, 1)
+    T = dt.datetime(2024, 3, 1)
+    hosts = [f"h{i}" for i in range(12)]
+    log = []
+    for i, h in enumerate(hosts):
+        if i % 4 == 0:
+            continue                       # never fetched -> fetch_first
+        # i hours before T (some within 24h, some past)
+        log.append((h, T - dt.timedelta(hours=3 * i, minutes=7), ))
+    schema = "host string, ts timestamp, kind string, url string"
+    rows = ([(h, ts, "robots_fetch", "") for h, ts in
+             [(h, t) for h, t in log]]
+            + [(h, T, "candidate", f"u-{h}") for h in hosts])
+    spark.createDataFrame(rows, schema).coalesce(1) \
+        .write.mode("append").parquet(inp)
+    q = streaming.run_robots_ttl_stream(spark, inp, outp, ckpt)
+    q.awaitTermination()
+    stream_v = {r["host"]: r["verdict"]
+                for r in spark.read.parquet(outp).collect()}
+
+    hosts_df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    log_df = spark.createDataFrame(log, "host string, ts timestamp")
+    batch_v = {r["host"]: r["action"] for r in schedule.robots_cache_plan(
+        hosts_df, log_df, T.strftime("%Y-%m-%d %H:%M:%S")).collect()}
+    assert stream_v == batch_v
