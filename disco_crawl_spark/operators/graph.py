@@ -43,7 +43,7 @@ from .ckpt import ckpt_tools
 
 __all__ = ["pagerank", "anchor_text_agg", "hits", "bfs_depth",
            "cocitation", "label_propagation", "resolve_redirects",
-           "reciprocity", "opic"]
+           "reciprocity", "opic", "harmonic_centrality"]
 
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
@@ -628,3 +628,167 @@ def opic(edges: DataFrame, src: str = "src", dst: str = "dst",
     return state.select(F.col("n").alias("node"), "cash", "hist",
                         (F.col("cash") + F.col("hist"))
                         .alias("importance_micro"))
+
+
+def harmonic_centrality(edges: DataFrame, src: str = "src",
+                        dst: str = "dst", max_iters: int = 32,
+                        mode: str = "exact", log2m: int = 6,
+                        seed: int = 7) -> DataFrame:
+    """Harmonic centrality H(v) = sum over u != v reaching v of 1/d(u, v)
+    — the ranking Common Crawl publishes for its host graph (Boldi &
+    Vigna, "Axioms for centrality", 2014) and the standard crawl-priority
+    signal that, unlike PageRank, is well-defined on the web graph's many
+    non-strongly-connected components. Distance is directed u -> v, so
+    centrality counts the pages that can REACH v (incoming authority),
+    matching the Common Crawl host-rank convention. The reference orders
+    its frontier by hash + budget only (worker.py:563-640); harmonic is
+    the between-rounds authority signal its scheduler lacks.
+
+    Two physical strategies behind one semantic:
+
+    * ``mode="exact"`` — all-pairs BFS by pair-frontier expansion:
+      settled (node, origin, dist) triples grow one synchronous round at
+      a time; round t settles exactly the pairs at shortest distance t
+      (the anti-join keeps minima, like bfs_depth). Output per reached
+      node: ``harmonic_micro`` = sum of floor(1e6 / d) per reaching
+      origin (per-term integer floor, then integer sum — exact in any
+      order, so a DuckDB recursive-CTE oracle matches bit-for-bit) and
+      ``n_reachers``. Pair tuples are O(n^2) worst case — this is the
+      oracle-parity / small-graph path, NOT the 100 TB plan.
+    * ``mode="hyperball"`` — the scale path (HyperBall, Boldi & Vigna
+      2013): each node carries a 2^log2m-register HyperLogLog sketch of
+      its in-ball B(v, t); one synchronous round unions every node's
+      sketch with its in-neighbors' (register-wise max), and the harmonic
+      sum accumulates (|B(v,t)| - |B(v,t-1)|) / t from the HLL estimates.
+      Registers are held SPARSE as (node, idx, rho) rows — absent
+      register == 0 — so a round is one join on ``src`` plus one
+      (node, idx) max-aggregation: all built-ins, no UDF, rows bounded by
+      n * 2^log2m, and the union is the same map-side-combinable max the
+      seen-filter sketches use. Per-node state is 2^log2m registers
+      regardless of graph size — the property that lets a 10^10-node
+      host graph fit; estimates carry standard HLL error (~1.04/sqrt(m)).
+      Returns (node, harmonic_est) for every node.
+
+    Both modes shuffle the edge table ONCE (repartitioned by src,
+    persisted); every round joins the narrow frontier/sketch table
+    against that fixed layout. Round state is localCheckpoint-ed with
+    superseded blocks released (the pagerank/bfs bookkeeping). Exact mode
+    raises past ``max_iters`` non-empty frontiers, mirroring the oracle's
+    recursion bound; hyperball stops early when no register rises.
+    """
+    sc = edges.sparkSession.sparkContext
+    _ckpt, _release = ckpt_tools(sc)
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+         .distinct()
+         .repartition("src").sortWithinPartitions("src").persist())
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct())
+
+    if mode == "exact":
+        settled, sheld = _ckpt(
+            nodes.select("node", F.col("node").alias("origin"),
+                         F.lit(0).cast("long").alias("dist")))
+        frontier, fheld = settled, set()
+        for t in range(1, max_iters + 1):
+            new_frontier, nfheld = _ckpt(
+                e.join(frontier.select(F.col("node").alias("src"),
+                                       "origin"), "src")
+                .select(F.col("dst").alias("node"), "origin").distinct()
+                .join(settled.select("node", "origin"),
+                      ["node", "origin"], "left_anti")
+                .withColumn("dist", F.lit(t).cast("long")))
+            _release(fheld)
+            frontier, fheld = new_frontier, nfheld
+            if frontier.isEmpty():
+                break
+            new_settled, nsheld = _ckpt(settled.unionByName(frontier))
+            _release(sheld)
+            settled, sheld = new_settled, nsheld
+        else:
+            e.unpersist()
+            _release(fheld)
+            _release(sheld)
+            raise RuntimeError(
+                f"harmonic_centrality(exact) frontier still non-empty "
+                f"after {max_iters} rounds — raise max_iters AND the "
+                f"oracle's recursion bound together")
+        out = (settled.filter(F.col("dist") > 0)
+               .groupBy("node")
+               .agg(F.sum(F.floor(F.lit(1000000) / F.col("dist")))
+                    .cast("long").alias("harmonic_micro"),
+                    F.count(F.lit(1)).cast("long").alias("n_reachers")))
+        # one materializing pass before releasing the inputs it reads
+        out, oheld = _ckpt(out)
+        e.unpersist()
+        _release(fheld)
+        _release(sheld)
+        return out
+
+    if mode != "hyperball":
+        raise ValueError(f"unknown mode {mode!r}")
+
+    m = 1 << log2m
+    if m >= 128:
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+    else:
+        alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213)
+    h = F.xxhash64(F.col("node"), F.lit(seed))
+    idx = h.bitwiseAND(F.lit(m - 1)).cast("int")
+    # 48 uniform bits above the index; rho = trailing zeros + 1 (the
+    # lowest set bit w & -w is an exact power of two < 2^53, so log2 of
+    # its double is exact)
+    w = F.shiftright(h, log2m).bitwiseAND(F.lit((1 << 48) - 1))
+    rho = (F.when(w == 0, F.lit(49))
+           .otherwise(F.log2((w.bitwiseAND(-w)).cast("double"))
+                      .cast("int") + 1)).cast("int")
+
+    def estimate(regs: DataFrame) -> DataFrame:
+        per = regs.groupBy("node").agg(
+            F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("s_present"),
+            F.count(F.lit(1)).alias("c_present"))
+        z = F.col("s_present") + (F.lit(float(m)) - F.col("c_present"))
+        raw = F.lit(alpha * m * m) / z
+        v_zero = F.lit(float(m)) - F.col("c_present")
+        est = F.when((raw <= 2.5 * m) & (v_zero > 0),
+                     F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero)
+                     ).otherwise(raw)
+        return per.select("node", est.alias("est"))
+
+    regs, rheld = _ckpt(nodes.select("node", idx.alias("idx"),
+                                     rho.alias("rho")))
+    acc, aheld = _ckpt(estimate(regs).select(
+        "node", F.lit(0.0).alias("h"), F.col("est").alias("prev_est")))
+    for t in range(1, max_iters + 1):
+        nbr = (e.join(regs.select(F.col("node").alias("src"),
+                                  "idx", "rho"), "src")
+               .select(F.col("dst").alias("node"), "idx", "rho"))
+        merged = (regs.unionByName(nbr)
+                  .groupBy("node", "idx")
+                  .agg(F.max("rho").alias("rho")))
+        merged, mheld = _ckpt(merged)
+        changed = (merged.alias("m")
+                   .join(regs.alias("r"), ["node", "idx"], "left")
+                   .filter(F.col("r.rho").isNull()
+                           | (F.col("m.rho") > F.col("r.rho"))))
+        if changed.isEmpty():
+            _release(mheld)
+            break
+        new_acc = (acc.join(estimate(merged), "node")
+                   .select("node",
+                           (F.col("h")
+                            + F.greatest(F.col("est") - F.col("prev_est"),
+                                         F.lit(0.0)) / F.lit(float(t)))
+                           .alias("h"),
+                           F.col("est").alias("prev_est")))
+        new_acc, naheld = _ckpt(new_acc)
+        _release(rheld)
+        _release(aheld)
+        regs, rheld = merged, mheld
+        acc, aheld = new_acc, naheld
+    out, oheld = _ckpt(acc.select("node", F.col("h").alias("harmonic_est")))
+    e.unpersist()
+    _release(rheld)
+    _release(aheld)
+    return out

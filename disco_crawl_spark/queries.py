@@ -2924,6 +2924,43 @@ def link_bfs_depth(spark, sf):
     return graph.bfs_depth(edges, seeds, max_iters=32)
 
 
+@q("harmonic_centrality", """
+WITH RECURSIVE edges AS MATERIALIZED (
+  SELECT DISTINCT user_id % 200 AS src, event_id % 200 AS dst
+  FROM events
+  WHERE user_id % 200 <> event_id % 200 AND (user_id + event_id) % 11 = 0),
+walk AS (
+  SELECT n AS origin, n AS node, 0 AS d
+  FROM (SELECT src AS n FROM edges UNION SELECT dst AS n FROM edges)
+  UNION
+  SELECT w.origin, e.dst AS node, w.d + 1 AS d
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.d < 62),
+md AS (SELECT origin, node, min(d) AS d FROM walk GROUP BY 1, 2)
+SELECT node, sum(1000000 // d)::BIGINT AS harmonic_micro,
+       count(*)::BIGINT AS n_reachers
+FROM md WHERE d > 0 GROUP BY node
+""")
+def harmonic_centrality_q(spark, sf):
+    """Harmonic centrality — the Common Crawl host-rank metric (Boldi &
+    Vigna 2014) — over the same sparse link-graph slice as
+    link_bfs_depth, in exact per-term fixed point (floor(1e6/d) summed
+    as integers, order-free). The oracle unrolls the all-pairs shortest
+    distances with a bounded recursive CTE (d < 62 mirrors the
+    operator's max_iters=63 raise bound); the operator's exact mode is
+    the pair-frontier BFS, and its hyperball mode (pytest-parity, HLL
+    error bars) is the register-sketch path a 10^10-node host graph
+    actually runs."""
+    e = _t(spark, sf, "events")
+    edges = (e.select((F.col("user_id") % 200).alias("src"),
+                      (F.col("event_id") % 200).alias("dst"),
+                      ((F.col("user_id") + F.col("event_id")) % 11)
+                      .alias("__k"))
+             .filter((F.col("src") != F.col("dst")) & (F.col("__k") == 0))
+             .drop("__k"))
+    return graph.harmonic_centrality(edges, max_iters=63, mode="exact")
+
+
 @q("link_trustrank", _trustrank_oracle_sql())
 def link_trustrank(spark, sf):
     """TrustRank (Gyöngyi 2004): personalized PageRank whose teleport

@@ -122,6 +122,16 @@ def main(argv: list) -> None:
            "sizes": merged_sizes}
     with open(hist_path, "a") as f:
         f.write(json.dumps(rec) + "\n")
+    # per-window OWN rates (nothing merged across windows) — the honest
+    # per-window table + pooled estimator in BASELINE.md reads this
+    with open(os.path.join(bdir, "window_rates.jsonl"), "a") as f:
+        for n, fr in fresh.items():
+            f.write(json.dumps({
+                "ts": rec["ts"], "rung": f"wide-{n}h",
+                "c4_med": rate(fr["runs"]["local[4]"]),
+                "c16_med": rate(fr["runs"]["local[16]"]),
+                "hw4": fr["hw"][4], "hw16": fr["hw"][16],
+            }) + "\n")
     bench._write_scaling_report(None, 5514)
     print(json.dumps({"rungs": [(s["m"], s["eff"], s["eff_vs_hw"],
                                  s.get("passes", 2))
