@@ -2742,3 +2742,44 @@ def test_path_cycle_flags_and_badwords_gate(spark):
     assert g[1]["bad_micro"] == 2 * 1_000_000 // 4
     assert g[2]["n_tok"] == 0 and g[2]["bad_micro"] == 0
     assert g[3]["bad_micro"] == 1_000_000
+
+
+def test_harmonic_centrality_exact_hand_graph(spark):
+    # path 1 -> 2 -> 3 plus 4 -> 3: H(3) = 1/1 (from 2) + 1/2 (from 1)
+    # + 1/1 (from 4); H(2) = 1/1; H(1) = 0 (unreached, absent)
+    from disco_crawl_spark.operators import graph
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 3)], "src long, dst long")
+    out = {r["node"]: r for r in
+           graph.harmonic_centrality(edges, mode="exact").collect()}
+    assert 1 not in out and 4 not in out
+    assert out[2]["harmonic_micro"] == 1_000_000
+    assert out[2]["n_reachers"] == 1
+    assert out[3]["harmonic_micro"] == 2_000_000 + 500_000
+    assert out[3]["n_reachers"] == 3
+    # a 2-cycle: each node reaches the other at d=1, never itself
+    cyc = spark.createDataFrame([(7, 8), (8, 7)], "src long, dst long")
+    c = {r["node"]: r for r in
+         graph.harmonic_centrality(cyc, mode="exact").collect()}
+    assert c[7]["harmonic_micro"] == 1_000_000 == c[8]["harmonic_micro"]
+
+
+def test_harmonic_centrality_hyperball_tracks_exact(spark):
+    # dense-ish 60-node synthetic graph: HLL(m=64) estimates must track
+    # the exact harmonic within the sketch's error band (sigma ~ 13%;
+    # assert a generous 3-sigma envelope on the mean relative error)
+    from disco_crawl_spark.operators import graph
+    from pyspark.sql import functions as F
+    rows = [(i, (i * 7 + 3) % 60) for i in range(60)] + \
+           [(i, (i * 11 + 5) % 60) for i in range(60)]
+    edges = (spark.createDataFrame(rows, "src long, dst long")
+             .filter(F.col("src") != F.col("dst")))
+    exact = {r["node"]: r["harmonic_micro"] / 1e6 for r in
+             graph.harmonic_centrality(edges, mode="exact").collect()}
+    est = {r["node"]: r["harmonic_est"] for r in
+           graph.harmonic_centrality(edges, mode="hyperball",
+                                     log2m=6).collect()}
+    assert set(exact) <= set(est)
+    rels = [abs(est[n] - h) / max(h, 1.0) for n, h in exact.items()]
+    assert sum(rels) / len(rels) < 0.3
+    assert max(rels) < 0.6
