@@ -867,3 +867,83 @@ def mirror_host_pairs(pages: DataFrame, host_col: str, hash_col: str,
             .withColumn("mirror",
                         (F.col("jaccard_micro") >= threshold_micro)
                         .cast("int")))
+
+
+def cdc_chunks(df: DataFrame, text_col: str, id_col: str,
+               window: int = 8, mask_bits: int = 6) -> DataFrame:
+    """Content-defined chunking (rolling-hash boundaries) — the
+    storage-level dedup primitive WARC/CDX archives and dedup stores use
+    (LBFS/rsync lineage; FastCDC is the production variant): a chunk
+    boundary falls AFTER position i whenever the rolling hash of the
+    last ``window`` characters is 0 mod 2^mask_bits, so an insertion
+    near the front of a page shifts only the chunks it touches — unlike
+    fixed-size blocks, where one byte shifts every later block and kills
+    dedup. Re-crawled pages that changed one paragraph then re-chunk to
+    mostly-identical (chunk_md5) content, so a content-addressed page
+    store (refsem's S3 put) dedups the unchanged tail across rounds.
+
+    Hash domain: the PRINTABLE-ASCII projection of the text (characters
+    outside [space..~] are dropped first) so character == byte and both
+    engines (numpy here, ascii()/substr() in a SQL oracle) see identical
+    codes. Rolling hash = sum_{j=0..window-1} code(s[i-j]) * (j+1) —
+    a fixed dot product per position, computed for ALL positions of a
+    document in ONE numpy correlation per Arrow batch (no per-char
+    Python). Production CDC adds min/max chunk bounds (FastCDC §3.2);
+    that is a sequential refinement inside this same per-doc kernel and
+    is deliberately omitted to keep the boundary rule oracle-expressible.
+
+    Returns (id, chunk_id, start_pos, chunk_len, chunk_md5) with
+    start_pos 1-based over the projected string; empty projections yield
+    no rows. Scale shape: mapInPandas — embarrassingly parallel per doc,
+    no shuffle at all; the downstream dedup (groupBy chunk_md5) is one
+    map-side-combinable aggregation.
+    """
+    import re as _re
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+    out_schema = StructType([
+        StructField("id", LongType()),
+        StructField("chunk_id", LongType()),
+        StructField("start_pos", LongType()),
+        StructField("chunk_len", LongType()),
+        StructField("chunk_md5", StringType()),
+    ])
+    w = window
+    mod = 1 << mask_bits
+    kernel = np.arange(1, w + 1, dtype=np.int64)  # weight j+1 for lag j
+
+    def gen(batches):
+        for pdf in batches:
+            ids, cids, starts, lens, md5s = [], [], [], [], []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                s = _re.sub(r"[^ -~]", "", txt or "")
+                n = len(s)
+                if n == 0:
+                    continue
+                codes = np.frombuffer(s.encode("ascii"), dtype=np.uint8)
+                if n >= w:
+                    # h[t] = sum_j codes[t+w-1-j]*(j+1) for window ending
+                    # at position t+w-1 (0-based) == 1-based pos t+w
+                    sw = np.lib.stride_tricks.sliding_window_view(codes, w)
+                    h = sw.astype(np.int64) @ kernel[::-1]
+                    bpos = np.nonzero(h % mod == 0)[0] + w  # 1-based ends
+                else:
+                    bpos = np.empty(0, dtype=np.int64)
+                cuts = [0] + bpos.tolist()
+                if not bpos.size or bpos[-1] != n:
+                    cuts.append(n)
+                for k in range(len(cuts) - 1):
+                    a, b = cuts[k], cuts[k + 1]
+                    ids.append(did)
+                    cids.append(k)
+                    starts.append(a + 1)
+                    lens.append(b - a)
+                    md5s.append(hashlib.md5(
+                        s[a:b].encode("ascii")).hexdigest())
+            yield pd.DataFrame({"id": ids, "chunk_id": cids,
+                                "start_pos": starts, "chunk_len": lens,
+                                "chunk_md5": md5s})
+
+    return (df.select(F.col(id_col).alias(id_col),
+                      F.col(text_col).alias(text_col))
+            .mapInPandas(gen, schema=out_schema))

@@ -441,6 +441,50 @@ def filename_guess(spark, sf):
 # ===========================================================================
 
 
+@q("cdc_chunks", """
+WITH t AS (
+  SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS s
+  FROM documents),
+tt AS (SELECT doc_id, s, length(s) AS n FROM t WHERE length(s) > 0),
+pos AS (SELECT doc_id, s, unnest(range(8, n + 1)) AS i FROM tt),
+b AS (
+  SELECT doc_id, i
+  FROM pos
+  WHERE (ascii(substr(s, i::INT, 1)) * 1 + ascii(substr(s, i::INT - 1, 1)) * 2
+       + ascii(substr(s, i::INT - 2, 1)) * 3 + ascii(substr(s, i::INT - 3, 1)) * 4
+       + ascii(substr(s, i::INT - 4, 1)) * 5 + ascii(substr(s, i::INT - 5, 1)) * 6
+       + ascii(substr(s, i::INT - 6, 1)) * 7 + ascii(substr(s, i::INT - 7, 1)) * 8
+        ) % 64 = 0),
+cuts AS (
+  SELECT DISTINCT doc_id, b FROM (
+    SELECT doc_id, i AS b FROM b
+    UNION ALL
+    SELECT doc_id, n AS b FROM tt)),
+seg AS (
+  SELECT doc_id, b,
+         row_number() OVER (PARTITION BY doc_id ORDER BY b) - 1 AS chunk_id,
+         coalesce(lag(b) OVER (PARTITION BY doc_id ORDER BY b), 0) AS prev
+  FROM cuts)
+SELECT seg.doc_id,
+       chunk_id::BIGINT AS chunk_id,
+       (prev + 1)::BIGINT AS start_pos,
+       (b - prev)::BIGINT AS chunk_len,
+       md5(substr(tt.s, (prev + 1)::INT, (b - prev)::INT)) AS chunk_md5
+FROM seg JOIN tt ON seg.doc_id = tt.doc_id
+""")
+def cdc_chunks_q(spark, sf):
+    """Content-defined chunking over the documents table: rolling-hash
+    (window=8, mask 2^6) boundaries on the printable-ASCII projection —
+    the storage-dedup primitive that keeps re-crawled pages' unchanged
+    tails byte-identical chunks. The oracle replays the identical dot
+    product per position with ascii()/substr(); the operator computes
+    every position of a doc in one numpy sliding-window matmul per
+    Arrow batch (mapInPandas — zero shuffle)."""
+    d = _t(spark, sf, "documents")
+    return (dedup.cdc_chunks(d, "text", "doc_id")
+            .withColumnRenamed("id", "doc_id"))
+
+
 @q("dedup_exact", """
 SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS dup_count
 FROM documents GROUP BY md5(text)

@@ -2783,3 +2783,51 @@ def test_harmonic_centrality_hyperball_tracks_exact(spark):
     rels = [abs(est[n] - h) / max(h, 1.0) for n, h in exact.items()]
     assert sum(rels) / len(rels) < 0.3
     assert max(rels) < 0.6
+
+
+def test_cdc_chunks_kernel_and_invariants(spark):
+    # quadratic per-position reference for the rolling hash + reassembly
+    from disco_crawl_spark.operators import dedup as dd
+    import hashlib as hl
+    import re
+    texts = ["a" * 30,
+             "The quick brown fox jumps over the lazy dog. " * 4,
+             "short", "", "unicode éé dropped then chunked " * 3]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    out = dd.cdc_chunks(docs, "text", "doc_id").collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["id"], []).append(r)
+    for i, t in enumerate(texts):
+        s = re.sub(r"[^ -~]", "", t)
+        if not s:
+            assert i not in by_doc
+            continue
+        # reference boundaries, one position at a time
+        bpos = [p for p in range(8, len(s) + 1)
+                if sum(ord(s[p - 1 - j]) * (j + 1) for j in range(8))
+                % 64 == 0]
+        cuts = [0] + bpos + ([] if bpos and bpos[-1] == len(s)
+                             else [len(s)])
+        rows = sorted(by_doc[i], key=lambda r: r["chunk_id"])
+        assert len(rows) == len(cuts) - 1
+        # chunks tile the projected string exactly and hash correctly
+        assert "".join(s[r["start_pos"] - 1:
+                         r["start_pos"] - 1 + r["chunk_len"]]
+                       for r in rows) == s
+        for k, r in enumerate(rows):
+            a, b = cuts[k], cuts[k + 1]
+            assert (r["start_pos"], r["chunk_len"]) == (a + 1, b - a)
+            assert r["chunk_md5"] == hl.md5(
+                s[a:b].encode("ascii")).hexdigest()
+    # edit-locality: prepending a char near the front leaves the chunk
+    # set of the unchanged tail largely intact (the CDC property)
+    base = "The quick brown fox jumps over the lazy dog. " * 40
+    edited = "XX " + base
+    two = spark.createDataFrame([(0, base), (1, edited)],
+                                "doc_id long, text string")
+    res = dd.cdc_chunks(two, "text", "doc_id").collect()
+    h0 = {r["chunk_md5"] for r in res if r["id"] == 0}
+    h1 = {r["chunk_md5"] for r in res if r["id"] == 1}
+    assert len(h0 & h1) >= len(h0) // 2
