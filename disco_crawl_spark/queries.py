@@ -441,6 +441,108 @@ def filename_guess(spark, sf):
 # ===========================================================================
 
 
+_PSL2_SQL = ", ".join(f"'{s}'" for s in cf.PSL2)
+
+@q("pld_rollup", f"""
+WITH hosts AS (
+  SELECT CASE user_id % 6
+           WHEN 0 THEN 'www.agency' || (user_id % 40)::VARCHAR || '.gov.au'
+           WHEN 1 THEN 'shop' || (user_id % 40)::VARCHAR || '.com.au'
+           WHEN 2 THEN 'cdn.static.example' || (user_id % 10)::VARCHAR || '.com'
+           WHEN 3 THEN 'news' || (user_id % 25)::VARCHAR || '.co.uk'
+           WHEN 4 THEN 'blog.site' || (user_id % 30)::VARCHAR || '.org'
+           ELSE 'localhost' END AS host
+  FROM events),
+lab AS (
+  SELECT host, string_split(lower(host), '.') AS l,
+         len(string_split(lower(host), '.')) AS n
+  FROM hosts),
+tk AS (
+  SELECT host, l, n,
+         CASE WHEN array_to_string(l[greatest(n - 1, 1):n], '.')
+                   IN ({_PSL2_SQL})
+              THEN 3 ELSE 2 END AS take
+  FROM lab),
+pl AS (
+  SELECT host,
+         CASE WHEN n <= take THEN lower(host)
+              ELSE array_to_string(l[n - take + 1:n], '.') END AS pld
+  FROM tk)
+SELECT pld, count(*)::BIGINT AS n_pages,
+       count(DISTINCT host)::BIGINT AS n_hosts
+FROM pl GROUP BY pld
+""")
+def pld_rollup_q(spark, sf):
+    """Registered-domain (eTLD+1 / PLD) rollup — the aggregation grain
+    Common Crawl publishes ranks at and the politeness grain above
+    per-host. Hosts synthesized from events across gov.au / com.au /
+    com / co.uk / org / single-label shapes; functions.registered_domain
+    is pure Catalyst (split + slice + join, whole-stage codegen), the
+    rollup one map-side-combinable aggregation."""
+    e = _t(spark, sf, "events")
+    u = F.col("user_id")
+    host = (F.when(u % 6 == 0,
+                   F.concat(F.lit("www.agency"), (u % 40).cast("string"),
+                            F.lit(".gov.au")))
+            .when(u % 6 == 1,
+                  F.concat(F.lit("shop"), (u % 40).cast("string"),
+                           F.lit(".com.au")))
+            .when(u % 6 == 2,
+                  F.concat(F.lit("cdn.static.example"),
+                           (u % 10).cast("string"), F.lit(".com")))
+            .when(u % 6 == 3,
+                  F.concat(F.lit("news"), (u % 25).cast("string"),
+                           F.lit(".co.uk")))
+            .when(u % 6 == 4,
+                  F.concat(F.lit("blog.site"), (u % 30).cast("string"),
+                           F.lit(".org")))
+            .otherwise(F.lit("localhost")))
+    h = e.select(host.alias("host"))
+    return (h.withColumn("pld", cf.registered_domain(F.col("host")))
+            .groupBy("pld")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pages"),
+                 F.countDistinct("host").cast("long").alias("n_hosts")))
+
+
+@q("warc_revisit_dedup", """
+WITH cap AS (
+  SELECT 'u' || (user_id % 300)::VARCHAR AS url, ts,
+         md5('c' || (event_id % 97)::VARCHAR) AS digest
+  FROM events),
+w AS (
+  SELECT url, ts, digest,
+         first_value(url) OVER
+           (PARTITION BY digest ORDER BY ts, url) AS w_url,
+         first_value(ts) OVER
+           (PARTITION BY digest ORDER BY ts, url) AS w_ts
+  FROM cap)
+SELECT url, ts, digest,
+       CASE WHEN ts = w_ts AND url = w_url
+            THEN 'response' ELSE 'revisit' END AS record_type,
+       CASE WHEN ts = w_ts AND url = w_url
+            THEN NULL ELSE w_url END AS refers_to_url,
+       CASE WHEN ts = w_ts AND url = w_url
+            THEN NULL ELSE w_ts END AS refers_to_ts
+FROM w
+""")
+def warc_revisit_dedup_q(spark, sf):
+    """WARC identical-payload-digest dedup over a synthetic capture log
+    (events -> url/ts/digest with digests repeating mod 97): first
+    capture per digest is the stored 'response', later captures become
+    'revisit' records pointing at it. The oracle is the naive window;
+    the operator elects the winner with an algebraic min(struct) + one
+    digest join (no per-digest sort — boilerplate digests are the skew
+    case at archive scale)."""
+    e = _t(spark, sf, "events")
+    cap = e.select(
+        F.concat(F.lit("u"), (F.col("user_id") % 300).cast("string"))
+        .alias("url"),
+        F.col("ts"),
+        F.md5(F.concat(F.lit("c"), (F.col("event_id") % 97)
+                       .cast("string"))).alias("digest"))
+    return sources.warc_revisit_records(cap)
+
+
 @q("cdc_chunks", """
 WITH t AS (
   SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS s

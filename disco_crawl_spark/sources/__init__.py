@@ -444,3 +444,47 @@ def charset_sniff(df: DataFrame, url_col: str = "url",
     return df.select(F.col(url_col).alias("url"),
                      charset.alias("charset"),
                      source.alias("charset_source"))
+
+
+def warc_revisit_records(df: DataFrame, url_col: str = "url",
+                         ts_col: str = "ts",
+                         digest_col: str = "digest") -> DataFrame:
+    """WARC dedup under the "identical payload digest" profile
+    (WARC/1.1 §6.7.2, the policy wayback/heritrix crawls ship): the
+    FIRST capture of a payload digest (ordered by capture time, URL as
+    the tiebreak) is stored as a full ``response`` record; every later
+    capture of the same digest becomes a ``revisit`` record that stores
+    no payload and points at the original via
+    (refers_to_url, refers_to_ts). Re-crawls of unchanged pages — most
+    of a mature crawl's fetches — then cost metadata only, which is the
+    entire economics of archive-scale storage.
+
+    Scale shape: the winner per digest is an ALGEBRAIC min
+    (min(struct(ts, url)) — map-side combinable) followed by one hash
+    join back on digest, deliberately NOT a window: a boilerplate digest
+    (empty page, soft-404 template) can hold millions of captures, and a
+    window would sort every such partition while the agg streams it;
+    AQE's skew-join split handles the join-side hot digest. Two narrow
+    shuffles total, both on ``digest``.
+
+    Reference: the crawler stores every body unconditionally
+    (process_raw.py put_s3 path); content-addressed keys dedup bytes but
+    not records — revisit bookkeeping is the WARC-native form.
+    """
+    first = (df.groupBy(F.col(digest_col).alias("__d"))
+             .agg(F.min(F.struct(F.col(ts_col).alias("ts"),
+                                 F.col(url_col).alias("url")))
+                  .alias("__w")))
+    out = (df.join(first, df[digest_col] == F.col("__d"))
+           .drop("__d"))
+    is_first = ((F.col(ts_col) == F.col("__w.ts"))
+                & (F.col(url_col) == F.col("__w.url")))
+    return out.select(
+        F.col(url_col).alias("url"), F.col(ts_col).alias("ts"),
+        F.col(digest_col).alias("digest"),
+        F.when(is_first, F.lit("response")).otherwise(F.lit("revisit"))
+        .alias("record_type"),
+        F.when(is_first, F.lit(None).cast("string"))
+        .otherwise(F.col("__w.url")).alias("refers_to_url"),
+        F.when(is_first, F.lit(None).cast("timestamp"))
+        .otherwise(F.col("__w.ts")).alias("refers_to_ts"))

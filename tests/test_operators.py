@@ -2831,3 +2831,34 @@ def test_cdc_chunks_kernel_and_invariants(spark):
     h0 = {r["chunk_md5"] for r in res if r["id"] == 0}
     h1 = {r["chunk_md5"] for r in res if r["id"] == 1}
     assert len(h0 & h1) >= len(h0) // 2
+
+
+def test_registered_domain_and_revisit_records(spark):
+    from disco_crawl_spark import functions as cf
+    from disco_crawl_spark import sources
+    from pyspark.sql import functions as F
+    hosts = ["www.agency3.gov.au", "a.b.example.com", "EXAMPLE.Co.UK",
+             "example.com", "com.au", "localhost", "x.gov.au"]
+    want = ["agency3.gov.au", "example.com", "example.co.uk",
+            "example.com", "com.au", "localhost", "x.gov.au"]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = [r["pld"] for r in
+           df.select(cf.registered_domain(F.col("host")).alias("pld"))
+           .collect()]
+    assert got == want
+
+    import datetime as dt
+    t = [dt.datetime(2026, 1, 1, 0, 0, i) for i in range(4)]
+    caps = spark.createDataFrame(
+        [("u1", t[0], "d1"), ("u2", t[1], "d1"),
+         ("u1", t[2], "d1"), ("u3", t[3], "d2")],
+        "url string, ts timestamp, digest string")
+    out = {(r["url"], r["ts"]): r for r in
+           sources.warc_revisit_records(caps).collect()}
+    assert out[("u1", t[0])]["record_type"] == "response"
+    assert out[("u1", t[0])]["refers_to_url"] is None
+    assert out[("u2", t[1])]["record_type"] == "revisit"
+    assert out[("u2", t[1])]["refers_to_url"] == "u1"
+    assert out[("u2", t[1])]["refers_to_ts"] == t[0]
+    assert out[("u1", t[2])]["record_type"] == "revisit"
+    assert out[("u3", t[3])]["record_type"] == "response"
