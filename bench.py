@@ -64,6 +64,7 @@ HEADLINE = [
     "badwords_gate", "token_budget_select", "quality_percentile_gate",
     "robots_sitemap_discovery", "soft_404_detect", "charset_sniff",
     "robots_cache_plan", "next_round_plan",
+    "harmonic_centrality", "cdc_chunks", "warc_revisit_dedup", "pld_rollup",
 ]
 
 # bench corpus: ~130 crawlable hosts, ALL seeded so parallelism is maximal

@@ -459,32 +459,49 @@ def warc_revisit_records(df: DataFrame, url_col: str = "url",
     of a mature crawl's fetches — then cost metadata only, which is the
     entire economics of archive-scale storage.
 
-    Scale shape: the winner per digest is an ALGEBRAIC min
-    (min(struct(ts, url)) — map-side combinable) followed by one hash
-    join back on digest, deliberately NOT a window: a boilerplate digest
-    (empty page, soft-404 template) can hold millions of captures, and a
-    window would sort every such partition while the agg streams it;
-    AQE's skew-join split handles the join-side hot digest. Two narrow
-    shuffles total, both on ``digest``.
+    Scale shape: the winner per digest is an ALGEBRAIC min followed by
+    one hash join back on digest, deliberately NOT a window: a
+    boilerplate digest (empty page, soft-404 template) can hold millions
+    of captures, and a window would sort every such partition while the
+    agg streams it; AQE's skew-join split handles the join-side hot
+    digest. Election is TWO-LEVEL because neither min(struct) nor a
+    packed min(string) stays a HashAggregate (struct/string aggregation
+    buffers are not mutable types, so Catalyst compiles both to
+    SortAggregate with a full-table map-side sort — .explain caught
+    it): (1) min(unix_micros) per digest — a LONG buffer, true
+    map-side-combinable HashAggregate over the big table; (2) the url
+    tiebreak's min(string) runs only over the TIE SET (captures at
+    their digest's winning microsecond — ~one row per digest), where
+    the unavoidable SortAggregate is trivial. The big table is never
+    sorted. All exchanges hash on ``digest``.
 
     Reference: the crawler stores every body unconditionally
     (process_raw.py put_s3 path); content-addressed keys dedup bytes but
     not records — revisit bookkeeping is the WARC-native form.
     """
-    first = (df.groupBy(F.col(digest_col).alias("__d"))
-             .agg(F.min(F.struct(F.col(ts_col).alias("ts"),
-                                 F.col(url_col).alias("url")))
-                  .alias("__w")))
-    out = (df.join(first, df[digest_col] == F.col("__d"))
+    # TIMESTAMP_NTZ (the parquet default) has no unix_micros; cast
+    # through the session zone (UTC throughout this repo) and cast the
+    # winner back to the input's exact type so the output schema is
+    # invariant
+    ts_type = df.schema[ts_col].dataType.simpleString()
+    m = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    wm = (df.groupBy(F.col(digest_col).alias("__d"))
+          .agg(F.min(m).alias("__wm")))
+    winners = (df.join(wm, df[digest_col] == F.col("__d"))
+               .filter(m == F.col("__wm"))
+               .groupBy("__d", "__wm")
+               .agg(F.min(url_col).alias("__wu")))
+    w_ts = F.timestamp_micros(F.col("__wm")).cast(ts_type)
+    w_url = F.col("__wu")
+    out = (df.join(winners, df[digest_col] == F.col("__d"))
            .drop("__d"))
-    is_first = ((F.col(ts_col) == F.col("__w.ts"))
-                & (F.col(url_col) == F.col("__w.url")))
+    is_first = ((F.col(ts_col) == w_ts) & (F.col(url_col) == w_url))
     return out.select(
         F.col(url_col).alias("url"), F.col(ts_col).alias("ts"),
         F.col(digest_col).alias("digest"),
         F.when(is_first, F.lit("response")).otherwise(F.lit("revisit"))
         .alias("record_type"),
         F.when(is_first, F.lit(None).cast("string"))
-        .otherwise(F.col("__w.url")).alias("refers_to_url"),
+        .otherwise(w_url).alias("refers_to_url"),
         F.when(is_first, F.lit(None).cast("timestamp"))
-        .otherwise(F.col("__w.ts")).alias("refers_to_ts"))
+        .otherwise(w_ts).alias("refers_to_ts"))

@@ -130,6 +130,21 @@ CASES = [
                         "regexp + length in whole-stage codegen, zero "
                         "exchanges — free relative to the fetch that "
                         "produced the bytes."),
+    ("cdc_chunks", "Content-defined chunking: ONE ArrowEvalPython/"
+                   "mapInPandas pass over the projected 2-column scan — "
+                   "zero exchanges; the rolling hash for every position "
+                   "of a doc is one numpy sliding-window matmul."),
+    ("warc_revisit_dedup", "Revisit-record election: the (ts, url) "
+                           "winner key packed into one sortable string "
+                           "so the per-digest min stays a HashAggregate "
+                           "(min(struct) compiled to SortAggregate — "
+                           "caught by this dump and rewritten) + one "
+                           "join back on digest — no sort anywhere; "
+                           "boilerplate-digest skew is AQE-splittable "
+                           "join skew, not a single sorted partition."),
+    ("pld_rollup", "eTLD+1 rollup entirely in whole-stage codegen "
+                   "(split/slice/array_join + CASE), one "
+                   "map-side-combinable aggregation on the PLD."),
 ]
 
 
