@@ -1581,3 +1581,79 @@ def quality_percentile_gate(df: DataFrame, group_col: str, id_col: str,
         F.col(quality_col).alias("quality"), rnk.alias("rnk"),
         F.when(rnk * 1_000_000 <= F.lit(int(keep_micro)) * n, 1)
         .otherwise(0).alias("kept"))
+
+
+def temperature_mix(df: DataFrame, lang_col: str, id_col: str,
+                    budget: int, alpha: float = 0.7, seed: int = 42,
+                    exact: bool = True) -> DataFrame:
+    """Temperature-based multilingual sampling (mBERT / XLM-R §3.1; the
+    standard fix for "English swamps everything and tail languages
+    starve"): with corpus shares p_l = n_l / N, a language's target count
+    is budget * p_l^alpha / sum_m p_m^alpha — alpha=1 keeps natural
+    proportions, alpha=0 flattens to uniform, 0.7 is the published
+    sweet spot. Returns the selected rows as (id, lang, rk) with
+    rk = the doc's deterministic rank within its language. Selection is
+    WITHOUT replacement: a tail language whose target exceeds its size
+    contributes everything it has (the published recipes upsample by
+    re-visiting tail docs across epochs — an epoch scheduler's job, not
+    a corpus selector's).
+
+    Two selection strategies behind the same target counts:
+
+    * ``exact=True`` — rank docs inside each language by md5(seed|id)
+      (the stratified_sample idiom: reproducible across retries,
+      repartitions, cluster sizes; ties impossible) and keep the first
+      target_l. One shuffle on lang; per-language work bounded by the
+      language's own size, with the same salted two-phase remedy
+      stratified_sample documents if one language outgrows a task.
+    * ``exact=False`` — the 10^10-row path: hash-threshold selection
+      (first 8 md5 hex chars of (seed|id) as a u32, selected iff
+      < floor(2^32 * target_l / n_l) — an INTEGER compare, no float
+      draw). Pure projection + one broadcast join of the tiny per-lang
+      threshold table: NO per-language sort anywhere, at the price of
+      Binomial(n_l, target_l/n_l) count noise; rk is then the selection
+      hash's rank surrogate (the u32 itself) rather than a dense rank.
+
+    Per-language targets are tiny-table math (few hundred languages):
+    two 1-row broadcast scalars (N, sum q_l) and one floor at the end;
+    everything row-scale stays integer/hash arithmetic.
+    """
+    counts = df.groupBy(F.col(lang_col).alias("lang")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_l"))
+    total = counts.agg(F.sum("n_l").alias("n"))
+    ratio = F.col("n_l") / F.col("n")
+    # alpha=0.5 routes through sqrt: IEEE-754 requires sqrt and / to be
+    # correctly rounded, so the weights are BIT-identical across engines
+    # (pow's last ulp is implementation-defined and feeds a floor) — the
+    # oracled query pins this alpha for that reason
+    qexpr = (F.sqrt(ratio) if float(alpha) == 0.5
+             else F.pow(ratio, F.lit(float(alpha))))
+    q = (counts.crossJoin(F.broadcast(total))
+         .select("lang", "n_l", qexpr.alias("q_l")))
+    z = q.agg(F.sum("q_l").alias("z"))
+    tgt = (q.crossJoin(F.broadcast(z))
+           .select("lang", "n_l",
+                   F.floor(F.lit(int(budget)) * F.col("q_l") / F.col("z"))
+                   .cast("long").alias("target")))
+    if exact:
+        key = F.md5(F.concat_ws(
+            "|", F.lit(str(seed)), F.col(id_col).cast("string")))
+        w = Window.partitionBy(lang_col).orderBy(key, F.col(id_col))
+        ranked = df.select(F.col(id_col), F.col(lang_col),
+                           F.row_number().over(w).cast("long").alias("rk"))
+        tt = tgt.select(F.col("lang").alias("__lang"), "target")
+        return (ranked.join(F.broadcast(tt),
+                            ranked[lang_col] == tt["__lang"])
+                .filter(F.col("rk") <= F.col("target"))
+                .select(F.col(id_col), F.col(lang_col), "rk"))
+    h = F.conv(F.substring(
+        F.md5(F.concat_ws("|", F.lit(str(seed)),
+                          F.col(id_col).cast("string"))), 1, 8),
+        16, 10).cast("bigint")
+    thr = (F.floor(F.lit(float(1 << 32)) * F.col("target") / F.col("n_l"))
+           .cast("long").alias("thr"))
+    tt = tgt.select(F.col("lang").alias("__lang"), thr)
+    sel = df.select(F.col(id_col), F.col(lang_col), h.alias("rk"))
+    return (sel.join(F.broadcast(tt), sel[lang_col] == tt["__lang"])
+            .filter(F.col("rk") < F.col("thr"))
+            .select(F.col(id_col), F.col(lang_col), "rk"))

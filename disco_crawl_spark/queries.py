@@ -441,6 +441,34 @@ def filename_guess(spark, sf):
 # ===========================================================================
 
 
+@q("temperature_mix", """
+WITH c AS (SELECT lang, count(*)::BIGINT AS n_l FROM documents
+           GROUP BY lang),
+t AS (SELECT sum(n_l) AS n FROM c),
+q AS (SELECT lang, n_l, sqrt(n_l / n) AS q_l FROM c, t),
+z AS (SELECT sum(q_l) AS z FROM q),
+tgt AS (SELECT lang, floor(200 * q_l / z)::BIGINT AS target FROM q, z),
+r AS (SELECT doc_id, lang,
+        row_number() OVER (PARTITION BY lang
+          ORDER BY md5('42|' || doc_id::VARCHAR), doc_id)::BIGINT AS rk
+      FROM documents)
+SELECT r.doc_id, r.lang, r.rk
+FROM r JOIN tgt USING (lang) WHERE rk <= target
+""")
+def temperature_mix_q(spark, sf):
+    """Temperature-based multilingual sampling (XLM alpha=0.5): per-lang
+    target = floor(budget * sqrt(p_l) / sum sqrt(p_m)), selection by
+    md5-rank inside each language. alpha is 0.5 HERE so the weight math
+    is IEEE-exact in both engines (sqrt and / are correctly-rounded by
+    the standard; pow(x, 0.7) is implementation-defined in the last ulp
+    and feeds a floor) — the operator takes any alpha; the scale path
+    (exact=False) swaps the per-lang rank for an integer hash-threshold
+    projection."""
+    d = _t(spark, sf, "documents")
+    return textstats.temperature_mix(d, "lang", "doc_id", budget=200,
+                                     alpha=0.5, seed=42, exact=True)
+
+
 _PSL2_SQL = ", ".join(f"'{s}'" for s in cf.PSL2)
 
 @q("pld_rollup", f"""

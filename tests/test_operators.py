@@ -2862,3 +2862,48 @@ def test_registered_domain_and_revisit_records(spark):
     assert out[("u2", t[1])]["refers_to_ts"] == t[0]
     assert out[("u1", t[2])]["record_type"] == "revisit"
     assert out[("u3", t[3])]["record_type"] == "response"
+
+
+def test_temperature_mix_targets_and_modes(spark):
+    from disco_crawl_spark.operators import textstats
+    import math
+    # 80 'en', 16 'fr', 4 'lo' docs; alpha=0.5, budget=50
+    rows = ([(i, "en") for i in range(80)]
+            + [(100 + i, "fr") for i in range(16)]
+            + [(200 + i, "lo") for i in range(4)])
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = textstats.temperature_mix(df, "lang", "doc_id", budget=50,
+                                    alpha=0.5).collect()
+    got = {}
+    for r in out:
+        got[r["lang"]] = got.get(r["lang"], 0) + 1
+    p = {"en": 80 / 100, "fr": 16 / 100, "lo": 4 / 100}
+    n = {"en": 80, "fr": 16, "lo": 4}
+    z = sum(math.sqrt(v) for v in p.values())
+    # selection is WITHOUT replacement: a tail language whose target
+    # exceeds its size contributes everything it has (here lo: target 6
+    # of only 4 docs)
+    want = {k: min(math.floor(50 * math.sqrt(v) / z), n[k])
+            for k, v in p.items()}
+    assert got == want
+    # flattening: tail language over-represented vs natural share
+    assert want["lo"] / 50 > p["lo"]
+    # ranks are 1..target_l and selection is hash-stable
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r["rk"])
+    for lang, rks in by_lang.items():
+        assert sorted(rks) == list(range(1, want[lang] + 1))
+    again = textstats.temperature_mix(df, "lang", "doc_id", budget=50,
+                                      alpha=0.5).collect()
+    assert {(r["doc_id"]) for r in again} == {r["doc_id"] for r in out}
+    # hash-threshold mode: same targets in expectation, no rank window
+    approx = textstats.temperature_mix(df, "lang", "doc_id", budget=50,
+                                       alpha=0.5, exact=False).collect()
+    ga = {}
+    for r in approx:
+        ga[r["lang"]] = ga.get(r["lang"], 0) + 1
+    for lang, tgt in want.items():
+        n_l = {"en": 80, "fr": 16, "lo": 4}[lang]
+        sd = math.sqrt(n_l * (tgt / n_l) * (1 - tgt / n_l))
+        assert abs(ga.get(lang, 0) - tgt) <= max(4 * sd, 3)
