@@ -65,6 +65,7 @@ HEADLINE = [
     "robots_sitemap_discovery", "soft_404_detect", "charset_sniff",
     "robots_cache_plan", "next_round_plan",
     "harmonic_centrality", "cdc_chunks", "warc_revisit_dedup", "pld_rollup",
+    "temperature_mix", "degree_powerlaw",
 ]
 
 # bench corpus: ~130 crawlable hosts, ALL seeded so parallelism is maximal

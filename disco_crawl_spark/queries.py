@@ -441,6 +441,38 @@ def filename_guess(spark, sf):
 # ===========================================================================
 
 
+@q("degree_powerlaw", """
+WITH e AS (
+  SELECT DISTINCT user_id % 200 AS src, event_id % 200 AS dst
+  FROM events WHERE user_id % 200 <> event_id % 200),
+deg AS (SELECT src AS node, count(*)::BIGINT AS degree FROM e GROUP BY src),
+hist AS (SELECT degree, count(*)::BIGINT AS n_nodes FROM deg GROUP BY degree),
+st AS (SELECT count(*)::BIGINT AS n_total,
+              sum(CASE WHEN degree >= 1 THEN ln(degree / 1.0) END) AS slog,
+              sum(CASE WHEN degree >= 1 THEN 1 ELSE 0 END)::BIGINT AS n_tail
+       FROM deg),
+c AS (SELECT degree, n_nodes,
+             sum(n_nodes) OVER (ORDER BY degree DESC
+               ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+      FROM hist)
+SELECT degree, n_nodes,
+       ((cum * 1000000) // n_total)::BIGINT AS ccdf_micro,
+       round(1.0 + n_tail / slog, 6) AS alpha_mhat
+FROM c, st
+""")
+def degree_powerlaw_q(spark, sf):
+    """Out-degree distribution of the dense synthetic link graph: exact
+    integer histogram + CCDF and the Hill tail-exponent MLE — the
+    web-graph Zipf audit that feeds skew planning (salting thresholds).
+    The only window runs over the HISTOGRAM (distinct degrees), never
+    rows; alpha rounded 6 dp on both sides (log-sum ulp noise)."""
+    e = _t(spark, sf, "events")
+    edges = (e.select((F.col("user_id") % 200).alias("src"),
+                      (F.col("event_id") % 200).alias("dst"))
+             .filter(F.col("src") != F.col("dst")))
+    return graph.degree_powerlaw(edges, direction="out", d_min=1)
+
+
 @q("temperature_mix", """
 WITH c AS (SELECT lang, count(*)::BIGINT AS n_l FROM documents
            GROUP BY lang),

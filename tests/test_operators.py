@@ -2907,3 +2907,25 @@ def test_temperature_mix_targets_and_modes(spark):
         n_l = {"en": 80, "fr": 16, "lo": 4}[lang]
         sd = math.sqrt(n_l * (tgt / n_l) * (1 - tgt / n_l))
         assert abs(ga.get(lang, 0) - tgt) <= max(4 * sd, 3)
+
+
+def test_degree_powerlaw_hand_math(spark):
+    from disco_crawl_spark.operators import graph
+    import math
+    # out-degrees: a->{b,c,d} (3), b->{c} (1), c->{d} (1)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("c", "d"),
+         ("a", "b")],  # dup edge collapses
+        "src string, dst string")
+    rows = {r["degree"]: r for r in
+            graph.degree_powerlaw(edges, direction="out").collect()}
+    assert rows[3]["n_nodes"] == 1 and rows[1]["n_nodes"] == 2
+    # ccdf over 3 nodes: deg>=3 -> 1/3, deg>=1 -> 3/3
+    assert rows[3]["ccdf_micro"] == 1000000 // 3
+    assert rows[1]["ccdf_micro"] == 1000000
+    want_alpha = round(1.0 + 3 / (math.log(3) + math.log(1) + math.log(1)), 6)
+    assert rows[1]["alpha_mhat"] == want_alpha == rows[3]["alpha_mhat"]
+    # in-degree direction: d<-{a,c} (2), b<-{a} (1), c<-{a,b} (2)
+    rin = {r["degree"]: r["n_nodes"] for r in
+           graph.degree_powerlaw(edges, direction="in").collect()}
+    assert rin == {2: 2, 1: 1}
