@@ -443,9 +443,23 @@ def _sub(kind: str, **kw) -> dict:
             return json.loads(line)
         except json.JSONDecodeError:
             continue
+    # intermittent wide-rung worker crashes (w4b/w5/w6 2026-08-20) died
+    # with a near-empty stderr TAIL — persist the full streams so the
+    # next one self-documents instead of costing another 40-min window
+    err_path = os.path.join(REPO, "BENCH",
+                            f"worker_err_{kind}_{int(time.time())}.log")
+    try:
+        with open(err_path, "w") as f:
+            f.write(f"# rc={p.returncode} kind={kind} kw={kw}\n")
+            f.write("==== stdout ====\n")
+            f.write(p.stdout[-200000:])
+            f.write("\n==== stderr ====\n")
+            f.write(p.stderr[-200000:])
+    except OSError:
+        err_path = "<unwritable>"
     raise RuntimeError(
-        f"worker {kind} produced no JSON (rc={p.returncode}): "
-        f"{p.stderr[-800:]}")
+        f"worker {kind} produced no JSON (rc={p.returncode}, full "
+        f"streams in {err_path}): {p.stderr[-800:]}")
 
 
 def _worker_main(kind: str, kw: dict):

@@ -818,7 +818,6 @@ def degree_powerlaw(edges: DataFrame, src: str = "src", dst: str = "dst",
     scale), not by nodes; the Hill sum is a 1-row broadcast aggregate
     over the degree table. Nothing row-scale is sorted.
     """
-    col = src if direction == "out" else dst
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if dedup_edges:
         e = e.distinct()
