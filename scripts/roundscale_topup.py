@@ -33,7 +33,11 @@ def rate(run: dict) -> float:
 def measure_wide(n_hosts: int, passes: int, rounds: int = 10) -> dict:
     runs, hw = {}, {}
     for p in range(passes):
-        for master, procs in (("local[4]", 4), ("local[16]", 16)):
+        # local[16] FIRST: the wide-rung c16 leg is the one that
+        # intermittently dies (w6 2026-08-20, twice, after the c4 leg had
+        # already burned 37 min) — fail fast so a crashed window costs the
+        # ~12-min c16 leg, not the whole pass
+        for master, procs in (("local[16]", 16), ("local[4]", 4)):
             w = bench.hw_calibration(procs)
             hw[procs] = max(hw.get(procs, 0.0), w)
             print(f"# topup wide-{n_hosts}h p{p} hw {procs}p: "
