@@ -225,9 +225,20 @@ def run_crawl_wide(master: str, n_hosts: int, sections: int = 8,
     try:
         pages = synth_crawl_pages(spark, n_hosts, sections, leaves)
         seeds = [f"site{h}.gov.au" for h in range(n_hosts)]
+        # size the pages cache by DATA (~1.5 KB/page in-cache measured at
+        # wide-64000h), never by core count: 16 shuffle partitions over a
+        # 39 GB corpus meant 16 concurrent ~2.5 GB cache unrolls and a
+        # deterministic heap OOM at local[16] (w6 2026-08-20, 3/3
+        # attempts) while local[4] squeaked by — and identical partition
+        # layout across cluster sizes is the production-faithful N->4N
+        # form anyway (same job, only resources change)
+        n_pages = n_hosts * (1 + sections + sections * leaves)
+        cache_parts = max(spark.sparkContext.defaultParallelism,
+                          n_pages * 1500 // (192 << 20) + 1)
         eng = CrawlEngine(spark, pages, {}, {}, wh,
                           config=SimConfig(steward_batch=2 * n_hosts),
-                          seeds=seeds)
+                          seeds=seeds,
+                          pages_cache_partitions=cache_parts)
         eng.pages.count()  # build the url-partitioned cache, untimed
         t0 = time.time()
         eng.run(max_rounds=max_rounds)

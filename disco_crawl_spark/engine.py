@@ -75,6 +75,7 @@ class CrawlEngine:
         pages_bucketed: bool = False,
         compact_seen_every: "int | None" = None,
         compact_tables_every: "int | None" = None,
+        pages_cache_partitions: "int | None" = None,
     ):
         self.spark = spark
         self.cfg = config or SimConfig()
@@ -127,8 +128,25 @@ class CrawlEngine:
             # each task — measured as the round loop's scaling ceiling
             # (spill-bound: ~11 s/round at ANY core count on a 409k-page
             # corpus; sorted cache: 5.4 s at 4 cores, 2.6 s at 16).
-            self.pages = (pages.repartition(F.col("url"))
-                          .sortWithinPartitions("url").persist())
+            #
+            # Partition COUNT must be sized to the DATA, not the core
+            # count: a bare repartition(col) inherits
+            # spark.sql.shuffle.partitions, so a 39 GB corpus on a
+            # 16-thread / 16-shuffle-partition session unrolls as 16
+            # concurrent ~2.5 GB deserialized blocks during the cache
+            # build — measured as a deterministic driver-JVM heap OOM at
+            # wide-64000h/local[16] (BENCH/worker_err_crawl_wide_*.log,
+            # 2026-08-20) while the SAME corpus at local[4] survived with
+            # only 4 unrolls in flight. Callers that know the corpus size
+            # pass pages_cache_partitions ~ bytes/192MB; the default keeps
+            # the session's shuffle width (fine for test-scale corpora).
+            # The 100 TB path is pages_bucketed above — no cache at all.
+            if pages_cache_partitions:
+                part = pages.repartition(int(pages_cache_partitions),
+                                         F.col("url"))
+            else:
+                part = pages.repartition(F.col("url"))
+            self.pages = part.sortWithinPartitions("url").persist()
         # Index-probe state for the domain-start gauntlet (dual-domain +
         # index HEAD, worker.py:283-353,636-644) is LAZY: no Spark work at
         # init. On the first steward batch that needs it, one O(hosts)

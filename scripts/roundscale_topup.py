@@ -59,6 +59,13 @@ def main(argv: list) -> None:
         passes = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2:]   # consume the flag AND its value —
         # a bare isdigit() scan would read the "2" of "--passes 2" as a rung
+    note = None
+    if "--note" in argv:
+        # free-text label stamped on this window's window_rates.jsonl rows
+        # (e.g. 'cache-fix' after the 2026-08-20 pages-cache partition fix)
+        i = argv.index("--note")
+        note = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
     if "--rounds" in argv:
         # rounds per measurement: the widest rungs (64000h+) exceed the
         # 3600 s per-measurement cap at 10 rounds on local[4]; efficiency
@@ -130,12 +137,15 @@ def main(argv: list) -> None:
     # per-window table + pooled estimator in BASELINE.md reads this
     with open(os.path.join(bdir, "window_rates.jsonl"), "a") as f:
         for n, fr in fresh.items():
-            f.write(json.dumps({
+            row = {
                 "ts": rec["ts"], "rung": f"wide-{n}h",
                 "c4_med": rate(fr["runs"]["local[4]"]),
                 "c16_med": rate(fr["runs"]["local[16]"]),
                 "hw4": fr["hw"][4], "hw16": fr["hw"][16],
-            }) + "\n")
+            }
+            if note:
+                row["note"] = note
+            f.write(json.dumps(row) + "\n")
     bench._write_scaling_report(None, 5514)
     print(json.dumps({"rungs": [(s["m"], s["eff"], s["eff_vs_hw"],
                                  s.get("passes", 2))

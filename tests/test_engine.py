@@ -190,3 +190,23 @@ def test_dual_domain_computed_from_probes_not_flag(spark, tmp_warehouse):
     assert skipped & set(dual_bare), "probe-detected dual-skip must fire"
     crawled = {h for _, h, _, _ in eng.crawl_order()}
     assert not (crawled & set(dual_bare))
+
+
+def test_pages_cache_partitions_sized_by_data_not_cores(
+        spark, c, sim, tmp_warehouse):
+    """The pages-cache partition count must be controllable independently
+    of spark.sql.shuffle.partitions: at wide-64000h the bare
+    repartition(url) inherited the core count, so local[16] unrolled 16
+    concurrent ~2.5 GB cache blocks and OOMed the 32 GB driver JVM
+    (BENCH/worker_err_crawl_wide_1787218761.log, 2026-08-20) while the
+    identical corpus at local[4] survived. pages_cache_partitions pins the
+    layout to the DATA; the crawl result must be byte-identical to the
+    oracle regardless of the count."""
+    eng = CrawlEngine(spark, _pages_df(spark, c), c.robots, c.hosts,
+                      tmp_warehouse, seeds=c.seeds,
+                      pages_cache_partitions=7)
+    assert eng.pages.rdd.getNumPartitions() == 7
+    eng.run()
+    assert eng.crawl_order() == sim.order
+    sim_seen = {(g, k) for g, ks in sim.url_seen.items() for k in ks}
+    assert eng.url_seen_set() == sim_seen
