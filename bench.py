@@ -210,7 +210,15 @@ def run_crawl_wide(master: str, n_hosts: int, sections: int = 8,
     narrower (driver createDataFrame upload)."""
     from disco_crawl_spark.engine import CrawlEngine
     from disco_crawl_spark.refsim import SimConfig
-    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
+    # 48g for BOTH legs of the wide rung: the 64000h corpus is ~41 GB
+    # in-cache, and at 32g the local[16] leg OOMs (16 concurrent
+    # SMJ+Arrow tasks squeezed against a storage pool pinned by the
+    # cache — BENCH/worker_err_crawl_wide_1787224724.log) while local[4]
+    # survives. A real N->4N cluster scales TOTAL memory 4x with the
+    # executors; a fixed single-JVM heap starves only the 4N leg — a
+    # proxy artifact, not a job property — so the heap is sized off the
+    # rung's working set and held IDENTICAL across legs.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     if shuffle_partitions:
         # production-faithful N->4N form: shuffle partitioning is sized to
         # the DATA and held IDENTICAL across cluster sizes, so the job is
@@ -759,14 +767,17 @@ def _write_scaling_report(this_run: "dict | None", corpus_pages: int,
             tbl = "\n".join(
                 f"| {r['ts']} | {round(r['c4_med'], 1)} | "
                 f"{round(r['c16_med'], 1)} | {round(e, 3)} | "
-                f"{round(h, 3)} |"
+                f"{round(h, 3)} | {r.get('note', '')} |"
                 for r, e, h in zip(rows, effs, hws))
             big_windows += (
                 f"\nPer-window OWN rates for `{rung}` (each row is one "
                 f"window's fresh measurement pair — unlike the merged "
-                f"history above, nothing here mixes windows):\n\n"
+                f"history above, nothing here mixes windows; `cache-fix` "
+                f"= post pages-cache-partition + 48g-heap windows, see "
+                f"BENCH/CRAWL_BISECT.md round-5):\n\n"
                 f"| window | local[4] med | local[16] med | eff raw "
-                f"(own) | hw ratio |\n|---|---|---|---|---|\n{tbl}\n\n"
+                f"(own) | hw ratio | note |\n|---|---|---|---|---|---|\n"
+                f"{tbl}\n\n"
                 f"**Own-window median eff: "
                 f"{round(statistics.median(effs), 3)}; pooled estimator "
                 f"median(c16)/(4*median(c4)) = {round(pooled, 3)} over "
