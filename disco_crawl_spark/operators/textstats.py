@@ -1657,3 +1657,135 @@ def temperature_mix(df: DataFrame, lang_col: str, id_col: str,
     return (sel.join(F.broadcast(tt), sel[lang_col] == tt["__lang"])
             .filter(F.col("rk") < F.col("thr"))
             .select(F.col(id_col), F.col(lang_col), "rk"))
+
+
+def phrase_search(df: DataFrame, text_col: str, id_col: str,
+                  phrase: "list[str]") -> DataFrame:
+    """Positional phrase query over the corpus — the exact-phrase
+    retrieval the reference delegates to Elasticsearch ``match_phrase``
+    (es_mapping.py text fields): count, per document, the occurrences of
+    ``phrase`` as CONSECUTIVE whitespace tokens (the ``inverted_index_
+    stats`` tokenization, so postings and phrase agree on positions).
+
+    Returns ``(id, n_matches)`` for documents with ≥1 occurrence.
+
+    Scale shape: the classic positional-postings adjacency join is
+    re-expressed as ONE aggregation — each posting whose term matches
+    phrase slot ``i`` emits the anchor ``pos - i``, and an anchor that
+    collects ALL ``len(phrase)`` distinct slots is a full occurrence
+    (repeated words in the phrase emit one row per slot they match, so
+    "the cat the" anchors correctly). The posting stream is filtered to
+    the phrase's word set BEFORE any exchange — only matching-term
+    postings ever shuffle, the per-(id, anchor) and per-id aggregations
+    are both map-side combinable, and there is no join, window, or sort
+    anywhere. At 100 TB the exchange carries (id, anchor, slot) triples
+    for phrase-vocabulary postings only — the same postings a term-
+    sharded ES index would touch, without materializing the index."""
+    if not phrase:
+        raise ValueError("phrase must be non-empty")
+    words = [w.lower() for w in phrase]
+    k = len(words)
+    # slot table as a row-local literal array: (slot i, word) pairs the
+    # posting probes with array_position-style matching in codegen
+    toks = _ws_tokens_nn(text_col)
+    posting = df.select(F.col(id_col).alias("__id"),
+                        F.posexplode(toks).alias("pos", "term"))
+    slots = F.array(*[
+        F.struct(F.lit(i).alias("i"), F.lit(w).alias("w"))
+        for i, w in enumerate(words)])
+    hits = (posting
+            .filter(F.col("term").isin(*set(words)))
+            .select("__id", "pos",
+                    F.explode(F.filter(slots,
+                                       lambda s: s["w"] == F.col("term")))
+                    .alias("s"))
+            .select("__id", (F.col("pos") - F.col("s.i")).alias("anchor"),
+                    F.col("s.i").alias("i")))
+    full = (hits.groupBy("__id", "anchor")
+            .agg(F.count_distinct("i").alias("nslots"))
+            .filter(F.col("nslots") == k))
+    return (full.groupBy("__id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_matches"))
+            .select(F.col("__id").alias(id_col), "n_matches"))
+
+
+def nfc_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Unicode-canonicalized exact dedup: collapse documents whose texts
+    are canonically equivalent (NFC — precomposed ``é`` vs ``e`` + U+0301
+    combining acute, singleton replacements) but byte-distinct, the
+    duplicate class raw ``dedup_exact`` misses on multi-encoder web
+    corpora (different extractors emit different normal forms of the
+    SAME page). The composed/decomposed split is real crawl data: NFC is
+    what the W3C charmod-norm spec asks producers for, and what half of
+    them skip.
+
+    Returns ``(nfc_md5, n_docs, n_raw_forms, keep_id)`` per normalized
+    class: total members, how many DISTINCT raw byte forms it collapses
+    (``n_raw_forms ≥ 2`` ⟺ raw dedup would have missed a pair), and the
+    smallest member id as the deterministic canonical survivor.
+
+    Scale shape: the normalization is a vectorized Arrow-batched pandas
+    UDF (``unicodedata.normalize`` has no Catalyst built-in — this is
+    the documented slow-path exception, one str pass per batch) computed
+    BESIDE the scan, then everything downstream is ONE hash aggregation
+    on the 32-byte normalized digest with map-side combine — the
+    exchange carries (digest, raw-digest, id), never text. The UDF is
+    the map stage of the dedup's own shuffle, so at 100 TB it pipelines
+    with the scan exactly like the MinHash kernel does."""
+    import unicodedata as _ud
+
+    @pandas_udf(StringType())
+    def _nfc(s: pd.Series) -> pd.Series:
+        return s.fillna("").map(lambda t: _ud.normalize("NFC", t))
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    keyed = df.select(F.col(id_col).alias("__id"),
+                      F.md5(_nfc(F.col(text_col))).alias("nfc_md5"),
+                      F.md5(t).alias("raw_md5"))
+    return (keyed.groupBy("nfc_md5")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.count_distinct("raw_md5").cast("long")
+                 .alias("n_raw_forms"),
+                 F.min("__id").alias("keep_id")))
+
+
+def vocab_drift_tvd(df: DataFrame, text_col: str, id_col: str,
+                    side_expr, top_k: int = 50) -> DataFrame:
+    """Corpus drift monitor: per-term total-variation contribution
+    between two corpus slices (dump N vs dump N+1, web vs curated, train
+    vs incoming) — the distribution-shift early-warning a training-data
+    pipeline runs before a new crawl wave is mixed in. ``side_expr`` is
+    a boolean column expression naming the A side.
+
+    Per term with counts ``a``/``b`` and slice totals ``A``/``B``, the
+    TVD contribution ``|a/A − b/B| / 2`` is computed as the single exact
+    integer division ``|a·B − b·A| · 10^6 div (2·A·B)`` (micros) — one
+    correctly-rounded-by-construction operation, no float subtraction of
+    near-equal frequencies (catastrophic cancellation is the classic bug
+    in drift monitors). BIGINT bound: ``|a·B−b·A|·10^6 < 2^63`` holds to
+    ~10^6-count terms against 10^6-token slices; beyond that switch the
+    two products to DECIMAL(38,0) — documented contract limit, same
+    class as growth_fit's. Returns the ``top_k`` most-drifted terms
+    ``(term, cnt_a, cnt_b, tvd_micro)`` with ``(tvd_micro DESC, term)``
+    as the exact deterministic order.
+
+    Scale shape: ONE (term)-keyed hash aggregation with map-side combine
+    (conditional sums fold both slices in a single pass — no per-slice
+    scan, no join), the two totals broadcast as a 1-row scalar, and the
+    top-k is a TakeOrdered over term-cardinality rows — corpus-sized
+    data crosses exactly one exchange, as (term, a, b) triples."""
+    side = F.when(side_expr, F.lit(1)).otherwise(F.lit(0))
+    toks = (df.select(side.alias("in_a"),
+                      F.explode(_ws_tokens_nn(text_col)).alias("term")))
+    per_term = (toks.groupBy("term")
+                .agg(F.sum("in_a").cast("long").alias("cnt_a"),
+                     F.sum(1 - F.col("in_a")).cast("long").alias("cnt_b")))
+    totals = per_term.agg(F.sum("cnt_a").alias("ta"),
+                          F.sum("cnt_b").alias("tb"))
+    return (per_term.crossJoin(F.broadcast(totals))
+            .select("term", "cnt_a", "cnt_b",
+                    F.expr("(abs(cnt_a * tb - cnt_b * ta) * 1000000) "
+                           "div (2 * ta * tb)")
+                    .cast("long").alias("tvd_micro"))
+            .orderBy(F.col("tvd_micro").desc(), "term")
+            .limit(int(top_k)))

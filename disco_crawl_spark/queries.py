@@ -5415,6 +5415,97 @@ def quality_percentile_gate_q(spark, sf):
                                              "n_chars", 300_000)
 
 
+@q("phrase_search", """
+WITH toks AS (
+  SELECT doc_id, unnest(a) AS term,
+         generate_subscripts(a, 1)::BIGINT AS pos
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(lower(coalesce(text, '')),
+                                              '\\s+'), x -> x <> '') AS a
+        FROM documents)),
+p(i, w) AS (VALUES (0::BIGINT, 'batch'), (1::BIGINT, 'batch')),
+hits AS (SELECT t.doc_id, t.pos - p.i AS anchor, p.i AS i
+         FROM toks t JOIN p ON t.term = p.w),
+anchors AS (SELECT doc_id, anchor FROM hits
+            GROUP BY doc_id, anchor HAVING count(DISTINCT i) = 2)
+SELECT doc_id, count(*)::BIGINT AS n_matches FROM anchors GROUP BY doc_id
+""")
+def phrase_search_q(spark, sf):
+    """Exact-phrase retrieval (ES match_phrase, es_mapping.py text
+    fields) as ONE aggregation over slot-anchored postings — no join,
+    window, or sort. The phrase is the repeated-word pair
+    ('batch', 'batch'), deliberately: repeated slots are where naive
+    positional-join implementations double-count or miss, and
+    occurrences overlap ('batch batch batch' = 2 matches) — the oracle
+    mirrors the same anchor/coverage algebra."""
+    d = _t(spark, sf, "documents")
+    return textstats.phrase_search(d, "text", "doc_id",
+                                   ["batch", "batch"])
+
+
+@q("dedup_exact_nfc", """
+WITH v(vid, sfx) AS (VALUES (0, chr(233)), (1, 'e' || chr(769)),
+                            (2, 'e')),
+x AS (SELECT doc_id * 3 + vid AS id, text || ' caf' || sfx AS t
+      FROM documents, v),
+k AS (SELECT id, md5(nfc_normalize(t)) AS nfc_md5, md5(t) AS raw_md5
+      FROM x)
+SELECT nfc_md5, count(*)::BIGINT AS n_docs,
+       count(DISTINCT raw_md5)::BIGINT AS n_raw_forms,
+       min(id) AS keep_id
+FROM k GROUP BY nfc_md5
+""")
+def dedup_exact_nfc_q(spark, sf):
+    """Unicode-canonicalized dedup over a deterministic NFC-variant
+    corpus: each document emits three byte-variants — precomposed
+    U+00E9, decomposed e+U+0301 (canonically EQUAL, byte-distinct), and
+    plain ASCII 'e' (distinct) — so every doc yields exactly one
+    2-member NFC class raw dedup would miss and one singleton. Spark
+    normalizes with the Arrow-batched unicodedata UDF; the oracle with
+    DuckDB's utf8proc nfc_normalize — agreement IS the evidence the two
+    Unicode implementations canonicalize identically."""
+    d = _t(spark, sf, "documents")
+    variants = F.array(
+        F.struct(F.lit(0).alias("v"), F.lit("\u00e9").alias("sfx")),
+        F.struct(F.lit(1).alias("v"), F.lit("e\u0301").alias("sfx")),
+        F.struct(F.lit(2).alias("v"), F.lit("e").alias("sfx")))
+    x = (d.select("doc_id", "text", F.explode(variants).alias("s"))
+         .select((F.col("doc_id") * 3 + F.col("s.v")).alias("id"),
+                 F.concat(F.col("text"), F.lit(" caf"),
+                          F.col("s.sfx")).alias("t")))
+    return textstats.nfc_dedup(x, "t", "id")
+
+
+@q("vocab_drift", """
+WITH toks AS (
+  SELECT CASE WHEN substring(source, 4)::INT % 2 = 0 THEN 1 ELSE 0 END
+           AS in_a,
+         unnest(list_filter(string_split_regex(lower(coalesce(text, '')),
+                                               '\\s+'), x -> x <> ''))
+           AS term
+  FROM documents),
+per_term AS (SELECT term, sum(in_a)::BIGINT AS cnt_a,
+                    sum(1 - in_a)::BIGINT AS cnt_b
+             FROM toks GROUP BY term),
+tot AS (SELECT sum(cnt_a)::BIGINT AS ta, sum(cnt_b)::BIGINT AS tb
+        FROM per_term)
+SELECT term, cnt_a, cnt_b,
+       ((abs(cnt_a * tb - cnt_b * ta) * 1000000)
+        // (2 * ta * tb))::BIGINT AS tvd_micro
+FROM per_term, tot
+ORDER BY tvd_micro DESC, term LIMIT 50
+""")
+def vocab_drift_q(spark, sf):
+    """Corpus drift monitor between the even- and odd-numbered sources:
+    top-50 terms by exact fixed-point total-variation contribution —
+    the distribution-shift gate a pipeline runs before mixing a new
+    crawl wave into training data."""
+    d = _t(spark, sf, "documents")
+    return textstats.vocab_drift_tvd(
+        d, "text", "doc_id",
+        F.substring("source", 4, 10).cast("int") % 2 == 0, top_k=50)
+
+
 # ===========================================================================
 # flagship (entry): dedup + quality + language over documents
 # ===========================================================================

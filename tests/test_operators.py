@@ -2929,3 +2929,76 @@ def test_degree_powerlaw_hand_math(spark):
     rin = {r["degree"]: r["n_nodes"] for r in
            graph.degree_powerlaw(edges, direction="in").collect()}
     assert rin == {2: 2, 1: 1}
+
+
+def test_phrase_search_anchors_overlaps_and_repeats(spark):
+    """Slot-anchored phrase matching: overlapping occurrences count,
+    repeated phrase words anchor correctly, partial prefixes and NULL
+    text never match, tokenization is case-folded."""
+    rows = [
+        (1, "a b c a b c a b"),    # "a b c" at pos 0 and 3
+        (2, "batch batch batch"),  # "batch batch" overlaps: 2 matches
+        (3, "a b a c"),            # prefix only, no full occurrence
+        (4, "x a b c y"),          # interior match
+        (5, None),
+        (6, "A B C"),              # case-folded
+        (7, "a b a b a"),          # for phrase "a b a": pos 0 and 2
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r["n_matches"] for r in
+           textstats.phrase_search(df, "text", "doc_id",
+                                   ["a", "b", "c"]).collect()}
+    assert got == {1: 2, 4: 1, 6: 1}
+    got2 = {r["doc_id"]: r["n_matches"] for r in
+            textstats.phrase_search(df, "text", "doc_id",
+                                    ["batch", "batch"]).collect()}
+    assert got2 == {2: 2}
+    got3 = {r["doc_id"]: r["n_matches"] for r in
+            textstats.phrase_search(df, "text", "doc_id",
+                                    ["a", "b", "a"]).collect()}
+    assert got3 == {3: 1, 7: 2}  # "a b a c" contains one "a b a"
+    with pytest.raises(ValueError):
+        textstats.phrase_search(df, "text", "doc_id", [])
+
+
+def test_nfc_dedup_collapses_canonical_equivalents(spark):
+    """NFC classes: precomposed vs combining-mark forms and singleton
+    substitutions (U+212B ANGSTROM SIGN -> U+00C5) collapse; plain-ASCII
+    lookalikes do not; NULL reads as the empty document."""
+    rows = [
+        (1, "café"),     # precomposed
+        (2, "café"),    # decomposed — NFC-equal to 1
+        (3, "cafe"),          # ASCII, distinct
+        (4, None),            # -> ""
+        (5, ""),              # same class as 4, same raw bytes
+        (6, "Ångström"),  # ANGSTROM SIGN singleton
+        (7, "Ångström"),  # precomposed A-ring — NFC-equal to 6
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = textstats.nfc_dedup(df, "text", "doc_id").collect()
+    by_keep = {r["keep_id"]: r for r in out}
+    assert len(out) == 4
+    assert (by_keep[1]["n_docs"], by_keep[1]["n_raw_forms"]) == (2, 2)
+    assert (by_keep[3]["n_docs"], by_keep[3]["n_raw_forms"]) == (1, 1)
+    # NULL and "" share the class AND the raw byte form
+    assert (by_keep[4]["n_docs"], by_keep[4]["n_raw_forms"]) == (2, 1)
+    assert (by_keep[6]["n_docs"], by_keep[6]["n_raw_forms"]) == (2, 2)
+
+
+def test_vocab_drift_tvd_hand_math(spark):
+    """Exact fixed-point TVD contributions: |a·B − b·A|·10^6 div (2AB),
+    deterministic (tvd DESC, term) order, top_k limit."""
+    rows = [
+        (1, "x x y", "a"),
+        (2, "x y y y", "b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string, side string")
+    out = textstats.vocab_drift_tvd(df, "text", "doc_id",
+                                    F.col("side") == "a").collect()
+    # ta=3 (x,x,y), tb=4 (x,y,y,y); both terms: |Δ|=5 → 5e6 // 24
+    assert [(r["term"], r["cnt_a"], r["cnt_b"], r["tvd_micro"])
+            for r in out] == [("x", 2, 1, 208333), ("y", 1, 3, 208333)]
+    top1 = textstats.vocab_drift_tvd(df, "text", "doc_id",
+                                     F.col("side") == "a",
+                                     top_k=1).collect()
+    assert [r["term"] for r in top1] == ["x"]
