@@ -66,7 +66,7 @@ HEADLINE = [
     "robots_cache_plan", "next_round_plan",
     "harmonic_centrality", "cdc_chunks", "warc_revisit_dedup", "pld_rollup",
     "temperature_mix", "degree_powerlaw",
-    "phrase_search", "dedup_exact_nfc", "vocab_drift",
+    "phrase_search", "dedup_exact_nfc", "vocab_drift", "fingerprint_overlap",
 ]
 
 # bench corpus: ~130 crawlable hosts, ALL seeded so parallelism is maximal

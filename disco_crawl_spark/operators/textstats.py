@@ -675,8 +675,35 @@ def make_fingerprint_udf(k: int = 5, window: int = 4):
 
 def fingerprints(df: DataFrame, text_col: str, id_col: str,
                  k: int = 5, window: int = 4) -> DataFrame:
-    fp = make_fingerprint_udf(k, window)
-    return df.select(F.col(id_col), fp(F.col(text_col)).alias("fingerprint"))
+    """Winnowing document sketches (Schleimer et al. 2003), pure
+    Catalyst: k-gram construction, 63-bit md5 hash, sliding-window min,
+    and distinct-sort all run ROW-LOCALLY in whole-stage codegen —
+    no UDF, no Arrow transfer, no shuffle of any kind (the pandas-UDF
+    reference kernel survives as ``make_fingerprint_udf``, pinned equal
+    by the parity unit test). The 64-bit hex hash is assembled as
+    ``hi60·8 + lo4>>1`` — two 15+1-hex ``conv`` reads — because a full
+    16-hex conv overflows BIGINT before the ``>>1`` can drop the sign
+    bit; the algebra is exactly ``int(hex16, 16) >> 1``."""
+    toks = _ws_tokens_nn(text_col)
+    n_g = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
+    grams = F.when(n_g > 0, F.transform(
+        F.sequence(F.lit(1), n_g),
+        lambda i: F.array_join(F.slice(toks, i, k), " "))
+    ).otherwise(F.array().cast("array<string>"))
+
+    def _h(g):
+        m = F.md5(g)
+        hi = F.conv(F.substring(m, 1, 15), 16, 10).cast("long")
+        lo = F.conv(F.substring(m, 16, 1), 16, 10).cast("long")
+        return hi * 8 + F.shiftright(lo, 1)
+
+    hs = F.transform(grams, _h)
+    n_w = F.greatest(F.size(hs) - F.lit(window - 1), F.lit(1))
+    picks = F.when(F.size(hs) > 0, F.array_sort(F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n_w),
+                    lambda i: F.array_min(F.slice(hs, i, window)))))
+    ).otherwise(F.array().cast("array<long>"))
+    return df.select(F.col(id_col), picks.alias("fingerprint"))
 
 
 def fingerprint_overlap_pairs(df: DataFrame, text_col: str, id_col: str,

@@ -3002,3 +3002,23 @@ def test_vocab_drift_tvd_hand_math(spark):
                                      F.col("side") == "a",
                                      top_k=1).collect()
     assert [r["term"] for r in top1] == ["x"]
+
+
+def test_fingerprints_catalyst_matches_udf_kernel(spark, docs):
+    """The pure-Catalyst winnowing sketch is bit-identical to the
+    pandas-UDF reference kernel on every fixture doc (incl. empty,
+    sub-k-token, and sub-window-gram documents)."""
+    fp_udf = textstats.make_fingerprint_udf(5, 4)
+    ref = {r["doc_id"]: r["fp"] for r in
+           docs.select("doc_id", fp_udf("text").alias("fp")).collect()}
+    got = {r["doc_id"]: r["fingerprint"] for r in
+           textstats.fingerprints(docs, "text", "doc_id").collect()}
+    assert got == ref
+    # non-default (k, window) too
+    fp_udf2 = textstats.make_fingerprint_udf(2, 7)
+    ref2 = {r["doc_id"]: r["fp"] for r in
+            docs.select("doc_id", fp_udf2("text").alias("fp")).collect()}
+    got2 = {r["doc_id"]: r["fingerprint"] for r in
+            textstats.fingerprints(docs, "text", "doc_id",
+                                   k=2, window=7).collect()}
+    assert got2 == ref2
