@@ -1816,3 +1816,39 @@ def vocab_drift_tvd(df: DataFrame, text_col: str, id_col: str,
                     .cast("long").alias("tvd_micro"))
             .orderBy(F.col("tvd_micro").desc(), "term")
             .limit(int(top_k)))
+
+
+def good_turing_novelty(df: DataFrame, text_col: str, id_col: str,
+                        group_col: str) -> DataFrame:
+    """Good-Turing novelty monitor per corpus slice: the probability
+    that the NEXT document drawn from a source is content never seen
+    before, estimated by the missing-mass rule ``f1/N`` (Good 1953 —
+    the fraction of singleton content hashes). A crawl steward reads
+    this per host/source as the keep-crawling signal: novelty near 0
+    means the source is exhausted (every new fetch duplicates known
+    content), novelty near 1 means untapped; ``round_novelty`` measures
+    the same idea across ROUNDS, this across SLICES, from counts alone.
+
+    Returns ``(grp, n_docs, n_distinct, f1, f2, p_new_micro)`` —
+    singleton/doubleton hash counts (f2 feeds the Simple-Good-Turing
+    smoothing a consumer may apply) and the missing mass in exact
+    fixed-point micros (``f1·10^6 div N``).
+
+    Scale shape: TWO map-side-combinable hash aggregations — (grp,
+    content-hash) counts, then the per-grp rollup — shuffling first
+    (grp, 16-byte digest) pairs and then per-grp scalars; the digest
+    agg is the SAME exchange ``dedup.exact_dedup`` runs, so a pipeline
+    computes both for one shuffle. All built-ins, all integers."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    per_hash = (df.select(F.col(group_col).alias("grp"),
+                          F.md5(t).alias("h"))
+                .groupBy("grp", "h")
+                .agg(F.count(F.lit(1)).alias("c")))
+    return (per_hash.groupBy("grp")
+            .agg(F.sum("c").cast("long").alias("n_docs"),
+                 F.count(F.lit(1)).cast("long").alias("n_distinct"),
+                 F.sum((F.col("c") == 1).cast("long")).alias("f1"),
+                 F.sum((F.col("c") == 2).cast("long")).alias("f2"))
+            .select("grp", "n_docs", "n_distinct", "f1", "f2",
+                    F.expr("(f1 * 1000000) div n_docs").cast("long")
+                    .alias("p_new_micro")))

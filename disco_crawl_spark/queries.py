@@ -5506,6 +5506,119 @@ def vocab_drift_q(spark, sf):
         F.substring("source", 4, 10).cast("int") % 2 == 0, top_k=50)
 
 
+@q("hreflang_variants", r"""
+WITH b AS (
+  SELECT 'https://h' || (user_id % 40) || '.example/p' || event_id AS url,
+         CASE WHEN event_id % 4 = 0 THEN
+                '<html><head>'
+                || '<link rel="alternate" hreflang="en" href="https://ex/en/p'
+                || event_id || '">'
+                || '<link hreflang="DE" href="https://ex/de/p' || event_id
+                || '" rel="alternate">'
+                || '<link rel="alternate" hreflang="x-default" '
+                || 'href="https://ex/p' || event_id || '">'
+                || '</head></html>'
+              WHEN event_id % 4 = 1 THEN
+                '<html><head>'
+                || '<link rel=''alternate'' hreflang=''fr'' '
+                || 'href=''https://ex/fr/p' || event_id || '''>'
+                || '<link rel=alternate hreflang=pt-br '
+                || 'href=https://ex/pt/p' || event_id || '>'
+                || '</head></html>'
+              WHEN event_id % 4 = 2 THEN
+                '<html><head><link rel="canonical" href="https://ex/c'
+                || event_id || '"></head></html>'
+              ELSE '<html><head><title>t</title></head></html>' END AS html
+  FROM events),
+c AS (
+  SELECT url, list_filter(list_transform(
+    list_filter(regexp_extract_all(html, '(?i)<link[^>]*>'),
+      t -> regexp_matches(t,
+        '(?i)rel\s*=\s*("alternate"|''alternate''|alternate[\s/>])')),
+    t -> struct_pack(
+      lang := lower(nullif(coalesce(
+        nullif(regexp_extract(t, '(?i)hreflang\s*=\s*"([^"]*)"', 1), ''),
+        nullif(regexp_extract(t, '(?i)hreflang\s*=\s*''([^'']*)''', 1), ''),
+        nullif(regexp_extract(t,
+          '(?i)hreflang\s*=\s*([^\s"''>/][^\s>]*)', 1), ''), ''), '')),
+      href := nullif(coalesce(
+        nullif(regexp_extract(t, '(?i)href\s*=\s*"([^"]*)"', 1), ''),
+        nullif(regexp_extract(t, '(?i)href\s*=\s*''([^'']*)''', 1), ''),
+        nullif(regexp_extract(t,
+          '(?i)href\s*=\s*([^\s"''>/][^\s>]*)', 1), ''), ''), ''))),
+    s -> s.lang IS NOT NULL AND s.href IS NOT NULL) AS alts
+  FROM b)
+SELECT url, len(alts)::BIGINT AS n_variants,
+  coalesce(
+    list_min(list_transform(list_filter(alts, s -> s.lang = 'x-default'),
+                            s -> s.href)),
+    list_min(list_transform(alts, s -> s.href)),
+    url) AS canonical_variant,
+  (len(list_filter(alts, s -> s.lang = 'x-default')) > 0)::INT
+    AS has_x_default,
+  (len(alts) > 0)::INT AS declared
+FROM c
+""")
+def hreflang_variants_q(spark, sf):
+    """Language-variant collapse over synthesized heads: both attribute
+    orders, single/double/unquoted values, case-folded hreflang,
+    x-default election, rel=canonical tags correctly ignored, and
+    undeclared pages electing themselves."""
+    e = _t(spark, sf, "events")
+    eid = F.col("event_id").cast("string")
+    url = F.concat(F.lit("https://h"), (F.col("user_id") % 40).cast("string"),
+                   F.lit(".example/p"), eid)
+    html = (F.when(F.col("event_id") % 4 == 0, F.concat(
+        F.lit('<html><head>'
+              '<link rel="alternate" hreflang="en" href="https://ex/en/p'),
+        eid, F.lit('">'
+                   '<link hreflang="DE" href="https://ex/de/p'), eid,
+        F.lit('" rel="alternate">'
+              '<link rel="alternate" hreflang="x-default" '
+              'href="https://ex/p'), eid, F.lit('"></head></html>')))
+        .when(F.col("event_id") % 4 == 1, F.concat(
+            F.lit("<html><head>"
+                  "<link rel='alternate' hreflang='fr' "
+                  "href='https://ex/fr/p"), eid, F.lit("'>"
+                  "<link rel=alternate hreflang=pt-br "
+                  "href=https://ex/pt/p"), eid, F.lit("></head></html>")))
+        .when(F.col("event_id") % 4 == 2, F.concat(
+            F.lit('<html><head><link rel="canonical" href="https://ex/c'),
+            eid, F.lit('"></head></html>')))
+        .otherwise(F.lit("<html><head><title>t</title></head></html>")))
+    b = e.select(url.alias("url"), html.alias("html"))
+    return sources.hreflang_alternates(b, "url", "html")
+
+
+@q("good_turing_novelty", """
+WITH x AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 5 < 3 THEN text
+              ELSE 'dup-' || (doc_id % 7) END AS t
+  FROM documents),
+per_hash AS (SELECT source AS grp, md5(coalesce(t, '')) AS h,
+                    count(*)::BIGINT AS c
+             FROM x GROUP BY 1, 2)
+SELECT grp, sum(c)::BIGINT AS n_docs, count(*)::BIGINT AS n_distinct,
+       sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS f1,
+       sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)::BIGINT AS f2,
+       ((sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000)
+        // sum(c))::BIGINT AS p_new_micro
+FROM per_hash GROUP BY grp
+""")
+def good_turing_novelty_q(spark, sf):
+    """Good-Turing missing-mass novelty per source over a corpus with a
+    planted duplicate pool (2/5 of docs collapse onto 7 boilerplate
+    strings): the keep-crawling signal, from counts alone."""
+    d = _t(spark, sf, "documents")
+    x = d.select("doc_id", "source",
+                 F.when(F.col("doc_id") % 5 < 3, F.col("text"))
+                 .otherwise(F.concat(F.lit("dup-"),
+                                     (F.col("doc_id") % 7).cast("string")))
+                 .alias("t"))
+    return textstats.good_turing_novelty(x, "t", "doc_id", "source")
+
+
 # ===========================================================================
 # flagship (entry): dedup + quality + language over documents
 # ===========================================================================

@@ -505,3 +505,64 @@ def warc_revisit_records(df: DataFrame, url_col: str = "url",
         .otherwise(w_url).alias("refers_to_url"),
         F.when(is_first, F.lit(None).cast("timestamp"))
         .otherwise(w_ts).alias("refers_to_ts"))
+
+
+def hreflang_alternates(df: DataFrame, url_col: str = "url",
+                        html_col: str = "html") -> DataFrame:
+    """Extract each page's declared ``<link rel="alternate"
+    hreflang=...>`` language-variant set and elect the variant the
+    frontier should charge — the multilingual sibling of
+    ``rel_canonical_map``: a site that publishes /en/ /de/ /fr/ copies
+    of every page declares them mutually, so a polite crawler can
+    collapse the variant set to ONE frontier key instead of fetching
+    every language (the reference fetches them all; worker.py has no
+    alternate handling). Election: the ``x-default`` href when declared
+    (the search-engine convention for the canonical fallback), else the
+    lexicographically smallest variant href, else the page itself.
+
+    Returns ``(url, n_variants, canonical_variant, has_x_default,
+    declared)`` — one row per input page, undeclared pages electing
+    themselves with ``declared = 0``.
+
+    Same contract as the other head-parsing projections
+    (``rel_canonical_map``, ``meta_robots_flags``): pure-regexp tag
+    scan in codegen beside the fetch — both attribute orders,
+    single/double/unquoted values, case-insensitive — no HTML library,
+    no UDF. The only exchange is ONE hash aggregation keyed on the URL,
+    the key the frontier shuffles on anyway."""
+    h = F.col(html_col).cast("string")
+    tags = F.regexp_extract_all(h, F.lit("(?i)<link[^>]*>"), F.lit(0))
+    is_alt = "(?i)rel\\s*=\\s*(\"alternate\"|'alternate'|alternate[\\s/>])"
+
+    def _attr(t, name):
+        return F.nullif(F.coalesce(
+            F.nullif(F.regexp_extract(
+                t, '(?i)' + name + '\\s*=\\s*"([^"]*)"', 1), F.lit("")),
+            F.nullif(F.regexp_extract(
+                t, "(?i)" + name + "\\s*=\\s*'([^']*)'", 1), F.lit("")),
+            F.nullif(F.regexp_extract(
+                t, '(?i)' + name + '\\s*=\\s*([^\\s"\'>/][^\\s>]*)', 1),
+                F.lit("")),
+            F.lit("")), F.lit(""))
+
+    alts = F.filter(
+        F.transform(
+            F.filter(tags, lambda t: t.rlike(is_alt)),
+            lambda t: F.struct(F.lower(_attr(t, "hreflang")).alias("lang"),
+                               _attr(t, "href").alias("href"))),
+        lambda s: s["lang"].isNotNull() & s["href"].isNotNull())
+    ex = df.select(F.col(url_col).alias("url"),
+                   F.explode_outer(alts).alias("a"))
+    agg = (ex.groupBy("url")
+           .agg(F.count("a.href").cast("long").alias("n_variants"),
+                F.max((F.col("a.lang") == "x-default").cast("int"))
+                .alias("has_x_default"),
+                F.min(F.when(F.col("a.lang") == "x-default",
+                             F.col("a.href"))).alias("__xd"),
+                F.min("a.href").alias("__any")))
+    return agg.select(
+        "url", "n_variants",
+        F.coalesce("__xd", "__any", "url").alias("canonical_variant"),
+        F.coalesce("has_x_default", F.lit(0)).cast("int")
+        .alias("has_x_default"),
+        (F.col("n_variants") > 0).cast("int").alias("declared"))

@@ -3022,3 +3022,54 @@ def test_fingerprints_catalyst_matches_udf_kernel(spark, docs):
             textstats.fingerprints(docs, "text", "doc_id",
                                    k=2, window=7).collect()}
     assert got2 == ref2
+
+
+def test_hreflang_alternates_orders_quotes_election(spark):
+    """Variant extraction: both attribute orders, quote styles, case
+    folding, x-default election, canonical-tag immunity, hreflang-less
+    link immunity, and self-election for undeclared pages."""
+    from disco_crawl_spark import sources
+    rows = [
+        (1, "u1", '<head><link rel="alternate" hreflang="EN" '
+                  'href="https://x/en"><link href="https://x/dflt" '
+                  'hreflang="x-default" rel="alternate"></head>'),
+        (2, "u2", "<head><link rel='alternate' hreflang='de' "
+                  "href='https://x/de'>"
+                  "<link rel=alternate hreflang=fr href=https://x/fr>"
+                  "</head>"),
+        (3, "u3", '<head><link rel="canonical" href="https://x/c">'
+                  '<link rel="alternate" type="application/rss+xml" '
+                  'href="https://x/feed"></head>'),
+        (4, "u4", "<head><title>t</title></head>"),
+        (5, "u5", '<head><link rel="alternate" hreflang="es"></head>'),
+    ]
+    df = spark.createDataFrame(rows, "id int, url string, html string")
+    got = {r["url"]: r for r in
+           sources.hreflang_alternates(df).collect()}
+    assert (got["u1"]["n_variants"], got["u1"]["has_x_default"],
+            got["u1"]["canonical_variant"]) == (2, 1, "https://x/dflt")
+    # no x-default -> smallest variant href wins
+    assert (got["u2"]["n_variants"], got["u2"]["has_x_default"],
+            got["u2"]["canonical_variant"]) == (2, 0, "https://x/de")
+    # canonical and rss alternates never count; hreflang-less, href-less
+    # and undeclared pages elect themselves
+    for u in ("u3", "u4", "u5"):
+        assert (got[u]["n_variants"], got[u]["declared"],
+                got[u]["canonical_variant"]) == (0, 0, u)
+
+
+def test_good_turing_novelty_hand_counts(spark):
+    """f1/N missing mass: planted singleton/doubleton/tripleton mix."""
+    rows = [(1, "a", "s1"), (2, "a", "s2"), (3, "a", "dup"),
+            (4, "a", "dup"), (5, "a", None),
+            (6, "b", "t"), (7, "b", "t"), (8, "b", "t")]
+    df = spark.createDataFrame(rows, "doc_id int, src string, text string")
+    got = {r["grp"]: r for r in
+           textstats.good_turing_novelty(df, "text", "doc_id",
+                                         "src").collect()}
+    # a: hashes {s1:1, s2:1, dup:2, "":1} -> N=5, distinct=4, f1=3, f2=1
+    assert (got["a"]["n_docs"], got["a"]["n_distinct"], got["a"]["f1"],
+            got["a"]["f2"], got["a"]["p_new_micro"]) == (5, 4, 3, 1, 600000)
+    # b: one tripleton -> f1=f2=0, novelty 0
+    assert (got["b"]["n_docs"], got["b"]["n_distinct"], got["b"]["f1"],
+            got["b"]["f2"], got["b"]["p_new_micro"]) == (3, 1, 0, 0, 0)
