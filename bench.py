@@ -67,7 +67,7 @@ HEADLINE = [
     "harmonic_centrality", "cdc_chunks", "warc_revisit_dedup", "pld_rollup",
     "temperature_mix", "degree_powerlaw",
     "phrase_search", "dedup_exact_nfc", "vocab_drift", "fingerprint_overlap",
-    "hreflang_variants", "good_turing_novelty",
+    "hreflang_variants", "good_turing_novelty", "minhash_calibration",
 ]
 
 # bench corpus: ~130 crawlable hosts, ALL seeded so parallelism is maximal

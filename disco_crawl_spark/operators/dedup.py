@@ -947,3 +947,76 @@ def cdc_chunks(df: DataFrame, text_col: str, id_col: str,
     return (df.select(F.col(id_col).alias(id_col),
                       F.col(text_col).alias(text_col))
             .mapInPandas(gen, schema=out_schema))
+
+
+def minhash_calibration(df: DataFrame, text_col: str, id_col: str,
+                        n_perms: int = 16, bands: int = 4,
+                        sample: int = 60, seed: int = 42) -> DataFrame:
+    """MinHash/LSH parameter calibration: on a deterministic capped
+    sample, compute for EVERY pair both the exact token Jaccard and what
+    the (n_perms, bands)-configured sketch would estimate — the
+    estimator-vs-truth table that answers "are my bands catching the
+    near-dups I mean to catch?" BEFORE a corpus-scale ``dedup_minhash_
+    lsh`` run is committed to. Returns ``(a, b, jacc_micro, est_micro,
+    band_hit)`` for sample pairs; consumers bin est vs jacc for the
+    calibration curve and read band_hit's recall at their duplicate
+    threshold.
+
+    Everything is exact integers: the signature's per-permutation hash
+    is the 60-bit md5-prefix read (the cms_heavy_hitters idiom — no
+    xxhash dependency, so the estimate itself is cross-engine
+    reproducible and exactly oracled, unlike the production sketch's
+    xxhash kernel), jaccard and estimate are single ``div`` micros.
+
+    Scale shape: signatures are ROW-LOCAL array algebra in codegen
+    (transform/array_min over the token array — no explode, no
+    shuffle); the all-pairs join is bounded by ``sample^2`` BY
+    CONSTRUCTION (the md5-ranked cap runs as a TakeOrdered, never a
+    global sort window) — this is a calibration probe over ~10^3 pairs,
+    deliberately NOT the banded production join it calibrates."""
+    if n_perms % bands:
+        raise ValueError("bands must divide n_perms")
+    r = n_perms // bands
+    key = F.md5(F.concat_ws("|", F.lit(str(seed)),
+                            F.col(id_col).cast("string")))
+    toks = F.array_distinct(F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda x: x != ""))
+
+    def _h(p, t):
+        return F.conv(F.substring(
+            F.md5(F.concat_ws("|", p.cast("string"), t)), 1, 15),
+            16, 10).cast("long")
+
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(n_perms - 1)),
+        lambda p: F.array_min(F.transform(F.col("__t"),
+                                          lambda t: _h(p, t))))
+    s = (df.select(F.col(id_col).alias("__id"), toks.alias("__t"))
+         .filter(F.size("__t") > 0)
+         .orderBy(key, F.col(id_col)).limit(int(sample))
+         .select("__id", "__t", sig.alias("__s")))
+    a = s.select(F.col("__id").alias("a"), F.col("__t").alias("ta"),
+                 F.col("__s").alias("sa"))
+    b = s.select(F.col("__id").alias("b"), F.col("__t").alias("tb"),
+                 F.col("__s").alias("sb"))
+    pairs = a.join(F.broadcast(b), F.col("a") < F.col("b"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    union = F.size("ta") + F.size("tb") - inter
+    agree = F.size(F.filter(
+        F.sequence(F.lit(0), F.lit(n_perms - 1)),
+        lambda i: F.element_at("sa", i + 1) == F.element_at("sb", i + 1)))
+    band_hit = F.size(F.filter(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda bb: F.size(F.filter(
+            F.sequence(F.lit(0), F.lit(r - 1)),
+            lambda j: F.element_at("sa", bb * r + j + 1)
+            == F.element_at("sb", bb * r + j + 1))) == r)) > 0
+    return pairs.select(
+        "a", "b",
+        F.expr(f"(size(array_intersect(ta, tb)) * 1000000) div "
+               f"(size(ta) + size(tb) - size(array_intersect(ta, tb)))")
+        .cast("long").alias("jacc_micro"),
+        (agree * F.lit(1000000) / F.lit(n_perms)).cast("long")
+        .alias("est_micro"),
+        band_hit.cast("int").alias("band_hit"))

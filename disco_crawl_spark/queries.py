@@ -5619,6 +5619,45 @@ def good_turing_novelty_q(spark, sf):
     return textstats.good_turing_novelty(x, "t", "doc_id", "source")
 
 
+@q("minhash_calibration", r"""
+WITH t0 AS (
+  SELECT doc_id AS id,
+         list_distinct(list_filter(
+           string_split_regex(lower(coalesce(text, '')), '\s+'),
+           x -> x <> '')) AS t
+  FROM documents),
+t1 AS (SELECT * FROM t0 WHERE len(t) > 0
+       ORDER BY md5('42|' || id::VARCHAR), id LIMIT 60),
+sg AS (SELECT id, t,
+         list_transform(range(16), p ->
+           list_min(list_transform(t, tok ->
+             ('0x' || substr(md5(p::VARCHAR || '|' || tok), 1, 15))
+               ::UBIGINT))) AS s
+       FROM t1),
+p AS (SELECT a.id AS a, b.id AS b, a.t AS ta, b.t AS tb,
+             a.s AS sa, b.s AS sb
+      FROM sg a JOIN sg b ON a.id < b.id)
+SELECT a, b,
+  ((len(list_intersect(ta, tb)) * 1000000)
+   // (len(ta) + len(tb) - len(list_intersect(ta, tb))))::BIGINT
+    AS jacc_micro,
+  ((len(list_filter(range(16), i -> sa[i+1] = sb[i+1])) * 1000000)
+   // 16)::BIGINT AS est_micro,
+  (len(list_filter(range(4), bb ->
+     len(list_filter(range(4), j -> sa[bb*4+j+1] = sb[bb*4+j+1])) = 4))
+   > 0)::INT AS band_hit
+FROM p
+""")
+def minhash_calibration_q(spark, sf):
+    """Estimator-vs-truth calibration table for the MinHash/LSH dedup
+    config (16 perms, 4 bands of 4) on a deterministic 60-doc sample:
+    exact Jaccard, sketch estimate, and band recall per pair — the
+    pre-flight check before a corpus-scale dedup_minhash_lsh run."""
+    d = _t(spark, sf, "documents")
+    return dedup.minhash_calibration(d, "text", "doc_id",
+                                     n_perms=16, bands=4, sample=60)
+
+
 # ===========================================================================
 # flagship (entry): dedup + quality + language over documents
 # ===========================================================================

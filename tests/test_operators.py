@@ -3073,3 +3073,24 @@ def test_good_turing_novelty_hand_counts(spark):
     # b: one tripleton -> f1=f2=0, novelty 0
     assert (got["b"]["n_docs"], got["b"]["n_distinct"], got["b"]["f1"],
             got["b"]["f2"], got["b"]["p_new_micro"]) == (3, 1, 0, 0, 0)
+
+
+def test_minhash_calibration_exact_cases(spark):
+    """Identical docs estimate 1.0 with band hit; disjoint docs 0/0/0;
+    near-dups land between; empty docs are excluded from the sample."""
+    rows = [(1, "a b c d"), (2, "a b c d"), (3, "a b c e"),
+            (4, "x y z w"), (5, "")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {(r["a"], r["b"]): r for r in
+           dedup.minhash_calibration(df, "text", "doc_id", n_perms=16,
+                                     bands=4, sample=10).collect()}
+    assert len(out) == 6  # C(4,2): the empty doc never enters
+    assert (out[(1, 2)]["jacc_micro"], out[(1, 2)]["est_micro"],
+            out[(1, 2)]["band_hit"]) == (1000000, 1000000, 1)
+    assert out[(1, 3)]["jacc_micro"] == 600000  # |{a,b,c}|/|{a,b,c,d,e}|
+    assert 0 < out[(1, 3)]["est_micro"] <= 1000000
+    assert (out[(1, 4)]["jacc_micro"], out[(1, 4)]["est_micro"],
+            out[(1, 4)]["band_hit"]) == (0, 0, 0)
+    with pytest.raises(ValueError):
+        dedup.minhash_calibration(df, "text", "doc_id", n_perms=16,
+                                  bands=5)
