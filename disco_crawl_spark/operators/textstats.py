@@ -677,7 +677,7 @@ def fingerprints(df: DataFrame, text_col: str, id_col: str,
                  k: int = 5, window: int = 4) -> DataFrame:
     """Winnowing document sketches (Schleimer et al. 2003), pure
     Catalyst: k-gram construction, 63-bit md5 hash, sliding-window min,
-    and distinct-sort all run ROW-LOCALLY in whole-stage codegen —
+    and distinct-sort all run ROW-LOCALLY as JVM array expressions —
     no UDF, no Arrow transfer, no shuffle of any kind (the pandas-UDF
     reference kernel survives as ``make_fingerprint_udf``, pinned equal
     by the parity unit test). The 64-bit hex hash is assembled as
@@ -685,11 +685,6 @@ def fingerprints(df: DataFrame, text_col: str, id_col: str,
     16-hex conv overflows BIGINT before the ``>>1`` can drop the sign
     bit; the algebra is exactly ``int(hex16, 16) >> 1``."""
     toks = _ws_tokens_nn(text_col)
-    n_g = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
-    grams = F.when(n_g > 0, F.transform(
-        F.sequence(F.lit(1), n_g),
-        lambda i: F.array_join(F.slice(toks, i, k), " "))
-    ).otherwise(F.array().cast("array<string>"))
 
     def _h(g):
         m = F.md5(g)
@@ -697,13 +692,29 @@ def fingerprints(df: DataFrame, text_col: str, id_col: str,
         lo = F.conv(F.substring(m, 16, 1), 16, 10).cast("long")
         return hi * 8 + F.shiftright(lo, 1)
 
-    hs = F.transform(grams, _h)
-    n_w = F.greatest(F.size(hs) - F.lit(window - 1), F.lit(1))
-    picks = F.when(F.size(hs) > 0, F.array_sort(F.array_distinct(
+    # STAGED projections, deliberately: building one nested Column would
+    # inline the token-split expression into every lambda body, and
+    # higher-order functions evaluate interpreted (no codegen CSE) — the
+    # sliding-window min would then re-tokenize the document per window,
+    # O(n³) per doc (measured: a single bench task pinned a core for 40+
+    # minutes at sf0.1). Each stage below references its input alias
+    # more than once, which also stops CollapseProject from undoing the
+    # materialization — every array is computed exactly once per row.
+    s1 = df.select(F.col(id_col), toks.alias("__tk"))
+    n_g_ = F.greatest(F.size("__tk") - F.lit(k - 1), F.lit(0))
+    grams = F.when(n_g_ > 0, F.transform(
+        F.sequence(F.lit(1), n_g_),
+        lambda i: F.array_join(F.slice("__tk", i, k), " "))
+    ).otherwise(F.array().cast("array<string>"))
+    s2 = s1.select(F.col(id_col), grams.alias("__g"))
+    s3 = s2.select(F.col(id_col), F.size("__g").alias("__ng"),
+                   F.transform("__g", _h).alias("__h"))
+    n_w = F.greatest(F.size("__h") - F.lit(window - 1), F.lit(1))
+    picks = F.when(F.size("__h") > 0, F.array_sort(F.array_distinct(
         F.transform(F.sequence(F.lit(1), n_w),
-                    lambda i: F.array_min(F.slice(hs, i, window)))))
+                    lambda i: F.array_min(F.slice("__h", i, window)))))
     ).otherwise(F.array().cast("array<long>"))
-    return df.select(F.col(id_col), picks.alias("fingerprint"))
+    return s3.select(F.col(id_col), picks.alias("fingerprint"))
 
 
 def fingerprint_overlap_pairs(df: DataFrame, text_col: str, id_col: str,

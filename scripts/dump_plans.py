@@ -145,6 +145,23 @@ CASES = [
     ("pld_rollup", "eTLD+1 rollup entirely in whole-stage codegen "
                    "(split/slice/array_join + CASE), one "
                    "map-side-combinable aggregation on the PLD."),
+    ("phrase_search", "Phrase retrieval as ONE aggregation: the posting "
+                      "stream is filtered to the phrase vocabulary before "
+                      "any exchange, anchors aggregate with map-side "
+                      "combine — no join, window, or sort in the plan."),
+    ("fingerprint_overlap", "Winnowing sketches now fully in codegen "
+                            "(transform/slice/array_min row-local — no "
+                            "ArrowEvalPython node anywhere); the only "
+                            "exchanges are the fingerprint self-join key "
+                            "and the pair count."),
+    ("minhash_calibration", "Calibration probe: signatures row-local in "
+                            "codegen, the sample cap a TakeOrdered (never "
+                            "a global sort window), the all-pairs join a "
+                            "broadcast bounded by sample² by "
+                            "construction."),
+    ("vocab_drift", "Drift monitor: one term-keyed hash agg folds both "
+                    "slices via conditional sums, totals broadcast as a "
+                    "1-row scalar, top-k via TakeOrderedAndProject."),
 ]
 
 

@@ -3022,6 +3022,16 @@ def test_fingerprints_catalyst_matches_udf_kernel(spark, docs):
             textstats.fingerprints(docs, "text", "doc_id",
                                    k=2, window=7).collect()}
     assert got2 == ref2
+    # long-doc guard: the staged-projection form must stay linear — the
+    # single-Column form re-tokenized per window (O(n^3), a bench task
+    # pinned a core for 40+ min at sf0.1) and would time this out
+    long_doc = docs.sparkSession.createDataFrame(
+        [(9, " ".join(f"w{i % 97}" for i in range(3000)))],
+        "doc_id int, text string")
+    ref3 = long_doc.select(fp_udf("text").alias("fp")).collect()[0]["fp"]
+    got3 = textstats.fingerprints(long_doc, "text",
+                                  "doc_id").collect()[0]["fingerprint"]
+    assert got3 == ref3
 
 
 def test_hreflang_alternates_orders_quotes_election(spark):
