@@ -559,23 +559,28 @@ def passage_dedup(df: DataFrame, text_col: str, id_col: str,
     No windows: a window over the passage hash would SORT the hot groups
     a partial agg never materializes.
     """
+    # stage the token array before the per-segment lambda (the
+    # fingerprints O(n^3) lesson: interpreted higher-order eval would
+    # re-tokenize the document per segment otherwise)
     if segmenter == "tokens":
-        toks = F.split(F.col(text_col), " ")
-        n_seg = F.ceil(F.size(toks) / F.lit(k_tokens)).cast("int")
-        seg_arr = F.transform(
-            F.sequence(F.lit(0), n_seg - 1),
+        s0 = df.select(F.col(id_col).alias("__id"),
+                       F.split(F.col(text_col), " ").alias("__tk"))
+        n_seg_c = F.ceil(F.size("__tk") / F.lit(k_tokens)).cast("int")
+        pre = s0.select("__id", F.transform(
+            F.sequence(F.lit(0), n_seg_c - 1),
             lambda i: F.array_join(
-                F.slice(toks, i * k_tokens + 1, k_tokens), " "))
+                F.slice("__tk", i * k_tokens + 1, k_tokens), " "))
+            .alias("__segs"))
         joiner = " "
     elif segmenter == "newline":
-        seg_arr = F.split(F.col(text_col), "\n")
-        n_seg = F.size(seg_arr)
+        pre = df.select(F.col(id_col).alias("__id"),
+                        F.split(F.col(text_col), "\n").alias("__segs"))
         joiner = "\n"
     else:
         raise ValueError(f"unknown segmenter {segmenter!r}")
 
-    segs = (df.select(F.col(id_col).alias("__id"),
-                      F.posexplode(seg_arr).alias("seg_idx", "seg"))
+    segs = (pre.select("__id",
+                       F.posexplode("__segs").alias("seg_idx", "seg"))
             .withColumn("h", F.md5(F.col("seg"))))
     winners = segs.groupBy("h").agg(
         F.min(F.struct(F.col("__id"), F.col("seg_idx"))).alias("w"))
@@ -590,8 +595,8 @@ def passage_dedup(df: DataFrame, text_col: str, id_col: str,
                              F.struct("seg_idx", "seg"))),
                          lambda s: s["seg"]),
                      joiner).alias("text_kept"))
-            .join(df.select(F.col(id_col).alias("__id"),
-                            n_seg.cast("long").alias("n_segments")),
+            .join(pre.select("__id", F.size("__segs").cast("long")
+                             .alias("n_segments")),
                   "__id")
             .select(F.col("__id").alias(id_col), "n_segments", "n_kept",
                     "text_kept"))

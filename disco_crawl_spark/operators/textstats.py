@@ -450,17 +450,26 @@ def c4_line_filter(df: DataFrame, text_col: str, id_col: str,
     composes with any downstream exchange.
     """
     t = F.coalesce(F.col(text_col), F.lit(""))
+    # the token-block segmenter references the tokenized array inside a
+    # per-segment lambda: stage it as a real column first, or interpreted
+    # higher-order eval re-tokenizes the document per segment (the
+    # fingerprints O(n^3) lesson; >=2 references below keep
+    # CollapseProject from undoing the staging)
     if segmenter == "newline":
-        lines = F.split(t, "\n")
+        pre = df.select(F.col(id_col), t.alias("__t"),
+                        F.split(t, "\n").alias("__lines"))
     elif segmenter == "tokens":
-        toks = _ws_tokens(t)
-        n_seg = F.ceil(F.size(toks) / F.lit(k_tokens)).cast("int")
-        lines = F.transform(
+        s0 = df.select(F.col(id_col), t.alias("__t"),
+                       _ws_tokens(t).alias("__tk"))
+        n_seg = F.ceil(F.size("__tk") / F.lit(k_tokens)).cast("int")
+        pre = s0.select(F.col(id_col), "__t", F.transform(
             F.sequence(F.lit(0), F.greatest(n_seg, F.lit(1)) - 1),
             lambda i: F.array_join(
-                F.slice(toks, i * k_tokens + 1, k_tokens), " "))
+                F.slice("__tk", i * k_tokens + 1, k_tokens), " "))
+            .alias("__lines"))
     else:
         raise ValueError(f"unknown segmenter {segmenter!r}")
+    lines = F.col("__lines")
     wc = lambda ln: F.size(F.filter(F.split(ln, r"\s+"),
                                     lambda x: x != ""))
     keep = lambda ln: (
@@ -469,10 +478,10 @@ def c4_line_filter(df: DataFrame, text_col: str, id_col: str,
         & ((F.rtrim(ln).rlike(r"""[.!?"”']$"""))
            if require_terminal_punct else F.lit(True)))
     kept = F.filter(lines, keep)
-    page_bad = (F.lower(t).contains("lorem ipsum")
-                | t.contains("{")
+    page_bad = (F.lower("__t").contains("lorem ipsum")
+                | F.col("__t").contains("{")
                 | (F.size(kept) < min_kept_lines))
-    return df.select(
+    return pre.select(
         F.col(id_col),
         F.when(page_bad, F.lit(""))
         .otherwise(F.array_join(kept, "\n")).alias("clean_text"),
@@ -1282,27 +1291,44 @@ def host_line_dedup(df: DataFrame, text_col: str, id_col: str,
     filtering.
     """
     t = F.coalesce(F.col(text_col), F.lit(""))
+    # stage the token array before the per-segment lambda (the
+    # fingerprints O(n^3) lesson: interpreted higher-order eval would
+    # re-tokenize the document per segment otherwise)
     if segmenter == "newline":
-        lines = F.split(t, "\n")
+        pre = df.select(F.col(id_col).alias("id"),
+                        F.col(group_col).alias("grp"),
+                        F.split(t, "\n").alias("__lines"))
     elif segmenter == "tokens":
-        toks = _ws_tokens(t)
-        n_seg = F.ceil(F.size(toks) / F.lit(k_tokens)).cast("int")
-        lines = F.transform(
+        s0 = df.select(F.col(id_col).alias("id"),
+                       F.col(group_col).alias("grp"),
+                       _ws_tokens(t).alias("__tk"))
+        n_seg = F.ceil(F.size("__tk") / F.lit(k_tokens)).cast("int")
+        pre = s0.select("id", "grp", F.transform(
             F.sequence(F.lit(0), F.greatest(n_seg, F.lit(1)) - 1),
             lambda i: F.array_join(
-                F.slice(toks, i * k_tokens + 1, k_tokens), " "))
+                F.slice("__tk", i * k_tokens + 1, k_tokens), " "))
+            .alias("__lines"))
     else:
         raise ValueError(f"unknown segmenter {segmenter!r}")
-    seg = df.select(F.col(id_col).alias("id"),
-                    F.col(group_col).alias("grp"),
-                    F.posexplode(lines).alias("pos", "line"))
+    seg = pre.select("id", "grp",
+                     F.posexplode("__lines").alias("pos", "line"))
     seg = seg.withColumn("norm", F.lower(F.trim(F.col("line"))))
-    counts = (seg.groupBy("grp", "norm")
-              .agg(F.count_distinct("id").alias("docs")))
-    j = seg.join(counts, ["grp", "norm"])
+    # only lines that ARE chrome need the join-back: filter the count
+    # table to the boiler subset first — chrome is rare by construction
+    # (a line in >= min_docs distinct docs of one host), so the build
+    # side collapses from line-cardinality to chrome-cardinality and AQE
+    # broadcasts it; the exploded lines then shuffle ONCE (the final
+    # per-doc reassembly) instead of twice. (Local sf0.1 wall is scan-
+    # and collect-bound — the 5000-doc table is one parquet file, one
+    # scan partition — so the win shows at scale, not in bench.py.)
+    boiler_keys = (seg.groupBy("grp", "norm")
+                   .agg(F.count_distinct("id").alias("docs"))
+                   .filter(F.col("docs") >= min_docs)
+                   .select("grp", "norm", F.lit(1).alias("__b")))
+    j = seg.join(boiler_keys, ["grp", "norm"], "left")
     arr = F.array_sort(F.collect_list(
         F.struct(F.col("pos").alias("p"), F.col("line").alias("ln"),
-                 (F.col("docs") >= min_docs).alias("boiler"))))
+                 F.col("__b").isNotNull().alias("boiler"))))
     return (j.groupBy("id")
             .agg(arr.alias("a"))
             .select(
