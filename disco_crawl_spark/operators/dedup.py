@@ -768,10 +768,11 @@ def containment_pairs(df: DataFrame, text_col: str, id_col: str,
     (id_a, id_b) rows with map-side combine.
     """
     from .textstats import _gram_array
-    toks = F.split(F.col(text_col), " ")
     grams = (df.select(F.col(id_col).alias("id"),
-                       F.explode(F.array_distinct(_gram_array(toks, ngram)))
-                       .alias("g"))
+                       F.split(F.col(text_col), " ").alias("__tk"))
+             .select("id",
+                     F.explode(F.array_distinct(
+                         _gram_array(F.col("__tk"), ngram))).alias("g"))
              .localCheckpoint(eager=True))
     sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     hot = (grams.groupBy("g").agg(F.count(F.lit(1)).alias("ndocs"))

@@ -88,8 +88,9 @@ def content_novelty(df: DataFrame, text_col: str, round_col: str,
     toks = F.filter(F.split(F.lower(F.coalesce(F.col(text_col),
                                                F.lit(""))), r"\s+"),
                     lambda x: x != "")
-    g = (df.select(F.col(round_col).alias("round"),
-                   F.explode(_gram_array(toks, ngram)).alias("g"))
+    g = (df.select(F.col(round_col).alias("round"), toks.alias("__tk"))
+         .select("round", F.explode(_gram_array(F.col("__tk"), ngram))
+                 .alias("g"))
          .distinct())
     first = g.groupBy("g").agg(F.min("round").alias("r0"))
     per = (g.join(first, "g")

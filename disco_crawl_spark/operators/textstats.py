@@ -141,18 +141,22 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str,
     walks grams ascending and only displaces the best on a strictly greater
     run length, so the smallest gram among equal-count maxima wins.
     Returns (id, n_tokens, dup_token_frac, top_ngram, top_ngram_frac)."""
-    toks = F.split(F.lower(F.col(text_col)), " ")
-    n_tok = F.size(toks)
+    # token array staged before the gram lambda (DESIGN.md §4: lambda
+    # bodies re-evaluate free subexpressions per element)
+    s0 = df.select(F.col(id_col), F.length(F.col(text_col))
+                   .alias("n_chars"),
+                   F.split(F.lower(F.col(text_col)), " ").alias("__tk"))
+    n_tok = F.size("__tk")
     dup_frac = F.round(F.coalesce(
-        F.try_divide(n_tok - F.size(F.array_distinct(toks)), n_tok),
+        F.try_divide(n_tok - F.size(F.array_distinct("__tk")), n_tok),
         F.lit(0.0)), 6)
-    base = df.select(
-        F.col(id_col), F.length(F.col(text_col)).alias("n_chars"),
+    base = s0.select(
+        F.col(id_col), "n_chars",
         n_tok.alias("n_tokens"), dup_frac.alias("dup_token_frac"),
         F.when(n_tok >= ngram, F.transform(
             F.sequence(F.lit(0), n_tok - ngram),
             lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, (i + j + 1).cast("int"))
+                " ", *[F.element_at("__tk", (i + j + 1).cast("int"))
                        for j in range(ngram)])))
         .otherwise(F.array().cast("array<string>")).alias("grams"))
 
@@ -558,11 +562,18 @@ def decontaminate(df: DataFrame, text_col: str, id_col: str,
     10× the documents measures the SAME wall (3.3 vs 3.7 s, 2026-08-18),
     so the number amortizes to nothing at real scale."""
     bench_text_col = bench_text_col or text_col
-    bench_grams = (bench_df.select(F.explode(_gram_array(
-        F.split(F.lower(F.col(bench_text_col)), " "), ngram)).alias("g"))
-        .distinct().withColumn("_hit", F.lit(1)))
-    grams = _gram_array(F.split(F.lower(F.col(text_col)), " "), ngram)
-    doc_grams = df.select(
+    # token arrays staged before the gram lambda (DESIGN.md §4: lambda
+    # bodies re-evaluate free subexpressions per element)
+    bench_grams = (bench_df
+                   .select(F.split(F.lower(F.col(bench_text_col)), " ")
+                           .alias("__tk"))
+                   .select(F.explode(_gram_array(F.col("__tk"), ngram))
+                           .alias("g"))
+                   .distinct().withColumn("_hit", F.lit(1)))
+    tkd = df.select(F.col(id_col),
+                    F.split(F.lower(F.col(text_col)), " ").alias("__tk"))
+    grams = _gram_array(F.col("__tk"), ngram)
+    doc_grams = tkd.select(
         F.col(id_col),
         F.explode(F.when(F.size(grams) > 0, grams)
                   .otherwise(F.array(F.lit(None).cast("bigint")))).alias("g"))
@@ -1452,16 +1463,17 @@ def kneser_ney_bigrams(df: DataFrame, text_col: str,
 
     Returns (w1, w2, c12, pkn_micro) for bigrams with c12 >= min_count.
     """
-    toks = F.split(F.lower(F.col(text_col)), " ")
-    n = F.size(toks)
+    n = F.size("__tk")
     pair_t = "array<struct<w1:string,w2:string>>"
     pairs = (F.when(n >= 2, F.transform(
         F.sequence(F.lit(0), n - 2),
         lambda i: F.struct(
-            F.element_at(toks, (i + 1).cast("int")).alias("w1"),
-            F.element_at(toks, (i + 2).cast("int")).alias("w2"))))
+            F.element_at("__tk", (i + 1).cast("int")).alias("w1"),
+            F.element_at("__tk", (i + 2).cast("int")).alias("w2"))))
         .otherwise(F.array().cast(pair_t)))
-    bg = df.select(F.explode(pairs).alias("b")).select("b.w1", "b.w2")
+    # token array staged before the bigram lambda (DESIGN.md §4)
+    bg = (df.select(F.split(F.lower(F.col(text_col)), " ").alias("__tk"))
+          .select(F.explode(pairs).alias("b")).select("b.w1", "b.w2"))
     c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     cw1 = c12.groupBy("w1").agg(F.sum("c12").alias("cw1"),
                                 F.count(F.lit(1)).alias("n1_fw"))
