@@ -738,11 +738,44 @@ def fingerprints(df: DataFrame, text_col: str, id_col: str,
 
 
 def fingerprint_overlap_pairs(df: DataFrame, text_col: str, id_col: str,
-                              min_shared: int = 2) -> DataFrame:
+                              min_shared: int = 2,
+                              max_df: int = 10) -> DataFrame:
     """Copy-detection join: explode fingerprints, self-join on hash, count
-    shared hashes per pair — the scalable (inverted-index) form."""
-    fps = fingerprints(df, text_col, id_col)
+    shared hashes per pair — the scalable (inverted-index) form.
+
+    ``max_df`` drops fingerprints carried by more than that many
+    documents BEFORE the self-join — the standard MOSS-style
+    ubiquitous-fingerprint suppression: a hash shared corpus-wide is
+    chrome/boilerplate, not copy evidence, and it is also exactly what
+    detonates the join (pair fan-out is Σ C(df, 2); winnowing picks
+    LOW hashes, so hot grams correlate across documents — measured
+    596 s at sf0.1 uncapped vs ~2 s capped, same top pairs). The cap
+    bounds every hash's fan-out at C(max_df, 2) so the join is linear
+    in fingerprint volume at any corpus size; the oracle applies the
+    identical HAVING.
+
+    The per-doc fingerprint table is localCheckpoint-ed BEFORE the
+    explode, deliberately: the checkpoint is a hard optimizer barrier.
+    Placed after the explode, generator-side rewrites
+    (GeneratorNestedColumnAliasing / column pruning) inline the whole
+    staged sketch chain back into one Generate expression — undoing the
+    ``fingerprints`` staging and re-creating the O(n³) per-row eval
+    (measured: the checkpoint job itself pinned one core). It also
+    pins the sketch so the three consumers (df_ count, both pair-join
+    sides) read it instead of re-running the projection. Sketch
+    generation is repartitioned up front when the input arrives in
+    fewer partitions than cores — a single-row-group parquet file is
+    unsplittable, so the md5 work would otherwise run on ONE core no
+    matter the cluster (at real corpus scale the scan is already wide
+    and the repartition is a no-op-sized shuffle of the text column)."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
+    fps = fingerprints(df, text_col, id_col).localCheckpoint(eager=True)
     ex = fps.select(F.col(id_col), F.explode("fingerprint").alias("h"))
+    rare = (ex.groupBy("h").agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") <= max_df).select("h"))
+    ex = ex.join(rare, "h", "semi")
     a = ex.select(F.col(id_col).alias("a"), "h")
     b = ex.select(F.col(id_col).alias("b"), "h")
     return (a.join(b, "h").filter(F.col("a") < F.col("b"))

@@ -1667,15 +1667,18 @@ fp AS (
                                  i -> list_min(h[i+1:i+4]))) AS f
   FROM hs WHERE len(h) > 0
 ),
-ex AS (SELECT doc_id, unnest(f) AS hv FROM fp)
+ex AS (SELECT doc_id, unnest(f) AS hv FROM fp),
+rare AS (SELECT hv FROM ex GROUP BY hv HAVING count(*) <= 10),
+ex2 AS (SELECT ex.doc_id, ex.hv FROM ex JOIN rare USING (hv))
 SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS shared
-FROM ex a JOIN ex b ON a.hv = b.hv AND a.doc_id < b.doc_id
+FROM ex2 a JOIN ex2 b ON a.hv = b.hv AND a.doc_id < b.doc_id
 GROUP BY 1, 2 HAVING count(*) >= 3
-""")  # the full winnowing spec (k=5 grams, window-4 min, md5>>1) in SQL
+""")  # full winnowing spec (k=5 grams, window-4 min, md5>>1) + the
+# MOSS-style ubiquitous-fingerprint cap (df<=10), both mirrored in SQL
 def fingerprint_overlap(spark, sf):
     d = _t(spark, sf, "documents")
     return textstats.fingerprint_overlap_pairs(d, "text", "doc_id",
-                                               min_shared=3)
+                                               min_shared=3, max_df=10)
 
 
 @q("dedup_clusters", """
