@@ -887,3 +887,40 @@ def robots_cache_plan(hosts: DataFrame, robots_log: DataFrame,
               .otherwise("cached"))
     return j.select("host", "last_fetch_ts", age.alias("age_sec"),
                     action.alias("action"))
+
+
+def sitemap_recrawl(entries: DataFrame, crawl_log: DataFrame,
+                    url_col: str = "loc", lastmod_col: str = "lastmod",
+                    log_url_col: str = "url",
+                    fetched_col: str = "fetched_on") -> DataFrame:
+    """Sitemap-driven conditional recrawl (sitemaps.org ``lastmod``):
+    join the publisher-declared change dates against the crawl log's
+    last fetch and emit the verdict the scheduler acts on — ``new``
+    (never fetched), ``stale`` (declared lastmod strictly after the
+    last fetch → refetch), ``fresh`` (fetched on/after lastmod → skip),
+    ``unknown`` (no lastmod declared → fall back to
+    ``recrawl_priority``'s own change-rate estimator). This is the
+    free-information half of recrawl scheduling: where a sitemap is
+    honest it replaces conditional-GET probing entirely (the reference
+    refetches unconditionally; worker.py has no lastmod handling).
+
+    DATE-granular compares only — whole days, never timestamp
+    arithmetic (the cross-engine sub-second hazard ``recrawl_priority``
+    documents). Returns ``(url, lastmod, last_fetch, verdict)``.
+
+    Scale shape: both sides project to (url, date) BEFORE the exchange,
+    then ONE url-keyed left join — the key the frontier shuffles on
+    anyway — plus a codegen CASE; the log side pre-aggregates
+    ``max(fetch)`` per url with map-side combine."""
+    e = entries.select(F.col(url_col).alias("url"),
+                       F.to_date(F.col(lastmod_col)).alias("lastmod"))
+    g = (crawl_log.select(F.col(log_url_col).alias("url"),
+                          F.to_date(F.col(fetched_col)).alias("lf"))
+         .groupBy("url").agg(F.max("lf").alias("last_fetch")))
+    verdict = (F.when(F.col("last_fetch").isNull(), "new")
+               .when(F.col("lastmod").isNull(), "unknown")
+               .when(F.col("lastmod") > F.col("last_fetch"), "stale")
+               .otherwise("fresh"))
+    return (e.join(g, "url", "left")
+            .select("url", "lastmod", "last_fetch",
+                    verdict.alias("verdict")))

@@ -5661,6 +5661,47 @@ def minhash_calibration_q(spark, sf):
                                      n_perms=16, bands=4, sample=60)
 
 
+@q("sitemap_recrawl", """
+WITH sm AS (
+  SELECT 'https://h' || (user_id % 50) || '.gov.au/p' || event_id AS url,
+         CASE WHEN event_id % 3 <> 0
+              THEN ('2024-01-'
+                    || lpad(((event_id % 28) + 1)::VARCHAR, 2, '0'))::DATE
+         END AS lastmod
+  FROM events),
+lg AS (SELECT 'https://h' || (user_id % 50) || '.gov.au/p' || event_id
+         AS url,
+       ('2024-01-'
+        || lpad(((event_id % 20) + 1)::VARCHAR, 2, '0'))::DATE AS lf
+       FROM events WHERE event_id % 2 = 0),
+g AS (SELECT url, max(lf) AS last_fetch FROM lg GROUP BY url)
+SELECT sm.url, sm.lastmod, g.last_fetch,
+       CASE WHEN g.last_fetch IS NULL THEN 'new'
+            WHEN sm.lastmod IS NULL THEN 'unknown'
+            WHEN sm.lastmod > g.last_fetch THEN 'stale'
+            ELSE 'fresh' END AS verdict
+FROM sm LEFT JOIN g USING (url)
+""")
+def sitemap_recrawl_q(spark, sf):
+    """Sitemap lastmod vs crawl-log last-fetch: all four scheduler
+    verdicts (new / unknown / stale / fresh) exercised by the synthetic
+    date mix; DATE-granular, cross-engine exact."""
+    e = _t(spark, sf, "events")
+    url = F.concat(F.lit("https://h"),
+                   (F.col("user_id") % 50).cast("string"),
+                   F.lit(".gov.au/p"), F.col("event_id").cast("string"))
+    day28 = F.lpad(((F.col("event_id") % 28) + 1).cast("string"), 2, "0")
+    day20 = F.lpad(((F.col("event_id") % 20) + 1).cast("string"), 2, "0")
+    sm = e.select(url.alias("loc"),
+                  F.when(F.col("event_id") % 3 != 0,
+                         F.concat(F.lit("2024-01-"), day28))
+                  .alias("lastmod"))
+    lg = (e.filter(F.col("event_id") % 2 == 0)
+          .select(url.alias("url"),
+                  F.concat(F.lit("2024-01-"), day20).alias("fetched_on")))
+    return schedule.sitemap_recrawl(sm, lg)
+
+
 # ===========================================================================
 # flagship (entry): dedup + quality + language over documents
 # ===========================================================================

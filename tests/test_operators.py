@@ -3104,3 +3104,23 @@ def test_minhash_calibration_exact_cases(spark):
     with pytest.raises(ValueError):
         dedup.minhash_calibration(df, "text", "doc_id", n_perms=16,
                                   bands=5)
+
+
+def test_sitemap_recrawl_verdicts(spark):
+    """All four scheduler verdicts from lastmod-vs-last-fetch dates,
+    with the max-fetch guard on duplicate log rows."""
+    from disco_crawl_spark.operators import schedule
+    sm = spark.createDataFrame(
+        [("u/new", "2024-01-05"), ("u/stale", "2024-01-10"),
+         ("u/fresh", "2024-01-02"), ("u/unk", None),
+         ("u/same", "2024-01-07")],
+        "loc string, lastmod string")
+    lg = spark.createDataFrame(
+        [("u/stale", "2024-01-04"), ("u/fresh", "2024-01-03"),
+         ("u/unk", "2024-01-01"), ("u/same", "2024-01-07"),
+         ("u/stale", "2024-01-02")],  # dup row: max() wins
+        "url string, fetched_on string")
+    got = {r["url"]: r["verdict"] for r in
+           schedule.sitemap_recrawl(sm, lg).collect()}
+    assert got == {"u/new": "new", "u/stale": "stale", "u/fresh": "fresh",
+                   "u/unk": "unknown", "u/same": "fresh"}
