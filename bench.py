@@ -68,7 +68,7 @@ HEADLINE = [
     "temperature_mix", "degree_powerlaw",
     "phrase_search", "dedup_exact_nfc", "vocab_drift", "fingerprint_overlap",
     "hreflang_variants", "good_turing_novelty", "minhash_calibration",
-    "sitemap_recrawl",
+    "sitemap_recrawl", "robots_crawl_delay",
 ]
 
 # bench corpus: ~130 crawlable hosts, ALL seeded so parallelism is maximal

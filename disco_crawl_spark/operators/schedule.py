@@ -924,3 +924,69 @@ def sitemap_recrawl(entries: DataFrame, crawl_log: DataFrame,
     return (e.join(g, "url", "left")
             .select("url", "lastmod", "last_fetch",
                     verdict.alias("verdict")))
+
+
+def robots_crawl_delay(robots: DataFrame, host_col: str = "host",
+                       txt_col: str = "robots_txt",
+                       agent: str = "discobot") -> DataFrame:
+    """Per-host ``Crawl-delay`` extraction with full RFC 9309 group
+    semantics — the field ``parse_robots_rules`` deliberately scopes
+    out: consecutive User-agent headers share a group, exact-agent
+    groups beat and SUPPRESS the ``*`` groups, matching groups merge
+    with the MAX declared delay (the conservative politeness read when
+    a file declares several), non-numeric and negative values are
+    dropped, and fractional delays (the Yandex extension) are kept.
+    The reference hardcodes its politeness interval (worker.py:450-461);
+    honoring the crawled site's own declared delay is the real-web
+    extension the token-bucket stream consumes as per-host refill rates.
+
+    Returns ``(host, delay_micro)`` for hosts whose matching group
+    declares a valid delay — fixed-point micros via ``floor(value ·
+    10^6)`` on the parsed double (short decimal literals parse and
+    scale bit-identically cross-engine, so the floor is deterministic).
+
+    100 TB shape: identical to ``parse_robots_rules`` — one row-local
+    posexplode over KB-bounded robots lines, ONE host-keyed window
+    exchange serving both the lag and the running-sum, host-cardinality
+    aggregation after; composable with the rules parse on the same
+    exchange."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(txt_col), "\n")).alias("ln", "raw"))
+    parsed = (lines
+              .withColumn("clean", F.regexp_replace("raw", "#.*$", ""))
+              .withColumn("field", F.lower(F.regexp_extract(
+                  "clean", r"^\s*([A-Za-z-]+)\s*:\s*(\S*)\s*$", 1)))
+              .withColumn("value", F.regexp_extract(
+                  "clean", r"^\s*([A-Za-z-]+)\s*:\s*(\S*)\s*$", 2))
+              .filter(F.col("field").isin("user-agent", "crawl-delay")))
+    w = Window.partitionBy("host").orderBy("ln")
+    grouped = (parsed
+               .withColumn("is_ua", (F.col("field") == "user-agent")
+                           .cast("int"))
+               .withColumn("prev_ua", F.coalesce(
+                   F.lag("is_ua").over(w), F.lit(0)))
+               .withColumn("starts", ((F.col("is_ua") == 1)
+                                      & (F.col("prev_ua") == 0))
+                           .cast("int"))
+               .withColumn("gid", F.sum("starts").over(
+                   w.rowsBetween(Window.unboundedPreceding, 0))))
+    agents = (grouped.filter(F.col("is_ua") == 1)
+              .select("host", "gid", F.lower("value").alias("ua")))
+    want = agent.lower()
+    exact = (agents.filter(F.col("ua") == want)
+             .select("host", "gid").distinct())
+    star = (agents.filter(F.col("ua") == "*")
+            .select("host", "gid").distinct())
+    hosts_with_exact = exact.select("host").distinct()
+    chosen = exact.unionByName(
+        star.join(hosts_with_exact, "host", "left_anti"))
+    dval = F.col("value").try_cast("double")
+    delays = (grouped.filter((F.col("field") == "crawl-delay")
+                             & dval.isNotNull() & (dval >= 0))
+              .select("host", "gid",
+                      F.floor(dval * 1000000).cast("long")
+                      .alias("delay_micro")))
+    return (delays.join(chosen, ["host", "gid"])
+            .groupBy("host")
+            .agg(F.max("delay_micro").alias("delay_micro")))

@@ -5702,6 +5702,85 @@ def sitemap_recrawl_q(spark, sf):
     return schedule.sitemap_recrawl(sm, lg)
 
 
+@q("robots_crawl_delay", r"""
+WITH hosts AS (SELECT DISTINCT user_id % 60 AS i FROM events),
+raw AS (
+  SELECT 'h' || i AS host,
+         'User-agent: *' || chr(10) ||
+         CASE WHEN i % 5 <> 0
+              THEN 'Crawl-delay: ' || (i % 7) || chr(10)
+              ELSE 'Disallow: /x' || chr(10) END ||
+         CASE WHEN i % 4 = 0 THEN 'Crawl-delay: nonsense' || chr(10)
+              ELSE '' END ||
+         CASE WHEN i % 3 = 0 THEN 'User-agent: discobot' || chr(10)
+              || 'Crawl-delay: 0.5' || chr(10) ELSE '' END AS robots_txt
+  FROM hosts),
+lines AS (
+  SELECT host, generate_subscripts(l, 1) AS ln, unnest(l) AS rawline
+  FROM (SELECT host, string_split(robots_txt, chr(10)) AS l FROM raw)),
+parsed AS (
+  SELECT host, ln,
+         lower(regexp_extract(regexp_replace(rawline, '#.*$', ''),
+               '^\s*([A-Za-z-]+)\s*:\s*(\S*)\s*$', 1)) AS field,
+         regexp_extract(regexp_replace(rawline, '#.*$', ''),
+               '^\s*([A-Za-z-]+)\s*:\s*(\S*)\s*$', 2) AS value
+  FROM lines),
+kept AS (SELECT * FROM parsed
+         WHERE field IN ('user-agent', 'crawl-delay')),
+g AS (
+  SELECT *, CASE WHEN field = 'user-agent' THEN 1 ELSE 0 END AS is_ua,
+         coalesce(lag(CASE WHEN field = 'user-agent' THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY host ORDER BY ln), 0) AS prev_ua
+  FROM kept),
+gg AS (
+  SELECT *, sum(CASE WHEN is_ua = 1 AND prev_ua = 0 THEN 1 ELSE 0 END)
+         OVER (PARTITION BY host ORDER BY ln) AS gid
+  FROM g),
+agents AS (
+  SELECT DISTINCT host, gid, lower(value) AS ua FROM gg WHERE is_ua = 1),
+exact AS (SELECT DISTINCT host, gid FROM agents WHERE ua = 'discobot'),
+star AS (SELECT DISTINCT host, gid FROM agents WHERE ua = '*'),
+chosen AS (
+  SELECT * FROM exact
+  UNION ALL
+  SELECT s.host, s.gid FROM star s
+  WHERE s.host NOT IN (SELECT host FROM exact)),
+delays AS (
+  SELECT host, gid,
+         floor(try_cast(value AS DOUBLE) * 1000000)::BIGINT AS delay_micro
+  FROM gg
+  WHERE field = 'crawl-delay' AND try_cast(value AS DOUBLE) IS NOT NULL
+    AND try_cast(value AS DOUBLE) >= 0)
+SELECT d.host, max(d.delay_micro) AS delay_micro
+FROM delays d JOIN chosen c ON d.host = c.host AND d.gid = c.gid
+GROUP BY d.host
+""")
+def robots_crawl_delay_q(spark, sf):
+    """RFC-grouped Crawl-delay election over synthetic robots bodies:
+    exact-agent (fractional 0.5s) suppresses the star group's integer
+    delay, invalid values drop, delay-less hosts emit no row."""
+    e = _t(spark, sf, "events")
+    hosts = e.select((F.col("user_id") % 60).alias("i")).distinct()
+    nl = F.lit("\n")
+    body = F.concat(
+        F.lit("User-agent: *"), nl,
+        F.when(F.col("i") % 5 != 0,
+               F.concat(F.lit("Crawl-delay: "),
+                        (F.col("i") % 7).cast("string"), nl))
+        .otherwise(F.concat(F.lit("Disallow: /x"), nl)),
+        F.when(F.col("i") % 4 == 0,
+               F.concat(F.lit("Crawl-delay: nonsense"), nl))
+        .otherwise(F.lit("")),
+        F.when(F.col("i") % 3 == 0,
+               F.concat(F.lit("User-agent: discobot"), nl,
+                        F.lit("Crawl-delay: 0.5"), nl))
+        .otherwise(F.lit("")))
+    b = hosts.select(F.concat(F.lit("h"), F.col("i").cast("string"))
+                     .alias("host"), body.alias("robots_txt"))
+    return schedule.robots_crawl_delay(b, "host", "robots_txt",
+                                       agent="discobot")
+
+
 # ===========================================================================
 # flagship (entry): dedup + quality + language over documents
 # ===========================================================================

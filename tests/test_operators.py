@@ -3124,3 +3124,24 @@ def test_sitemap_recrawl_verdicts(spark):
            schedule.sitemap_recrawl(sm, lg).collect()}
     assert got == {"u/new": "new", "u/stale": "stale", "u/fresh": "fresh",
                    "u/unk": "unknown", "u/same": "fresh"}
+
+
+def test_robots_crawl_delay_group_semantics(spark):
+    """Exact-agent suppresses star, groups merge with MAX, fractional
+    kept, invalid/negative dropped, delay-less hosts absent."""
+    from disco_crawl_spark.operators import schedule
+    rows = [
+        ("a", "User-agent: *\nCrawl-delay: 3\nUser-agent: discobot\n"
+              "Crawl-delay: 0.5"),                 # exact wins -> 0.5
+        ("b", "User-agent: *\nCrawl-delay: 2"),    # star -> 2
+        ("c", "User-agent: discobot\nUser-agent: otherbot\n"
+              "Crawl-delay: 1\nUser-agent: discobot\nCrawl-delay: 4"),
+                                                   # merged exacts -> max 4
+        ("d", "User-agent: *\nCrawl-delay: soon\nCrawl-delay: -1"),
+                                                   # invalid+negative -> none
+        ("e", "User-agent: googlebot\nCrawl-delay: 9"),  # no match -> none
+    ]
+    df = spark.createDataFrame(rows, "host string, robots_txt string")
+    got = {r["host"]: r["delay_micro"] for r in
+           schedule.robots_crawl_delay(df, agent="discobot").collect()}
+    assert got == {"a": 500000, "b": 2000000, "c": 4000000}
