@@ -50,7 +50,8 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              iters: int = 5, damping: float = 0.85,
              dedup_edges: bool = True,
              personalization: DataFrame | None = None,
-             seed_col: str | None = None) -> DataFrame:
+             seed_col: str | None = None,
+             ckpt_every: int = 6) -> DataFrame:
     """Power-iteration PageRank over an edge table; returns (node, pagerank).
 
     Semantics (the textbook formulation, so the DuckDB oracle can unroll
@@ -84,9 +85,21 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     kept as ordinary edges if present upstream — filter before calling if
     the graph semantics exclude them.
     """
+    # checkpoint bookkeeping mirrors dedup.connected_components: track the
+    # persistent-RDD ids each localCheckpoint registers and release the
+    # superseded round's blocks explicitly (DataFrame.unpersist alone does
+    # not free a checkpoint RDD), so at most two rank tables are ever live
+    sc = edges.sparkSession.sparkContext
+
+    _ckpt, _release = ckpt_tools(sc)
+
+    # the deduped edge table feeds THREE derivations (node set, outdeg,
+    # the per-round join layout) — materialize it once so none of them
+    # re-runs the upstream lineage
     e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
     if dedup_edges:
         e = e.distinct()
+    e, e_held = _ckpt(e)
     nodes = (e.select(F.col("src").alias("n"))
              .union(e.select(F.col("dst").alias("n")))
              .distinct())
@@ -99,76 +112,107 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                      .repartition("src")
                      .sortWithinPartitions("src")
                      .persist())
-    # checkpoint bookkeeping mirrors dedup.connected_components: track the
-    # persistent-RDD ids each localCheckpoint registers and release the
-    # superseded round's blocks explicitly (DataFrame.unpersist alone does
-    # not free a checkpoint RDD), so at most two rank tables are ever live
-    sc = edges.sparkSession.sparkContext
-
-    _ckpt, _release = ckpt_tools(sc)
-
-    # nodes and deg are referenced by every round's job (the dangling
-    # anti-join and the outer node join) — materialize both ONCE, or each
-    # round re-derives them from the raw edge plan (the same double-branch
-    # recompute hits() fixed for its normalizer)
-    nodes, nodes_held = _ckpt(nodes)
-    deg, deg_held = _ckpt(deg)
-    n_nodes = nodes.count()  # bounded driver scalar (one long) over the
-    # materialized node blocks, like the IVF training-sample bound —
-    # NOT a per-row collect
-
-    pheld = set()
+    # ONE state table carries everything a round needs beside the edges:
+    # (n, dangling, p). Folding outdeg-existence and the teleport vector
+    # into the state removes three per-round operators AND three setup
+    # materializations the previous shape paid for — the dangling
+    # anti-join against deg, the outer join against nodes, and (for
+    # TrustRank) the pvec join — so a round is exactly: one edge join +
+    # one (dst) aggregation [+ one conditional 1-row aggregate] + one
+    # outer join back to the state.
+    state = (nodes.join(deg, nodes["n"] == deg["src"], "left")
+             .select("n", F.col("outdeg").isNull().alias("dangling")))
     if personalization is not None:
         scol = seed_col if seed_col is not None else personalization.columns[0]
         seeds = (personalization.select(F.col(scol).alias("n")).distinct()
-                 .join(nodes, "n", "semi"))
-        n_seeds = seeds.count()
-        if n_seeds == 0:
-            contrib_edges.unpersist()
-            _release(nodes_held)
-            _release(deg_held)
-            raise ValueError("pagerank personalization: no seed node is "
-                             "present in the graph")
-        # narrow (node, p) teleport vector, materialized once — every
-        # round's blend joins it (never a driver-side dict)
-        pvec, pheld = _ckpt(
-            nodes.join(seeds.select("n", F.lit(1.0 / n_seeds).alias("p")),
-                       "n", "left")
-            .select("n", F.coalesce("p", F.lit(0.0)).alias("p")))
-        ranks = pvec.select("n", F.col("p").alias("r"))
+                 .withColumn("__seed", F.lit(True)))
+        state = (state.join(seeds, "n", "left")
+                 .select("n", "dangling",
+                         F.coalesce("__seed", F.lit(False)).alias("seed")))
     else:
-        pvec = None
-        ranks = nodes.select("n", F.lit(1.0 / n_nodes).alias("r"))
+        state = state.select("n", "dangling", F.lit(False).alias("seed"))
+    state, state_held = _ckpt(state)
+    # three bounded driver scalars (one row) over the materialized blocks
+    # — NOT a per-row collect. n_dangling == 0 lets every round skip the
+    # dangling aggregation + broadcast outright (dmass ≡ 0 exactly): a
+    # data-dependent fast path that is exact at any scale, and real link
+    # graphs deduped on (src, dst) usually have few or no dangling nodes
+    counts = state.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("dangling").cast("long")).alias("__d"),
+        F.sum(F.col("seed").cast("long")).alias("__s")).collect()[0]
+    n_nodes = counts["__n"]
+    n_dangling = counts["__d"] or 0
+    n_seeds = counts["__s"] or 0
+    if personalization is not None and n_seeds == 0:
+        contrib_edges.unpersist()
+        _release(e_held)
+        _release(state_held)
+        raise ValueError("pagerank personalization: no seed node is "
+                         "present in the graph")
     base = (1.0 - damping) / n_nodes
+    # teleport vector p as a lazy projection over the state blocks
+    state = state.select(
+        "n", "dangling",
+        (F.when(F.col("seed"), F.lit(1.0 / n_seeds)).otherwise(F.lit(0.0))
+         if personalization is not None else F.lit(0.0)).alias("p"))
+    # ranks carries the dangling flag so the per-round 1-row dangling
+    # aggregate scans the rank table alone (no join back to state)
+    ranks = state.select(
+        "n", "dangling",
+        (F.col("p") if personalization is not None
+         else F.lit(1.0 / n_nodes)).alias("r"))
+    # Round chaining: the final round is ALWAYS eagerly localCheckpoint-ed
+    # (materializing every column — so a downstream count() measures the
+    # real computation and consumers read settled blocks, exactly like the
+    # previous per-round shape). Intermediate rounds are chained lazily
+    # only on dangling-free graphs, where each round references the
+    # previous ranks exactly ONCE (the contrib join) — the chained
+    # segment is a straight-line plan whose materialization executes
+    # every exchange once (linear work, verified with a noop sink), it
+    # just pays one job-dispatch sequence instead of one per round.
+    # With dangling nodes present the per-round 1-row dangling aggregate
+    # adds a second reference to ranks (2^k duplicated subtrees per
+    # k-round segment once column pruning de-canonicalizes the copies),
+    # so those graphs keep the eager per-round checkpoint.
+    if n_dangling > 0:
+        ckpt_every = 1
     held = set()
-    for _ in range(iters):
+    for t in range(1, iters + 1):
         r_src = ranks.select(F.col("n").alias("src"), "r")
         contrib = (contrib_edges.join(r_src, "src")
                    .groupBy("dst")
                    .agg(F.sum(F.col("r") / F.col("outdeg")).alias("contrib")))
-        dangling = (ranks.join(deg, ranks["n"] == deg["src"], "left_anti")
-                    .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dmass")))
-        joined = (nodes.join(contrib, nodes["n"] == contrib["dst"], "left")
-                  .crossJoin(F.broadcast(dangling)))
-        if pvec is None:
-            new_ranks = joined.select(
-                nodes["n"],
+        joined = state.join(contrib, state["n"] == contrib["dst"], "left")
+        if n_dangling > 0:
+            # dangling mass: conditional 1-row aggregate over the rank
+            # table (same addend set as the former deg anti-join —
+            # summation order is already nondeterministic across
+            # partitions, which the 6dp round-trip tolerates by
+            # construction)
+            dangling = ranks.agg(
+                F.coalesce(F.sum(F.when(F.col("dangling"), F.col("r"))),
+                           F.lit(0.0)).alias("dmass"))
+            joined = joined.crossJoin(F.broadcast(dangling))
+            dmass = F.col("dmass")
+        else:
+            dmass = F.lit(0.0)
+        if personalization is None:
+            ranks = joined.select(
+                "n", "dangling",
                 (F.lit(base) + F.lit(damping)
                  * (F.coalesce(F.col("contrib"), F.lit(0.0))
-                    + F.col("dmass") / F.lit(float(n_nodes)))).alias("r"))
+                    + dmass / F.lit(float(n_nodes)))).alias("r"))
         else:
-            new_ranks = joined.join(pvec, "n").select(
-                F.col("n"),
+            ranks = joined.select(
+                "n", "dangling",
                 (F.lit(1.0 - damping) * F.col("p") + F.lit(damping)
                  * (F.coalesce(F.col("contrib"), F.lit(0.0))
-                    + F.col("dmass") * F.col("p"))).alias("r"))
-        ranks, new_held = _ckpt(new_ranks)
-        _release(held)
-        held = new_held
-    contrib_edges.unpersist()
-    _release(nodes_held)
-    _release(deg_held)
-    _release(pheld)
+                    + dmass * F.col("p"))).alias("r"))
+        if t % ckpt_every == 0 or t == iters:
+            ranks, new_held = _ckpt(ranks)
+            _release(held)
+            held = new_held
     return ranks.select(F.col("n").alias("node"), F.col("r").alias("pagerank"))
 
 
@@ -233,46 +277,57 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
 
     _ckpt, _release = ckpt_tools(sc)
 
-    def _l1_over_ckpt(ckpted, col):
+    def _l1_over_ckpt(ckpted, key, col):
         # ckpted is a materialized (localCheckpointed) raw-score table:
         # both branches below — the 1-row norm aggregate and the main
         # projection — re-scan its blocks, never recompute lineage
         norm = ckpted.agg(F.sum(col).alias("__norm"))
         return (ckpted.crossJoin(F.broadcast(norm))
-                .select("n", F.round(F.col(col) / F.col("__norm"),
-                                     round_dp).alias(col)))
+                .select(F.col(key).alias("n"),
+                        F.round(F.col(col) / F.col("__norm"),
+                                round_dp).alias(col)))
 
-    # nodes is referenced inside every round's checkpoint job (both
-    # outer joins) — materialize it once, the pagerank lesson
-    nodes, nodes_held = _ckpt(nodes)
-    h, h_held = _ckpt(nodes.select("n", F.lit(1.0).alias("hub")))
+    # Internal states are SPARSE: a score table only carries nodes whose
+    # raw sum has a contributing edge — a dense zero row neither moves
+    # any L1 norm (adds 0.0) nor any push/pull sum (joins contribute 0),
+    # so the per-half-step outer join against the full node set that the
+    # previous shape paid for is equivalent to one left join at the END
+    # that re-attaches 0.0 for never-scored nodes. A half-step checkpoint
+    # is now exactly: edge join + (dst|src) aggregation — the eager
+    # per-half-step cadence stays, because the L1 norm aggregate
+    # references the raw scores a second time (a lazily chained segment
+    # would re-execute each half-step's join once per reference after
+    # column pruning de-canonicalizes the copies).
+    # h0 over out-edge sources only (other nodes' hub 1.0 feeds no push).
+    h = by_src.select(F.col("src").alias("n")).distinct() \
+        .select("n", F.lit(1.0).alias("hub"))
     a = None
-    a_held = set()
+    a_held, h_held = set(), set()
     for _ in range(iters):
-        pushed = (by_src.join(h.select(F.col("n").alias("src"), "hub"),
-                              "src")
-                  .groupBy("dst").agg(F.sum("hub").alias("authority")))
         raw_a, na_held = _ckpt(
-            nodes.join(pushed, nodes["n"] == pushed["dst"], "left")
-            .select("n", F.coalesce("authority", F.lit(0.0))
-                    .alias("authority")))
+            by_src.join(h.select(F.col("n").alias("src"), "hub"), "src")
+            .groupBy("dst").agg(F.sum("hub").alias("authority")))
         _release(a_held)
-        a, a_held = _l1_over_ckpt(raw_a, "authority"), na_held
-        pulled = (by_dst.join(a.select(F.col("n").alias("dst"),
-                                       "authority"), "dst")
-                  .groupBy("src").agg(F.sum("authority").alias("hub")))
+        a, a_held = _l1_over_ckpt(raw_a, "dst", "authority"), na_held
         raw_h, nh_held = _ckpt(
-            nodes.join(pulled, nodes["n"] == pulled["src"], "left")
-            .select("n", F.coalesce("hub", F.lit(0.0)).alias("hub")))
+            by_dst.join(a.select(F.col("n").alias("dst"), "authority"),
+                        "dst")
+            .groupBy("src").agg(F.sum("authority").alias("hub")))
         _release(h_held)
-        h, h_held = _l1_over_ckpt(raw_h, "hub"), nh_held
-    out = (a.join(h, "n")
-           .select(F.col("n").alias("node"),
-                   F.round("authority", 6).alias("authority"),
-                   F.round("hub", 6).alias("hub")))
+        h, h_held = _l1_over_ckpt(raw_h, "src", "hub"), nh_held
+    # materialize the full output once (every column — a downstream
+    # count() then measures the real computation, and the zero-attach
+    # left joins cannot be pruned away), then free the loop state
+    out, _out_held = _ckpt(
+        nodes.join(a, "n", "left").join(h, "n", "left")
+        .select(F.col("n").alias("node"),
+                F.round(F.coalesce("authority", F.lit(0.0)), 6)
+                .alias("authority"),
+                F.round(F.coalesce("hub", F.lit(0.0)), 6).alias("hub")))
     by_src.unpersist()
     by_dst.unpersist()
-    _release(nodes_held)
+    _release(a_held)
+    _release(h_held)
     return out
 
 
@@ -317,35 +372,43 @@ def bfs_depth(edges: DataFrame, seeds: DataFrame, src: str = "src",
     e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
          .distinct()
          .repartition("src").sortWithinPartitions("src").persist())
-    settled, sheld = _ckpt(
+    frontier, fheld = _ckpt(
         seeds.select(F.col(seed_col).alias("node")).distinct()
         .withColumn("depth", F.lit(0).cast("long")))
-    frontier, fheld = settled, set()
+    # settled is a LAZY union of the checkpointed per-round frontiers —
+    # each round's anti-join scans the union of O(diameter) materialized
+    # narrow blocks instead of paying a second materialization per round
+    # for a dense settled table (halves the round's checkpoint jobs; web
+    # diameters keep the union width tiny)
+    frontiers = [frontier]
+    empty = False
     for t in range(1, max_iters + 1):
+        settled = frontiers[0]
+        for f in frontiers[1:]:
+            settled = settled.unionByName(f)
         new_frontier, nfheld = _ckpt(
             e.join(frontier.select(F.col("node").alias("src")), "src")
             .select(F.col("dst").alias("node")).distinct()
-            .join(settled, "node", "left_anti")
+            .join(settled.select("node"), "node", "left_anti")
             .withColumn("depth", F.lit(t).cast("long")))
-        _release(fheld)
         frontier, fheld = new_frontier, nfheld
         if frontier.isEmpty():
+            _release(fheld)
+            empty = True
             break
-        new_settled, nsheld = _ckpt(settled.unionByName(frontier))
-        _release(sheld)
-        settled, sheld = new_settled, nsheld
-    else:
-        # no break → the last frontier was still non-empty
+        frontiers.append(frontier)
+    if not empty:
+        # the last frontier was still non-empty
         e.unpersist()
-        _release(fheld)
-        _release(sheld)
         raise RuntimeError(
             f"bfs_depth did not exhaust the frontier in {max_iters} "
             f"rounds (graph deeper than the recursion bound the "
             f"oracle mirrors)")
     e.unpersist()
-    _release(fheld)
-    return settled
+    out = frontiers[0]
+    for f in frontiers[1:]:
+        out = out.unionByName(f)
+    return out
 
 
 def cocitation(edges: DataFrame, src: str = "src", dst: str = "dst",
@@ -687,11 +750,19 @@ def harmonic_centrality(edges: DataFrame, src: str = "src",
              .distinct())
 
     if mode == "exact":
-        settled, sheld = _ckpt(
+        frontier, fheld = _ckpt(
             nodes.select("node", F.col("node").alias("origin"),
                          F.lit(0).cast("long").alias("dist")))
-        frontier, fheld = settled, set()
+        # settled is a LAZY union of the checkpointed per-round pair
+        # frontiers (the bfs_depth shape): each round's anti-join scans
+        # O(diameter) materialized narrow blocks instead of paying a
+        # second materialization per round for a dense settled table
+        frontiers, helds = [frontier], [fheld]
+        empty = False
         for t in range(1, max_iters + 1):
+            settled = frontiers[0]
+            for f in frontiers[1:]:
+                settled = settled.unionByName(f)
             new_frontier, nfheld = _ckpt(
                 e.join(frontier.select(F.col("node").alias("src"),
                                        "origin"), "src")
@@ -699,21 +770,24 @@ def harmonic_centrality(edges: DataFrame, src: str = "src",
                 .join(settled.select("node", "origin"),
                       ["node", "origin"], "left_anti")
                 .withColumn("dist", F.lit(t).cast("long")))
-            _release(fheld)
-            frontier, fheld = new_frontier, nfheld
+            frontier = new_frontier
             if frontier.isEmpty():
+                _release(nfheld)
+                empty = True
                 break
-            new_settled, nsheld = _ckpt(settled.unionByName(frontier))
-            _release(sheld)
-            settled, sheld = new_settled, nsheld
-        else:
+            frontiers.append(frontier)
+            helds.append(nfheld)
+        if not empty:
             e.unpersist()
-            _release(fheld)
-            _release(sheld)
+            for hd in helds:
+                _release(hd)
             raise RuntimeError(
                 f"harmonic_centrality(exact) frontier still non-empty "
                 f"after {max_iters} rounds — raise max_iters AND the "
                 f"oracle's recursion bound together")
+        settled = frontiers[0]
+        for f in frontiers[1:]:
+            settled = settled.unionByName(f)
         out = (settled.filter(F.col("dist") > 0)
                .groupBy("node")
                .agg(F.sum(F.floor(F.lit(1000000) / F.col("dist")))
@@ -722,8 +796,8 @@ def harmonic_centrality(edges: DataFrame, src: str = "src",
         # one materializing pass before releasing the inputs it reads
         out, oheld = _ckpt(out)
         e.unpersist()
-        _release(fheld)
-        _release(sheld)
+        for hd in helds:
+            _release(hd)
         return out
 
     if mode != "hyperball":
