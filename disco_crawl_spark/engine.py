@@ -782,13 +782,22 @@ class CrawlEngine:
         wk = Window.partitionBy("host", "url_key").orderBy("link")
         cand = (cand.withColumn("rn", F.row_number().over(wk))
                 .filter(F.col("rn") == 1).drop("rn").persist())
+        # fill the shared cand cache ONCE at natural parallelism (one
+        # cheap parallel count over the round's delta). This (a) lets the
+        # two table commits below run CONCURRENTLY — the r4 experiment
+        # that measured concurrent commits slower raced both jobs into
+        # materializing this cache; with the cache pre-filled the race is
+        # gone — and (b) returns the exact candidate count that sizes the
+        # seen append's output files from DATA instead of inheriting the
+        # cached plan's partition count (32 near-empty files per round at
+        # bench widths; ~1.5 M keys ≈ 100 MB per file at any width, so
+        # wide rounds keep writing many files in parallel)
+        n_cand = cand.count()
+        _mark("cand_fill")
         # every survivor is seen-inserted, even ones the cap then drops
-        # (concurrent-thread commits were tried here and measured SLOWER:
-        # both jobs race to materialize the shared cand cache)
         new_seen = (cand.join(F.broadcast(sess.select("host", "session")), "host")
-                    .select("host", "session", "host_group", "url_key"))
-        self._append("url_seen", new_seen)
-        _mark("seen_append")
+                    .select("host", "session", "host_group", "url_key")
+                    .coalesce(int(n_cand // 1_500_000) + 1))
         nxt = cand.withColumn("link_raw", udfs.domainize(
             F.col("host"), F.col("link"), F.col("scheme")))
         if schedule is not None:
@@ -803,8 +812,20 @@ class CrawlEngine:
                    ["host"])
                .select("host", "session", "gen", "ord", "link_raw"))
         nxt = nxt.persist()
-        prepared_delta = self._append("frontier", self._prepare(nxt))
-        _mark("frontier_append")
+        # the two commits touch different tables and both read only the
+        # pre-filled cand cache; a mid-round kill discards BOTH tables'
+        # uncheckpointed deltas on resume (rollback is per-table by round,
+        # engine.resume), so commit order between them is immaterial —
+        # overlap them so the frontier job's tail backfills the seen
+        # write's idle executors (guide §2.6 shape)
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_seen = pool.submit(self._append, "url_seen", new_seen)
+            f_front = pool.submit(
+                lambda: self._append("frontier", self._prepare(nxt)))
+            prepared_delta = f_front.result()
+            f_seen.result()
+        _mark("seen_frontier_append")
         # ONE collect for everything the driver needs this round: raw
         # next-gen size (finish decision — an all-robots-filtered gen
         # still stays active one round, like the reference), prepared
@@ -870,15 +891,28 @@ class CrawlEngine:
         # reference's domain-lifecycle ES index, worker.py:535-547)
         # driver-built frames are small: always a single file each
         if self.metrics:
+            # explicit schema + tuple rows: createDataFrame over a list of
+            # dicts pays a full-list schema-inference pass on the driver
+            # (measured ~5 s for a 10-round run's metrics)
+            # column order/types match what dict inference produced
+            # (alphabetical keys, longs) so downstream readers see the
+            # identical table schema
             self.t_metrics.overwrite(
-                self.spark.createDataFrame(self.metrics)
-                .coalesce(1), self.round_no)
+                self.spark.createDataFrame(
+                    [(m["external_links"], m["fetched_200"],
+                      m["fetched_404"], m["host"], m["internal_links"],
+                      m["round"], m["scheduled"])
+                     for m in self.metrics],
+                    "external_links bigint, fetched_200 bigint, "
+                    "fetched_404 bigint, host string, "
+                    "internal_links bigint, round bigint, scheduled bigint")
+                .repartition(1), self.round_no)
         if self.events:
             self.cat.table("domain_events").overwrite(
                 self.spark.createDataFrame(
                     [(r, h, m) for r, h, m in self.events],
                     "round int, host string, event string")
-                .coalesce(1), self.round_no)
+                .repartition(1), self.round_no)
         # drop cached deltas; later reads come from the committed snapshots
         self._release()
         return {"rounds": self.round_no,

@@ -382,19 +382,36 @@ def connected_components(vertices: DataFrame, pairs: DataFrame,
     labels = vertices.select(F.col(id_col).alias("id"),
                              F.col(id_col).alias("comp"))
     labels, held = _ckpt(labels)
-    for _ in range(max_iters):
-        msgs = (edges.join(labels.withColumnRenamed("id", "src"), "src")
-                .select(F.col("dst").alias("id"), "comp",
-                        F.lit(None).cast(comp_type).alias("old")))
-        # pointer jump: vertex v with label c learns c's current label
-        jump = (labels.join(labels.select(F.col("id").alias("comp"),
-                                          F.col("comp").alias("jcomp")),
-                            "comp")
-                .select("id", F.col("jcomp").alias("comp"),
-                        F.lit(None).cast(comp_type).alias("old")))
-        own = labels.select("id", "comp", F.col("comp").alias("old"))
+    for rnd in range(max_iters):
+        if rnd == 0:
+            # against the identity labeling the message join degenerates
+            # to a rename of the edge list (comp(src) == src) and the
+            # pointer jump to a no-op (comp(comp(v)) == comp(v)) — round
+            # one is just edges ∪ identity, two operators cheaper than
+            # the general round, and most near-dup graphs converge in one
+            # or two rounds
+            msgs = edges.select(F.col("dst").alias("id"),
+                                F.col("src").alias("comp"),
+                                F.lit(None).cast(comp_type).alias("old"))
+            branches = [labels.select("id", "comp",
+                                      F.col("comp").alias("old")), msgs]
+        else:
+            msgs = (edges.join(labels.withColumnRenamed("id", "src"), "src")
+                    .select(F.col("dst").alias("id"), "comp",
+                            F.lit(None).cast(comp_type).alias("old")))
+            # pointer jump: vertex v with label c learns c's current label
+            jump = (labels.join(labels.select(F.col("id").alias("comp"),
+                                              F.col("comp").alias("jcomp")),
+                                "comp")
+                    .select("id", F.col("jcomp").alias("comp"),
+                            F.lit(None).cast(comp_type).alias("old")))
+            own = labels.select("id", "comp", F.col("comp").alias("old"))
+            branches = [own, msgs, jump]
+        unioned = branches[0]
+        for br in branches[1:]:
+            unioned = unioned.unionByName(br)
         new_labels, new_held = _ckpt(
-            own.unionByName(msgs).unionByName(jump)
+            unioned
             .groupBy("id").agg(F.min("comp").alias("comp"),
                                F.max("old").alias("old"))
             .select("id", "comp", (F.col("comp") < F.col("old")).alias("chg")))

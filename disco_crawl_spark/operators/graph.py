@@ -213,6 +213,12 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
             ranks, new_held = _ckpt(ranks)
             _release(held)
             held = new_held
+    # the final round is materialized — nothing downstream references the
+    # edge layout or the setup state any more; only the final rank blocks
+    # stay live
+    contrib_edges.unpersist()
+    _release(e_held)
+    _release(state_held)
     return ranks.select(F.col("n").alias("node"), F.col("r").alias("pagerank"))
 
 
@@ -380,7 +386,7 @@ def bfs_depth(edges: DataFrame, seeds: DataFrame, src: str = "src",
     # narrow blocks instead of paying a second materialization per round
     # for a dense settled table (halves the round's checkpoint jobs; web
     # diameters keep the union width tiny)
-    frontiers = [frontier]
+    frontiers, helds = [frontier], [fheld]
     empty = False
     for t in range(1, max_iters + 1):
         settled = frontiers[0]
@@ -391,15 +397,18 @@ def bfs_depth(edges: DataFrame, seeds: DataFrame, src: str = "src",
             .select(F.col("dst").alias("node")).distinct()
             .join(settled.select("node"), "node", "left_anti")
             .withColumn("depth", F.lit(t).cast("long")))
-        frontier, fheld = new_frontier, nfheld
+        frontier = new_frontier
         if frontier.isEmpty():
-            _release(fheld)
+            _release(nfheld)
             empty = True
             break
         frontiers.append(frontier)
+        helds.append(nfheld)
     if not empty:
         # the last frontier was still non-empty
         e.unpersist()
+        for hd in helds:
+            _release(hd)
         raise RuntimeError(
             f"bfs_depth did not exhaust the frontier in {max_iters} "
             f"rounds (graph deeper than the recursion bound the "
@@ -408,6 +417,11 @@ def bfs_depth(edges: DataFrame, seeds: DataFrame, src: str = "src",
     out = frontiers[0]
     for f in frontiers[1:]:
         out = out.unionByName(f)
+    # consolidate the O(diameter) per-round frontier blocks into ONE
+    # materialized table and free them — callers hold a single checkpoint
+    out, _out_held = _ckpt(out)
+    for hd in helds:
+        _release(hd)
     return out
 
 

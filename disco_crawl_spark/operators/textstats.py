@@ -1089,11 +1089,18 @@ def bpe_learn_merges(df: DataFrame, text_col: str,
         l, r, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
         merges.append((step, l, r, c))
         pat, rep = F.lit(f" {l} {r} "), F.lit(f" {l}{r} ")
-        new_seq, new_held = _ckpt(seq.select(
+        # the merge rewrite is a NARROW projection over the vocabulary —
+        # chain up to 4 of them lazily instead of materializing each one
+        # (each step's pair-count job then re-runs at most 3 pending
+        # replace passes over the checkpointed vocab blocks, a map-only
+        # cost far below the per-step checkpoint job it replaces)
+        seq = seq.select(
             F.replace(F.replace("s", pat, rep), pat, rep).alias("s"),
-            "cnt"))
-        _release(held)
-        seq, held = new_seq, new_held
+            "cnt")
+        if step % 4 == 0:
+            new_seq, new_held = _ckpt(seq)
+            _release(held)
+            seq, held = new_seq, new_held
     _release(held)
     return spark.createDataFrame(
         merges, "step long, sym_l string, sym_r string, pair_count long")

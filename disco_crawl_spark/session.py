@@ -41,6 +41,23 @@ def build_session(
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
                 "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # InferFiltersFromGenerate synthesizes `size(arr) > 0 AND arr IS
+        # NOT NULL` under every explode/posexplode. For a STORED array
+        # column that can push a row-skip to the scan; every hot explode
+        # in this engine is over a COMPUTED array (tokenize → segment →
+        # explode), where the pushed filter inlines the whole expression
+        # chain below the projection that staged it — re-evaluating the
+        # tokenizer once per array element per row (the winnowing-
+        # fingerprint O(n^3) lesson resurfacing inside the optimizer; see
+        # DESIGN.md staged-projection rule). The filter is semantically
+        # redundant — Generate itself emits nothing for empty arrays —
+        # and the duplicated evaluation grows WITH data, so excluding the
+        # rule is strictly better at every scale for this workload
+        # (measured: host_line_dedup 2.3 -> 0.95 s at sf0.1, plans lose
+        # the size(transform(...)) > 0 scan filter, results unchanged).
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer."
+                "InferFiltersFromGenerate")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.python.worker.faulthandler.enabled", "true")
