@@ -739,7 +739,9 @@ def fingerprints(df: DataFrame, text_col: str, id_col: str,
 
 def fingerprint_overlap_pairs(df: DataFrame, text_col: str, id_col: str,
                               min_shared: int = 2,
-                              max_df: int = 10) -> DataFrame:
+                              max_df: int = 10,
+                              sketch_partitions: "int | None" = None
+                              ) -> DataFrame:
     """Copy-detection join: explode fingerprints, self-join on hash, count
     shared hashes per pair — the scalable (inverted-index) form.
 
@@ -763,14 +765,20 @@ def fingerprint_overlap_pairs(df: DataFrame, text_col: str, id_col: str,
     (measured: the checkpoint job itself pinned one core). It also
     pins the sketch so the three consumers (df_ count, both pair-join
     sides) read it instead of re-running the projection. Sketch
-    generation is repartitioned up front when the input arrives in
-    fewer partitions than cores — a single-row-group parquet file is
-    unsplittable, so the md5 work would otherwise run on ONE core no
-    matter the cluster (at real corpus scale the scan is already wide
-    and the repartition is a no-op-sized shuffle of the text column)."""
+    generation is repartitioned up front so a narrow input cannot pin
+    the md5 work to a few cores — a single-row-group parquet file is
+    unsplittable, so the work would otherwise run on ONE core no
+    matter the cluster. The repartition is unconditional with an
+    explicit ``sketch_partitions`` (default: cluster parallelism): the
+    previous ``rdd.getNumPartitions()`` width probe forced a driver-side
+    RDD conversion of the logical plan on every invocation (ADVICE r5);
+    a caller whose scan is already wide passes ``sketch_partitions=0``
+    to skip the exchange entirely."""
     sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        df = df.repartition(sc.defaultParallelism)
+    if sketch_partitions is None:
+        sketch_partitions = sc.defaultParallelism
+    if sketch_partitions:
+        df = df.repartition(sketch_partitions)
     fps = fingerprints(df, text_col, id_col).localCheckpoint(eager=True)
     ex = fps.select(F.col(id_col), F.explode("fingerprint").alias("h"))
     rare = (ex.groupBy("h").agg(F.count(F.lit(1)).alias("df_"))

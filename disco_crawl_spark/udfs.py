@@ -14,6 +14,8 @@ reimplemented row logic.
 
 from __future__ import annotations
 
+from typing import Iterator, Tuple
+
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
@@ -126,15 +128,20 @@ def make_robots_allow(spark, robots_corpus: dict):
     """Robots filter as a broadcast-join-style UDF: the (tiny) robots corpus
     is a Spark broadcast; each executor parses a host's robots.txt once
     (RobotsCache) and evaluates stdlib RobotFileParser.can_fetch — identical
-    semantics to worker.py:97-101 with zero reimplementation risk."""
+    semantics to worker.py:97-101 with zero reimplementation risk. The
+    iterator form constructs the per-host matcher cache once per TASK and
+    amortizes it over every batch (guide §4.5) — the series form rebuilt
+    it per batch, re-parsing each host's robots.txt every ~10k rows."""
     bc = spark.sparkContext.broadcast(robots_corpus)
 
     @pandas_udf(BooleanType())
-    def robots_allow(host: pd.Series, link: pd.Series) -> pd.Series:
+    def robots_allow(
+            it: Iterator[Tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
         cache = robots_mod.RobotsCache(bc.value)
-        return pd.Series([
-            cache.allow(h, l) for h, l in zip(host, link)
-        ])
+        for host, link in it:
+            yield pd.Series([
+                cache.allow(h, l) for h, l in zip(host, link)
+            ])
 
     return robots_allow
 
