@@ -272,26 +272,33 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
     if iters < 1:
         raise ValueError("hits() needs iters >= 1 (scores are only "
                          "L1-normalized after a full round)")
-    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-         .distinct())
+    sc = edges.sparkSession.sparkContext
+
+    _ckpt, _release = ckpt_tools(sc)
+
+    # the deduped edge table feeds THREE derivations (the two persisted
+    # join layouts and the node set) — materialize it once so none of
+    # them re-runs the upstream lineage (the pagerank setup lesson)
+    e, e_held = _ckpt(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct())
     nodes = (e.select(F.col("src").alias("n"))
              .union(e.select(F.col("dst").alias("n")))
              .distinct())
     by_src = e.repartition("src").sortWithinPartitions("src").persist()
     by_dst = e.repartition("dst").sortWithinPartitions("dst").persist()
-    sc = edges.sparkSession.sparkContext
-
-    _ckpt, _release = ckpt_tools(sc)
 
     def _l1_over_ckpt(ckpted, key, col):
         # ckpted is a materialized (localCheckpointed) raw-score table:
-        # both branches below — the 1-row norm aggregate and the main
-        # projection — re-scan its blocks, never recompute lineage
-        norm = ckpted.agg(F.sum(col).alias("__norm"))
-        return (ckpted.crossJoin(F.broadcast(norm))
-                .select(F.col(key).alias("n"),
-                        F.round(F.col(col) / F.col("__norm"),
-                                round_dp).alias(col)))
+        # the 1-row L1 norm is collected as a bounded driver scalar over
+        # its blocks (one double — the pagerank n_nodes idiom) and folded
+        # back as a literal; a Python float IS an IEEE-754 double, so the
+        # division is bit-identical to the former broadcast-column form
+        # while skipping one broadcast-exchange job per half-step
+        norm = ckpted.agg(F.sum(col)).collect()[0][0]
+        return ckpted.select(F.col(key).alias("n"),
+                             F.round(F.col(col) / F.lit(norm),
+                                     round_dp).alias(col))
 
     # Internal states are SPARSE: a score table only carries nodes whose
     # raw sum has a contributing edge — a dense zero row neither moves
@@ -332,6 +339,7 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
                 F.round(F.coalesce("hub", F.lit(0.0)), 6).alias("hub")))
     by_src.unpersist()
     by_dst.unpersist()
+    _release(e_held)
     _release(a_held)
     _release(h_held)
     return out
