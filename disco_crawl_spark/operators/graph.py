@@ -76,14 +76,25 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
       + D_t*p(v))
 
     Seeds absent from the node set are ignored (they can neither receive
-    nor forward mass); an empty effective seed set raises. p is a narrow
-    (node, p) table materialized once and joined per round — never a
-    driver-side structure.
+    nor forward mass); an empty effective seed set raises. p rides in the
+    one checkpointed state table (n, dangling, p) every round's blend
+    joins — never a driver-side structure.
 
     Multi-edges are collapsed first when ``dedup_edges`` (a crawl link
     graph counts a link once per (src, dst) page pair); self-loops are
     kept as ordinary edges if present upstream — filter before calling if
     the graph semantics exclude them.
+
+    Round materialization policy (round-6 shape): the FINAL round is
+    always eagerly localCheckpoint-ed (consumers read settled blocks and
+    a downstream ``count()`` measures real work). On dangling-free
+    graphs a round references the previous ranks exactly once, so up to
+    ``ckpt_every`` intermediate rounds chain lazily as a straight-line
+    plan (linear work — verified with a noop sink); with dangling nodes
+    present the per-round 1-row dangling aggregate adds a second
+    reference, and lazily chained copies stop being stage-cache-
+    deduplicatable once column pruning de-canonicalizes them (O(2^k)
+    real work), so those graphs checkpoint every round.
     """
     # checkpoint bookkeeping mirrors dedup.connected_components: track the
     # persistent-RDD ids each localCheckpoint registers and release the
@@ -262,13 +273,14 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
     Scale shape: the edge table is shuffled ONCE per join side — two
     persisted layouts (by src for the hub→authority push, by dst for the
     authority→hub pull), the standard space-for-shuffle trade; only the
-    narrow (node, score) tables move per round. Each half-step
-    checkpoints its RAW sums and normalizes lazily over the materialized
-    blocks, so the broadcast L1 normalizer re-SCANS a narrow table
-    instead of re-running the edge join (the norm branch would otherwise
-    double every round's join work — the simhash lesson applied to a
-    1-row aggregate). Superseded blocks are released explicitly (the
-    connected-components pattern)."""
+    narrow, SPARSE (node, score) tables move per round (zero rows carry
+    no L1 mass and no join contribution — zeros are re-attached once at
+    the end). Each half-step checkpoints its RAW sums; the L1 norm is one
+    bounded driver scalar collected over the materialized blocks and
+    folded back as a literal (bit-identical IEEE division, no broadcast
+    exchange, and the norm never re-runs the edge join — the simhash
+    lesson applied to a 1-row aggregate). Superseded blocks are released
+    explicitly (the connected-components pattern)."""
     if iters < 1:
         raise ValueError("hits() needs iters >= 1 (scores are only "
                          "L1-normalized after a full round)")
@@ -369,15 +381,16 @@ def bfs_depth(edges: DataFrame, seeds: DataFrame, src: str = "src",
 
     Scale shape: the edge table is shuffled ONCE (repartitioned by src,
     persisted) and every round's expansion joins the narrow frontier
-    against that fixed layout; the settled set and each frontier are
-    localCheckpoint-ed per round (flat plans — the connected_components
-    lesson) with superseded blocks released, so at most the edge layout
-    plus two narrow (node[, depth]) tables are ever live. Each round is
-    one join + distinct + anti-join — all hash-partitioned on the node
-    id; total work is O(edges within the reached subgraph), the textbook
-    frontier BFS bound, in O(diameter) synchronized rounds. The
-    emptiness test reads the round's already-materialized frontier
-    blocks (no second job over lineage)."""
+    against that fixed layout; each round checkpoints ONLY its frontier
+    (flat plans — the connected_components lesson), and the settled set
+    is the lazy union of those O(diameter) materialized narrow blocks,
+    so no round pays a second materialization for a dense settled table.
+    Each round is one join + distinct + anti-join — all hash-partitioned
+    on the node id; total work is O(edges within the reached subgraph),
+    the textbook frontier BFS bound, in O(diameter) synchronized rounds.
+    The emptiness test reads the round's already-materialized frontier
+    blocks (no second job over lineage); the output is consolidated into
+    ONE checkpoint at the end and the per-round blocks are released."""
     sc = edges.sparkSession.sparkContext
     _ckpt, _release = ckpt_tools(sc)
 
