@@ -1134,11 +1134,19 @@ def bm25_batch_topk(df: DataFrame, text_col: str, id_col: str,
     BM25 simplification). Returns (query_id, id, score, rank)."""
     toks = _ws_tokens_nn(text_col)
     qtok = _ws_tokens_nn(q_text_col)
-    qterms = (queries_df.select(F.col(q_id_col).alias("query_id"),
-                                F.explode(qtok).alias("term"))
-              .distinct())
-    term_list = sorted(r["term"]
-                       for r in qterms.select("term").distinct().collect())
+    # collect the bounded (query_id, term) workload ONCE and rebuild it
+    # as a single-slice local frame: the lazy explode+distinct subplan
+    # was otherwise re-executed (a shuffle included) inside the scoring
+    # join's broadcast build, and the term filter needed a second
+    # distinct over it — the workload is driver-bounded by contract
+    # (like the IVF probed-list set), so one collect serves both
+    qlazy = (queries_df.select(F.col(q_id_col).alias("query_id"),
+                               F.explode(qtok).alias("term"))
+             .distinct())
+    qrows = qlazy.collect()
+    qterms = df.sparkSession.createDataFrame(
+        qrows, qlazy.schema).repartition(1)
+    term_list = sorted({r["term"] for r in qrows})
     stats = df.agg(F.count(F.lit(1)).cast("double").alias("n_docs"),
                    F.avg(F.size(toks)).alias("avgdl"))
     tf = (df.select(F.col(id_col).alias("__id"),
