@@ -513,16 +513,26 @@ def label_propagation(edges: DataFrame, src: str = "src", dst: str = "dst",
               .select("n", F.col("n").alias("lab")))
     sc = edges.sparkSession.sparkContext
     _ckpt, _release = ckpt_tools(sc)
-    labels, held = _ckpt(labels)
-    for _ in range(iters):
-        nb = und.join(labels.withColumnRenamed("n", "b"), "b")
-        cnt = nb.groupBy("a", "lab").agg(F.count(F.lit(1)).alias("cnt"))
-        new = (cnt.groupBy("a")
-               .agg(F.max(F.struct(F.col("cnt"),
-                                   (-F.col("lab")).alias("neg")))
-                    .alias("w"))
-               .select(F.col("a").alias("n"),
-                       (-F.col("w.neg")).alias("lab")))
+    # the identity labeling is never joined (round one degenerates, see
+    # below) — no point materializing it; iters=0 returns it lazily
+    held = set()
+    for rnd in range(iters):
+        if rnd == 0:
+            # identity labels: every neighbor label is distinct (und is a
+            # deduped pair set), so the frequency vote degenerates to the
+            # -label tie-break — round one is exactly min(neighbor id)
+            # per node: one aggregation, no join, no second groupBy
+            new = (und.groupBy("a").agg(F.min("b").alias("lab"))
+                   .select(F.col("a").alias("n"), "lab"))
+        else:
+            nb = und.join(labels.withColumnRenamed("n", "b"), "b")
+            cnt = nb.groupBy("a", "lab").agg(F.count(F.lit(1)).alias("cnt"))
+            new = (cnt.groupBy("a")
+                   .agg(F.max(F.struct(F.col("cnt"),
+                                       (-F.col("lab")).alias("neg")))
+                        .alias("w"))
+                   .select(F.col("a").alias("n"),
+                           (-F.col("w.neg")).alias("lab")))
         new, new_held = _ckpt(new)
         _release(held)
         labels, held = new, new_held

@@ -70,11 +70,16 @@ def budget_waterfill(demands: DataFrame, budget: int,
                        F.col(host_col).alias("host"),
                        F.col(demand_col).cast("long").alias("demand"))
     w = Window.partitionBy(*gcols).orderBy("demand", "host")
+    # materialize the ranked demand table once: the 1-row level aggregate
+    # AND the final allocation projection both consume it — without the
+    # checkpoint the broadcast subtree re-executes the caller's whole
+    # upstream demand pipeline a second time. Host-cardinality rows, so
+    # the materialization is bounded at any corpus scale.
     ranked = d.select(
         *gcols, "host", "demand",
         F.row_number().over(w).alias("rn"),
         F.sum("demand").over(w).alias("prefix"),
-    )
+    ).localCheckpoint(eager=True)
     b = F.lit(int(budget)).cast("long")
     # largest k with prefix[k-1] + d[k] * (n - k + 1) <= B  (the level
     # test: grant host k's full demand to it and every larger host)
